@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] harness but with settings that
+  * transfer to a multi-executor cluster: AQE (runtime coalesce + skew
+  * join splitting), UTC session time zone (oracle parity), and a
+  * shuffle partition count sized to the parallelism at hand instead of
+  * the 200 default. The [[plans.GraftExtensions]] injection registers
+  * graft's native SQL functions.
+  */
+object GraftSession {
+
+  /** Apply graft defaults to an existing builder. */
+  def configure(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+
+  /** Standalone local session (tests / ad-hoc). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

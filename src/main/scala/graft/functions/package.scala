@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-stable column helpers.
+  *
+  * Everything here has an exact DuckDB equivalent (documented inline)
+  * so queries built from these helpers hash-match the driver's oracle:
+  *   - money/size math in DECIMAL(18,2) — exact in both engines;
+  *   - integer hashing via the first 8 hex chars of md5 — md5 is
+  *     byte-identical everywhere, unlike murmur/xxhash variants;
+  *   - text normalization via lower + regexp, identical RE semantics.
+  */
+package object functions {
+
+  /** Exact money arithmetic. DuckDB: CAST(x AS DECIMAL(18,2)). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Final numeric output: exact decimal → double (identical bits in
+    * both engines). DuckDB: CAST(x AS DOUBLE). */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** Unsigned 32-bit integer hash of a string, stable across engines.
+    * DuckDB: CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant — a cheap universal-hash family for MinHash.
+    * DuckDB: CAST(concat('0x', substr(md5(concat('s', i, '#', x)), 1, 8)) AS BIGINT). */
+  def hash32Seeded(seed: Int, c: Column): Column =
+    hash32(concat(lit("s" + seed + "#"), c))
+
+  /** Lowercase, strip non [a-z0-9 ], collapse runs of spaces, trim.
+    * DuckDB: trim(regexp_replace(regexp_replace(lower(x),
+    *   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')). */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Words of normalized text. DuckDB: string_split(x, ' '). */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Seconds since epoch (truncating). DuckDB:
+    * CAST(FLOOR(epoch(ts)) AS BIGINT). */
+  def epochSec(c: Column): Column = unix_timestamp(c)
+}

@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions._
+import graft.sources.Tables
+
+/** §2.A — relational core.
+  *
+  * The algebra esop's reporting/restore paths need (aggregation,
+  * semi/anti joins for incremental upload, window-based lastN,
+  * rollups for cluster→dc→node totals — see
+  * `core/src/main/java/com/instaclustr/esop/impl/Manifest.java:595-700`,
+  * `impl/list/ListOperation.java:167-198`), expressed declaratively so
+  * Catalyst plans pushdown/broadcast/partial-agg for free.
+  *
+  * Scale notes: every query is a single declarative plan — map-side
+  * partial aggregation applies to all groupBys; dimension joins
+  * (nation/region) are broadcast; top-k uses TakeOrderedAndProject
+  * (never a global sort); numeric outputs go through exact DECIMAL
+  * before a final double cast for engine-portable results.
+  */
+object Relational {
+
+  private val one = lit(1).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("sum_disc_price"),
+          (asDouble(sum(dec2(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (asDouble(sum(dec2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q02_filter_project" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 25)
+        .agg(
+          asDouble(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q03_join_agg" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          asDouble(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    "q04_semi_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q05_anti_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    "q06_topk" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(15)
+    },
+
+    "q07_window_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    "q08_distinct" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    "q09_union_all" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(lit("customer").as("src"), col("c_acctbal").as("bal"))
+      val sup = Tables.supplier(s, dir)
+        .select(lit("supplier").as("src"), col("s_acctbal").as("bal"))
+      c.unionAll(sup)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("bal")))).as("total_bal"))
+        .orderBy("src")
+    },
+
+    "q10_rollup" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), asDouble(sum(dec2(col("c_acctbal")))).as("total_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("total_bal"))
+        .orderBy("region", "nation")
+    },
+
+    "q11_having" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(asDouble(sum(dec2(col("l_extendedprice")))).as("total_price"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("total_price") > 18000000)
+        .orderBy("l_suppkey")
+    },
+
+    "q12_case_when" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("o_totalprice")))).as("total"))
+        .orderBy("bucket")
+    },
+
+    "q13_time_bucket" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("total_value"))
+        .orderBy("day", "event_type")
+    },
+
+    "q14_string_funcs" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_name").like("%widget%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).as("name_len"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    },
+
+    "q15_scalar_subquery" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val avgPrice = p.agg(
+        (asDouble(sum(dec2(col("p_retailprice")))) / count(lit(1))).as("avg_price"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_retailprice"))
+        .orderBy("p_partkey")
+    },
+
+    "q16_broadcast_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), asDouble(sum(dec2(col("c_acctbal")))).as("total_bal"))
+        .orderBy("r_name")
+    },
+
+    "q17_multi_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(o("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && o("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(asDouble(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    "q18_exists_corr" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    },
+
+    "q19_grouping_sets" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(1) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+      """)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(1) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q09_union_all" ->
+      """SELECT src, COUNT(1) AS n,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM (
+        |  SELECT 'customer' AS src, c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS src, s_acctbal AS bal FROM supplier) u
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q11_having" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > 18000000
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q12_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q13_time_bucket" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q14_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  concat(p_brand, '/', p_type) AS brand_type
+        |FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin,
+
+    "q15_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q16_broadcast_join" ->
+      """SELECT r_name, COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q17_multi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q18_exists_corr" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
+  )
+}

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the shared testdata tables.
+  *
+  * Each loader is a plain parquet scan; Catalyst pushes filters and
+  * prunes columns into it, so operators downstream never pay for
+  * columns they do not read. On a cluster the same loaders read
+  * partitioned directories transparently.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
