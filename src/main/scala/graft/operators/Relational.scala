@@ -123,13 +123,20 @@ object Relational {
       val r = Tables.region(s, dir)
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), asDouble(sum(dec2(col("c_acctbal")))).as("total_bal"))
-        .select(
-          coalesce(col("r_name"), lit("ALL")).as("region"),
-          coalesce(col("n_name"), lit("ALL")).as("nation"),
-          col("n_cust"), col("total_bal"))
-        .orderBy("region", "nation")
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("graft_q10_rollup")
+      // SQL form: rollup grouping columns re-referenced post-agg trip the
+      // DataFrame ambiguous-self-join check; the SQL analyzer resolves
+      // them cleanly and plans the identical Expand + Aggregate.
+      s.sql("""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(1) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM graft_q10_rollup
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation
+      """)
     },
 
     "q11_having" -> { (s, dir) =>

@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSim
+
+/** SparkSessionExtensions entry point (SURVEY §2.D x02).
+  *
+  * Installed via `spark.sql.extensions=graft.plans.GraftExtensions`;
+  * registers graft's native expressions as SQL functions so plain
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` uses the codegen
+  * kernel — no UDF registration per session, works on every executor.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))
+    ))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the shared testdata tables.
   *
@@ -17,7 +18,17 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
+  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+    * nanos-since-epoch (legacy nanosAsLong conf, set in [[graft.GraftSession]]
+    * and the driver mains) and truncate to microseconds — the same µs
+    * truncation DuckDB applies when reading ns parquet, so both engines
+    * see identical timestamps. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
