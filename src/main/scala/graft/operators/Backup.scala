@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.model.BackupLedger
+import graft.model.BackupLedger.{ledger, manifest, snapshots}
+
+/** §2.B — esop-domain operators over the backup ledger.
+  *
+  * Each query is the Spark re-expression of one esop operation (cited
+  * per entry); all are single declarative plans over
+  * [[graft.model.BackupLedger]], so at 100 TB they inherit the scan's
+  * pushdown and AQE's runtime re-partitioning. Windows partition by
+  * bounded keys (node, snapshot×key); nothing collects to the driver.
+  */
+object Backup {
+
+  private val cte = BackupLedger.oracleCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // esop `AllManifestsReport.report` (Manifest.java:595-700):
+    // per-backup file count / size / node coverage, newest first.
+    "b01_manifest_list" -> { (s, dir) =>
+      manifest(s, dir)
+        .groupBy("snapshot_day")
+        .agg(
+          count(lit(1)).as("n_files"),
+          asDouble(sum(col("size"))).as("total_size"),
+          countDistinct(col("node_id")).as("n_nodes"))
+        .orderBy(col("snapshot_day").desc)
+    },
+
+    // esop `ListOperation.filterLastN` (ListOperation.java:181-198):
+    // last 3 backups per node via a per-node window (bounded partitions).
+    "b02_list_lastn" -> { (s, dir) =>
+      val w = Window.partitionBy("node_id").orderBy(col("snapshot_day").desc)
+      snapshots(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("node_id", "snapshot_day", "rn")
+        .orderBy("node_id", "rn")
+    },
+
+    // esop `ListOperation.filterFromTimestamp` (ListOperation.java:167-179).
+    "b03_list_from_ts" -> { (s, dir) =>
+      manifest(s, dir)
+        .filter(col("snapshot_day") <= lit("2024-01-20").cast("date"))
+        .groupBy("snapshot_day")
+        .agg(count(lit(1)).as("n_files"), asDouble(sum(col("size"))).as("total_size"))
+        .orderBy(col("snapshot_day").desc)
+    },
+
+    // esop incremental backup (Backuper FRESH vs ALREADY_PRESENT): keys
+    // in snapshot S never uploaded before S → left-anti join on object_key.
+    "b04_snapshot_diff" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val day = lit("2024-01-10").cast("date")
+      val current = m.filter(col("snapshot_day") === day)
+      val prior = m.filter(col("snapshot_day") < day)
+        .select("object_key").distinct()
+      current.join(prior, Seq("object_key"), "left_anti")
+        .select(col("object_key"), col("node_id"), asDouble(col("size")).as("size"))
+        .orderBy("object_key")
+    },
+
+    // esop reclaimable space (Manifest.java:461-483): bytes referenced by
+    // exactly one manifest. One agg for ref-counts + one broadcast-able
+    // join back (ref table is tiny: |keys| ≪ |entries|).
+    "b05_reclaimable" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val refs = m.groupBy("object_key").agg(count(lit(1)).as("n_refs"))
+      m.join(refs, Seq("object_key"))
+        .groupBy("snapshot_day")
+        .agg(
+          asDouble(coalesce(sum(when(col("n_refs") === 1, col("size"))), lit(0).cast("decimal(18,2)"))).as("reclaimable"),
+          count(when(col("n_refs") === 1, lit(1))).as("n_removable"))
+        .orderBy("snapshot_day")
+    },
+
+    // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
+    "b06_retention" -> { (s, dir) =>
+      manifest(s, dir)
+        .filter(col("snapshot_day") < lit("2024-01-08").cast("date"))
+        .groupBy("snapshot_day")
+        .agg(count(lit(1)).as("n_files"), asDouble(sum(col("size"))).as("total_size"))
+        .orderBy("snapshot_day")
+    },
+
+    // esop PIT commit-log replay: final state = last write per (node, key)
+    // with ts ≤ T (impl/restore/CommitLogRestorationStrategy).
+    "b07_pit_state" -> { (s, dir) =>
+      val w = Window.partitionBy("node_id", "k")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ledger(s, dir)
+        .filter(col("ts") <= lit("2024-01-15 12:00:00").cast("timestamp"))
+        .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node_id"), col("k"), col("event_id"),
+          asDouble(col("size")).as("size"))
+        .orderBy("node_id", "k")
+    },
+
+    // esop hash verification (impl/hash/HashServiceImpl.java): entries
+    // whose download hash disagrees with the manifest hash.
+    "b08_hash_verify" -> { (s, dir) =>
+      manifest(s, dir)
+        .filter(col("upload_hash") =!= col("download_hash"))
+        .select("snapshot_day", "object_key", "node_id", "upload_hash", "download_hash")
+        .orderBy("snapshot_day", "object_key")
+    },
+
+    // esop S3 multipart planning (impl/backup/Backuper.java): parts =
+    // ceil(size/chunk), rolled up per node.
+    "b09_chunking" -> { (s, dir) =>
+      manifest(s, dir)
+        .withColumn("parts",
+          greatest(lit(1L), ceil(asDouble(col("size")) / 10.0).cast("long")))
+        .groupBy("node_id")
+        .agg(
+          sum(col("parts")).as("total_parts"),
+          count(lit(1)).as("n_files"),
+          asDouble(sum(col("size"))).as("total_size"))
+        .orderBy("node_id")
+    },
+
+    // esop topology (topology/CassandraSimpleTopology.java): cluster→DC→node
+    // counts; DC derived deterministically from the node id.
+    "b10_topology" -> { (s, dir) =>
+      ledger(s, dir)
+        .withColumn("dc", concat(lit("dc"), (col("node_id") % 3).cast("string")))
+        .groupBy("dc")
+        .agg(
+          countDistinct(col("node_id")).as("n_nodes"),
+          count(lit(1)).as("n_entries"),
+          asDouble(sum(col("size"))).as("total_size"))
+        .orderBy("dc")
+    },
+
+    // esop restore-under-different-name (impl/RenamedEntities.java):
+    // keyspace/table projection with rewritten target keys.
+    "b11_table_rename" -> { (s, dir) =>
+      manifest(s, dir)
+        .filter(col("snapshot_day") === lit("2024-01-10").cast("date"))
+        .select(
+          col("object_key"),
+          concat(lit("restored/"), col("object_key")).as("renamed_key"),
+          col("node_id"),
+          asDouble(col("size")).as("size"))
+        .orderBy("object_key")
+    },
+
+    // esop `RestorationStrategy` snapshot resolution: each restore request
+    // (commit-log event) matched to the latest snapshot strictly before
+    // its day — an AS-OF join. Spark-first: union snapshots (visible from
+    // day+1) with requests, one per-node ordered window carries the last
+    // visible snapshot forward — a single shuffle on node_id, no
+    // correlated per-row probing, scales linearly.
+    "b12_asof_join" -> { (s, dir) =>
+      val snaps = snapshots(s, dir).select(
+        col("node_id"),
+        date_add(col("snapshot_day"), 1).cast("timestamp").as("ord_ts"),
+        lit(0).as("kind"),
+        col("snapshot_day").as("snap_day"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("date").as("request_day"))
+      val reqs = ledger(s, dir).filter(col("ftype") === "COMMIT_LOG").select(
+        col("node_id"),
+        col("ts").as("ord_ts"),
+        lit(1).as("kind"),
+        lit(null).cast("date").as("snap_day"),
+        col("event_id"),
+        col("snapshot_day").as("request_day"))
+      val w = Window.partitionBy("node_id")
+        .orderBy("ord_ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      snaps.unionAll(reqs)
+        .withColumn("matched_day", last(col("snap_day"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("event_id", "node_id", "request_day", "matched_day")
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "b01_manifest_list" -> (cte +
+      """SELECT snapshot_day, COUNT(1) AS n_files,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size,
+        |  COUNT(DISTINCT node_id) AS n_nodes
+        |FROM manifest GROUP BY snapshot_day
+        |ORDER BY snapshot_day DESC""".stripMargin),
+
+    "b02_list_lastn" -> (cte +
+      """SELECT node_id, snapshot_day, rn FROM (
+        |  SELECT node_id, snapshot_day,
+        |    ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY snapshot_day DESC) AS rn
+        |  FROM snapshots) t
+        |WHERE rn <= 3 ORDER BY node_id, rn""".stripMargin),
+
+    "b03_list_from_ts" -> (cte +
+      """SELECT snapshot_day, COUNT(1) AS n_files,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM manifest WHERE snapshot_day <= DATE '2024-01-20'
+        |GROUP BY snapshot_day ORDER BY snapshot_day DESC""".stripMargin),
+
+    "b04_snapshot_diff" -> (cte +
+      """SELECT object_key, node_id, CAST(size AS DOUBLE) AS size
+        |FROM manifest m
+        |WHERE snapshot_day = DATE '2024-01-10'
+        |  AND NOT EXISTS (SELECT 1 FROM manifest p
+        |    WHERE p.snapshot_day < DATE '2024-01-10' AND p.object_key = m.object_key)
+        |ORDER BY object_key""".stripMargin),
+
+    "b05_reclaimable" -> (cte +
+      """, refs AS (SELECT object_key, COUNT(1) AS n_refs FROM manifest GROUP BY object_key)
+        |SELECT m.snapshot_day,
+        |  CAST(COALESCE(SUM(CASE WHEN r.n_refs = 1 THEN m.size END), 0) AS DOUBLE) AS reclaimable,
+        |  COUNT(CASE WHEN r.n_refs = 1 THEN 1 END) AS n_removable
+        |FROM manifest m JOIN refs r ON m.object_key = r.object_key
+        |GROUP BY m.snapshot_day ORDER BY m.snapshot_day""".stripMargin),
+
+    "b06_retention" -> (cte +
+      """SELECT snapshot_day, COUNT(1) AS n_files,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM manifest WHERE snapshot_day < DATE '2024-01-08'
+        |GROUP BY snapshot_day ORDER BY snapshot_day""".stripMargin),
+
+    "b07_pit_state" -> (cte +
+      """SELECT node_id, k, event_id, CAST(size AS DOUBLE) AS size FROM (
+        |  SELECT node_id, regexp_extract(props, '([0-9]+)', 1) AS k, event_id, size,
+        |    ROW_NUMBER() OVER (PARTITION BY node_id, regexp_extract(props, '([0-9]+)', 1)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ledger WHERE ts <= TIMESTAMP '2024-01-15 12:00:00') t
+        |WHERE rn = 1 ORDER BY node_id, k""".stripMargin),
+
+    "b08_hash_verify" -> (cte +
+      """SELECT snapshot_day, object_key, node_id, upload_hash, download_hash
+        |FROM manifest WHERE upload_hash <> download_hash
+        |ORDER BY snapshot_day, object_key""".stripMargin),
+
+    "b09_chunking" -> (cte +
+      """SELECT node_id,
+        |  SUM(GREATEST(1, CAST(CEIL(CAST(size AS DOUBLE) / 10.0) AS BIGINT))) AS total_parts,
+        |  COUNT(1) AS n_files,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM manifest GROUP BY node_id ORDER BY node_id""".stripMargin),
+
+    "b10_topology" -> (cte +
+      """SELECT concat('dc', CAST(node_id % 3 AS VARCHAR)) AS dc,
+        |  COUNT(DISTINCT node_id) AS n_nodes,
+        |  COUNT(1) AS n_entries,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM ledger GROUP BY 1 ORDER BY dc""".stripMargin),
+
+    "b11_table_rename" -> (cte +
+      """SELECT object_key, concat('restored/', object_key) AS renamed_key,
+        |  node_id, CAST(size AS DOUBLE) AS size
+        |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
+        |ORDER BY object_key""".stripMargin),
+
+    "b12_asof_join" -> (cte +
+      """SELECT l.event_id, l.node_id, l.snapshot_day AS request_day,
+        |  (SELECT max(sn.snapshot_day) FROM snapshots sn
+        |   WHERE sn.node_id = l.node_id AND sn.snapshot_day < l.snapshot_day) AS matched_day
+        |FROM ledger l WHERE l.ftype = 'COMMIT_LOG'
+        |ORDER BY l.event_id""".stripMargin)
+  )
+}
