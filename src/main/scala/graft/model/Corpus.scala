@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Shared text/vector corpus derivations for the training-data
+  * pipeline operators (SURVEY §2.C).
+  *
+  * Cross-engine determinism strategy:
+  *   - text goes through one normalization ([[graft.functions.normText]])
+  *     whose DuckDB twin is [[normSql]];
+  *   - embeddings (float) are quantized to integer grids
+  *     (`round(x*1000)`) so every dot product / norm / distance is
+  *     EXACT integer arithmetic — identical in Spark and DuckDB, no
+  *     float summation-order drift. Derived cosines divide the same
+  *     exact integers, giving bit-identical doubles;
+  *   - all hash families derive from md5 (byte-identical everywhere).
+  *
+  * Scale: docs/grams are narrow projections over the parquet scan;
+  * quantization is per-row (no shuffle). The gram explode multiplies
+  * rows by ~|words|, which is the intended shingle fan-out — LSH
+  * banding (d04) and SRP bucketing (d07) exist precisely so the
+  * all-pairs comparisons never materialize at 100 TB.
+  */
+object Corpus {
+
+  /** doc_id, text, norm, ws (normalized word array). */
+  def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 words). */
+  def grams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+      ))).as("gram"))
+
+  /** Quantized embeddings: vec_id, q (array<long>, round(x*1000)),
+    * norm2 (exact Σq², long). */
+  def qvecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("q", expr(
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG))"))
+      .withColumn("norm2", expr(
+        "aggregate(q, CAST(0 AS LONG), (acc, x) -> acc + x * x)"))
+      .select("vec_id", "q", "norm2")
+
+  // ---- DuckDB twins -------------------------------------------------
+
+  /** DuckDB expression equal to normText(text). */
+  val normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** CTE prefix: docs(doc_id, text, norm, ws) + grams(doc_id, gram). */
+  val docsCte: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, $normSql AS norm,
+       |         string_split($normSql, ' ') AS ws
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+       |  FROM docs, UNNEST(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3
+       |)
+       |""".stripMargin
+
+  /** CTE prefix: qtab(vec_id, q, norm2) — quantized embeddings. */
+  val qtabCte: String =
+    """WITH qtab AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q,
+      |         CAST(list_sum(list_transform(list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)), x -> x * x)) AS BIGINT) AS norm2
+      |  FROM embeddings
+      |)
+      |""".stripMargin
+
+  /** DuckDB expression for hash32(x) — must match graft.functions.hash32. */
+  def hash32Sql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+}

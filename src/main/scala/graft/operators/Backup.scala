@@ -244,7 +244,7 @@ object Backup {
 
     "b09_chunking" -> (cte +
       """SELECT node_id,
-        |  SUM(GREATEST(1, CAST(CEIL(CAST(size AS DOUBLE) / 10.0) AS BIGINT))) AS total_parts,
+        |  CAST(SUM(GREATEST(1, CAST(CEIL(CAST(size AS DOUBLE) / 10.0) AS BIGINT))) AS BIGINT) AS total_parts,
         |  COUNT(1) AS n_files,
         |  CAST(SUM(size) AS DOUBLE) AS total_size
         |FROM manifest GROUP BY node_id ORDER BY node_id""".stripMargin),

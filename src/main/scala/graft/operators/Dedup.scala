@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.model.Corpus
+
+/** §2.C d01–d05 — deduplication for large text corpora.
+  *
+  * The scale story (the reason each variant exists):
+  *   - d01 exact: one hash-groupBy — a single shuffle on the content
+  *     hash; the canonical first pass at 100 TB.
+  *   - d02 n-gram Jaccard: exact set-similarity via a shingle
+  *     self-join — correct but quadratic per shared shingle; kept as
+  *     the correctness baseline the sketch variants approximate.
+  *   - d03/d04 MinHash + LSH banding: the scale path. Signatures are
+  *     a bounded 16-value sketch per doc; banding turns all-pairs
+  *     into an equi-join on (band, signature) so only probable
+  *     near-dups ever meet in a shuffle partition.
+  *   - d05 SimHash: 32-bit fingerprint via bitwise majority — pairs
+  *     compared with xor/bit_count, cheap enough to run on candidate
+  *     streams.
+  */
+object Dedup {
+
+  private val seedsSql = "(SELECT unnest(range(0, 16)) AS seed)"
+
+  /** MinHash rows: (doc_id, seed∈[0,16), minh). */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    val seeds = s.range(0, 16).select(col("id").cast("int").as("seed"))
+    Corpus.grams(s, dir)
+      .crossJoin(broadcast(seeds))
+      .withColumn("h", hash32(concat(lit("s"), col("seed").cast("string"), lit("#"), col("gram"))))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("minh"))
+  }
+
+  private val minhashSql: String =
+    s"""mh AS (
+       |  SELECT doc_id, seed, min(${Corpus.hash32Sql("concat('s', CAST(seed AS VARCHAR), '#', gram)")}) AS minh
+       |  FROM grams CROSS JOIN $seedsSql
+       |  GROUP BY doc_id, seed
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: md5 over normalized text; min doc_id is the keeper.
+    "d01_dedup_exact" -> { (s, dir) =>
+      Corpus.docs(s, dir)
+        .groupBy(md5(col("norm")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_docs"))
+        .orderBy("content_hash")
+    },
+
+    // Word-3-gram Jaccard near-dup pairs (|∩|/|∪| ≥ 0.5).
+    "d02_dedup_ngram" -> { (s, dir) =>
+      val g = Corpus.grams(s, dir)
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = g.toDF("a_id", "gram")
+      val b = g.toDF("b_id", "gram")
+      a.join(b, Seq("gram"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "inter", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // MinHash signatures (k=16, md5-derived hash family).
+    "d03_minhash" -> { (s, dir) =>
+      minhash(s, dir).orderBy("doc_id", "seed")
+    },
+
+    // LSH banding (4 bands × 4 rows): candidate pairs share ≥1 band.
+    "d04_minhash_lsh" -> { (s, dir) =>
+      val sig = minhash(s, dir)
+        .withColumn("band", expr("seed div 4"))
+        .groupBy("doc_id", "band")
+        .agg(collect_list(struct(col("seed"), col("minh"))).as("sm"))
+        .withColumn("sig", expr(
+          "array_join(transform(array_sort(sm), x -> CAST(x.minh AS STRING)), ',')"))
+        .select("doc_id", "band", "sig")
+      val a = sig.toDF("a_id", "band", "sig")
+      val b = sig.toDF("b_id", "band", "sig")
+      a.join(b, Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // 32-bit SimHash fingerprints + hamming-near pairs (≤ 2 bits apart).
+    "d05_simhash" -> { (s, dir) =>
+      val words = Corpus.docs(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("w")).distinct()
+      val bits = s.range(0, 32).select(col("id").cast("int").as("b"))
+      val fp = words
+        .withColumn("h", hash32(col("w")))
+        .crossJoin(broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END")).as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS LONG), b) ELSE CAST(0 AS LONG) END")).as("fp"))
+      val a = fp.toDF("a_id", "fp_a")
+      val b2 = fp.toDF("b_id", "fp_b")
+      a.join(b2, col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+        .filter(col("hamming") <= 2)
+        .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
+        .orderBy("a_id", "b_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" -> (Corpus.docsCte +
+      """SELECT md5(norm) AS content_hash, min(doc_id) AS keep_doc, count(1) AS n_docs
+        |FROM docs GROUP BY 1 ORDER BY content_hash""".stripMargin),
+
+    "d02_dedup_ngram" -> (Corpus.docsCte +
+      """, sizes AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS inter,
+        |  CAST(count(1) AS DOUBLE) / (any_value(sa.n) + any_value(sb.n) - count(1)) AS jaccard
+        |FROM grams a
+        |JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING CAST(count(1) AS DOUBLE) / (any_value(sa.n) + any_value(sb.n) - count(1)) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    "d03_minhash" -> (Corpus.docsCte + ", " + minhashSql +
+      "\nSELECT doc_id, seed, minh FROM mh ORDER BY doc_id, seed"),
+
+    "d04_minhash_lsh" -> (Corpus.docsCte + ", " + minhashSql +
+      """, sig AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, band
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS n_shared_bands
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin),
+
+    "d05_simhash" -> (Corpus.docsCte +
+      s""", wd AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),
+         |sgns AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (${Corpus.hash32Sql("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |  FROM wd, UNNEST(range(0, 32)) t(b)
+         |  GROUP BY doc_id, b
+         |),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+         |  FROM sgns GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fp_a, b.fp AS fp_b,
+         |  bit_count(xor(a.fp, b.fp)) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin)
+  )
+}

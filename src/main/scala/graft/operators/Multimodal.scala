@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.C d14 — multimodal column plumbing.
+  *
+  * Media (image/audio/video) are opaque `binary` columns with typed
+  * metadata; the decode/feature-extract step runs per partition over
+  * the raw bytes. The decode itself is STUBBED deterministically
+  * (this container has no image/audio codecs) — what is real and
+  * tested is the Spark-side plumbing a 100 TB media pipeline needs:
+  * binary encoding at the scan, a typed `Dataset` boundary, batched
+  * per-partition processing (the shape a JNI/FFmpeg/Pillow worker
+  * would slot into, one library init per partition instead of per
+  * row), and a relational feature output that joins back on doc_id.
+  */
+object Multimodal {
+
+  /** Typed media record: id + raw bytes + mime. */
+  case class MediaBlob(doc_id: Long, blob: Array[Byte], mime: String)
+
+  /** Extracted features (deterministic stub of the decoder). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
+      width: Long, height: Long)
+
+  /** STUB decoder: where a real pipeline would decode pixels/samples,
+    * we derive deterministic pseudo-features from the bytes (md5-based,
+    * identical to the SQL oracle's md5 math). One digest instance per
+    * partition — the real-decoder initialization pattern. */
+  private def decodePartition(rows: Iterator[MediaBlob]): Iterator[MediaFeatures] = {
+    val md = MessageDigest.getInstance("MD5")
+    rows.map { m =>
+      md.reset()
+      val hex = md.digest(m.blob).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      MediaFeatures(m.doc_id, m.blob.length.toLong, h, h % 640, h % 480)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_multimodal" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          encode(col("text"), "utf-8").as("blob"),
+          lit("text/plain").as("mime"))
+        .as[MediaBlob]
+      blobs.mapPartitions(decodePartition)
+        .toDF()
+        .select("doc_id", "n_bytes", "checksum", "width", "height")
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d14_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
