@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.CosineSim
+import graft.sources.IO
+
+/** x01/x02/x03 — custom expression, SQL extension registration, IO
+  * round-trips. */
+class FunctionsSpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("CosineSim: identical=1, orthogonal=0, parallel=1, zero-vector=0") {
+    val out = vecs.select(col("id"), CosineSim(col("a"), col("b")).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+    assert(out(4L) == 0.0)
+  }
+
+  test("CosineSim interpreted eval matches codegen") {
+    val expr = CosineSim(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(col("a")),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(col("b")))
+    // codegen path (dataframe) vs interpreted nullSafeEval on same data
+    val viaDf = vecs.select(CosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val expected = Array(1.0, 0.0, 1.0, 0.0)
+    viaDf.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    assert(expr.dataType.typeName == "double")
+  }
+
+  test("graft_cosine registered as a SQL function via extensions") {
+    vecs.createOrReplaceTempView("graft_vecs_x02")
+    val out = spark.sql(
+      "SELECT id, graft_cosine(a, b) AS cos FROM graft_vecs_x02 ORDER BY id")
+      .collect()
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(1)) < 1e-12)
+  }
+
+  test("graft_cosine rejects non-float-array args with a type error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine('a', 'b')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_cosine"))
+  }
+
+  test("IO: parquet/csv/json round-trips preserve rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")
+    IO.writeParquet(df, s"$tmp/p", partitionBy = Seq("k"))
+    assert(IO.readParquet(spark, s"$tmp/p").count() == 100)
+    IO.writeCsv(df, s"$tmp/c")
+    assert(IO.readCsv(spark, s"$tmp/c").count() == 100)
+    IO.writeJson(df, s"$tmp/j")
+    assert(IO.readJson(spark, s"$tmp/j").count() == 100)
+  }
+
+  test("IO: partitioned write enables partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")
+    IO.writeParquet(df, s"$tmp/p", partitionBy = Seq("k"))
+    val pruned = IO.readParquet(spark, s"$tmp/p").filter(col("k") === "3")
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(pruned.count() == 100)
+    assert(p.contains("PartitionFilters: [isnotnull(k"), p)
+  }
+}

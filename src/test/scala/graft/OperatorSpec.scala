@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks per operator family (the cross-engine hash gate is
+  * the driver's; these assert invariants and edge behavior). */
+class OperatorSpec extends SparkSpec {
+
+  test("every query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 47)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q06 topk returns exactly 15 ordered rows") {
+    val rows = SparkEntry.queries("q06_topk")(spark, sf).collect()
+    assert(rows.length == 15)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("b05 reclaimable never exceeds snapshot total size") {
+    val rec = SparkEntry.queries("b05_reclaimable")(spark, sf)
+      .withColumnRenamed("snapshot_day", "day")
+    val tot = SparkEntry.queries("b01_manifest_list")(spark, sf)
+    val joined = rec.join(tot, rec("day") === tot("snapshot_day"))
+    assert(joined.filter(col("reclaimable") > col("total_size")).count() == 0)
+  }
+
+  test("b12 asof matches are strictly before the request day") {
+    val bad = SparkEntry.queries("b12_asof_join")(spark, sf)
+      .filter(col("matched_day").isNotNull && col("matched_day") >= col("request_day"))
+    assert(bad.count() == 0)
+  }
+
+  test("d01 exact-dedup group sizes sum to doc count") {
+    val total = SparkEntry.queries("d01_dedup_exact")(spark, sf)
+      .agg(sum("n_docs")).head().getLong(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("d02 jaccard values lie in (0, 1]") {
+    val out = SparkEntry.queries("d02_dedup_ngram")(spark, sf)
+    assert(out.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("d04 LSH candidates are a superset of high-jaccard pairs") {
+    // Banding theory: pairs with jaccard ≥ ~0.9 almost surely share a band.
+    val strong = SparkEntry.queries("d02_dedup_ngram")(spark, sf)
+      .filter(col("jaccard") >= 0.95).select("a_id", "b_id")
+    val cand = SparkEntry.queries("d04_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id")
+    assert(strong.exceptAll(cand).count() == 0)
+  }
+
+  test("d06 cosine values are bounded and self-pairs excluded") {
+    val out = SparkEntry.queries("d06_cosine_topk")(spark, sf)
+    assert(out.filter(col("a_id") === col("b_id")).count() == 0)
+    assert(out.filter(abs(col("cos")) > 1.0000001).count() == 0)
+  }
+
+  test("d07 ANN pairs all share the bucket of their anchor") {
+    // structural: query only emits same-bucket pairs; check top-1 cosine
+    // of ANN ≤ top-1 of brute force per anchor (ANN is a restriction).
+    val ann = SparkEntry.queries("d07_ann_lsh")(spark, sf)
+      .filter(col("rn") === 1).select(col("a_id"), col("cos").as("ann_cos"))
+    val bf = SparkEntry.queries("d06_cosine_topk")(spark, sf)
+      .filter(col("rn") === 1).select(col("a_id"), col("cos").as("bf_cos"))
+    val bad = ann.join(bf, "a_id").filter(col("ann_cos") > col("bf_cos") + 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("d08 langid covers every document exactly once") {
+    val out = SparkEntry.queries("d08_langid")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == docs)
+    assert(out.select("doc_id").distinct().count() == docs)
+  }
+
+  test("d09 quality ratios bounded in [0,1]") {
+    val out = SparkEntry.queries("d09_quality")(spark, sf)
+    assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1
+      || col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+  }
+
+  test("d12 norms positive, dims uniform") {
+    val out = SparkEntry.queries("d12_embed_norm")(spark, sf)
+    assert(out.filter(col("l2_norm") <= 0).count() == 0)
+    assert(out.select("dim").distinct().count() == 1)
+  }
+
+  test("d14 multimodal features deterministic across runs") {
+    val a = SparkEntry.queries("d14_multimodal")(spark, sf).collect()
+    val b = SparkEntry.queries("d14_multimodal")(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape assertions — the 100 TB design contract (SURVEY §5):
+  * filters/projections reach the scan, dim joins broadcast, top-k
+  * never globally sorts. */
+class PlanSpec extends SparkSpec {
+
+  test("q02 pushes filters into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("q02 prunes columns at the scan (no full-width read)") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q16 dimension joins are broadcast, not shuffled") {
+    val p = plan("q16_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q06 topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"topk did a global sort:\n$p")
+  }
+
+  test("q01 aggregates partially before the shuffle") {
+    val p = plan("q01_agg")
+    assert(p.contains("HashAggregate"), p)
+    // two HashAggregate nodes = partial + final (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+  }
+
+  test("d06 broadcasts the pair side (no shuffle for the n² stream)") {
+    val p = plan("d06_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d07 bucketed ANN joins on bucket equi-key (no cartesian)") {
+    val p = plan("d07_ann_lsh")
+    assert(!p.contains("CartesianProduct"), s"ANN degenerated to cartesian:\n$p")
+  }
+
+  test("whole-stage codegen covers the q01 aggregation path") {
+    // with AQE the codegen stage markers only exist in the FINAL plan —
+    // execute first, then inspect the executed plan
+    val df = SparkEntry.queries("q01_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stages:\n$p")
+  }
+}
