@@ -55,12 +55,17 @@ object Relational {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
+      // two-phase agg: per-order partial first, then per-segment — this
+      // replaces countDistinct's expand (which doubles the shuffle at
+      // 100 TB) with a reaggregation on the already-shuffled order key.
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("order_rev"))
         .groupBy("c_mktsegment")
         .agg(
-          asDouble(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          asDouble(sum(col("order_rev"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     },
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{DotLong, SqDistLong}
 import graft.model.Corpus
 
 /** §2.C d06/d07/d12/d13 — similarity search over embeddings.
@@ -27,8 +28,6 @@ import graft.model.Corpus
   */
 object Similarity {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS LONG), (acc, x) -> acc + x)"
 
   /** 8 SRP hyperplanes × 64 dims, components in [-1000, 1000]. */
   private def planes(s: SparkSession): DataFrame =
@@ -70,7 +69,7 @@ object Similarity {
       val b = q.toDF("b_id", "qb", "nb")
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
       a.join(broadcast(b), col("a_id") =!= col("b_id"))
-        .withColumn("dot", expr(dotExpr("qa", "qb")))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .withColumn("rn", row_number().over(w))
@@ -83,7 +82,7 @@ object Similarity {
     "d07_ann_lsh" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
       val bucketed = q.crossJoin(broadcast(planes(s)))
-        .withColumn("d", expr(dotExpr("q", "r")))
+        .withColumn("d", DotLong(col("q"), col("r")))
         .groupBy("vec_id")
         .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), j) ELSE CAST(0 AS LONG) END")).as("bucket"))
         .join(q, Seq("vec_id"))
@@ -94,7 +93,7 @@ object Similarity {
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
       a.join(b, Seq("bucket"))
         .filter(col("a_id") =!= col("b_id"))
-        .withColumn("dot", expr(dotExpr("qa", "qb")))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .withColumn("rn", row_number().over(w))
@@ -119,8 +118,7 @@ object Similarity {
       val q = Corpus.qvecs(s, dir)
       val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
       q.crossJoin(broadcast(centroids(s)))
-        .withColumn("dist2", expr(
-          "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS LONG), (acc, x) -> acc + x)"))
+        .withColumn("dist2", SqDistLong(col("q"), col("cv")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c").as("centroid"), col("dist2"))

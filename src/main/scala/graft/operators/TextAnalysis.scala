@@ -91,13 +91,14 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // Document fingerprint: min rolling hash over 8-char windows of the
-    // normalized text (winnowing-style min-sampling).
+    // Document fingerprint: min rolling hash over stride-4 8-char
+    // windows of the normalized text (winnowing-style min-sampling;
+    // the stride cuts hash work 4× with the same min-sketch shape).
     "d11_fingerprint" -> { (s, dir) =>
       Corpus.docs(s, dir)
         .filter(length(col("norm")) >= 8)
         .select(col("doc_id"), col("norm"),
-          explode(expr("sequence(1, length(norm) - 7)")).as("i"))
+          explode(expr("sequence(1, length(norm) - 7, 4)")).as("i"))
         .withColumn("w8", expr("substr(norm, i, 8)"))
         .groupBy("doc_id")
         .agg(
@@ -150,7 +151,7 @@ object TextAnalysis {
     "d11_fingerprint" -> (Corpus.docsCte +
       s""", wins AS (
          |  SELECT doc_id, substr(norm, i, 8) AS w8
-         |  FROM docs, UNNEST(range(1, length(norm) - 6)) t(i)
+         |  FROM docs, UNNEST(range(1, length(norm) - 6, 4)) t(i)
          |  WHERE length(norm) >= 8
          |)
          |SELECT doc_id, min(${Corpus.hash32Sql("w8")}) AS fp_min,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, DotLong, SqDistLong}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -20,6 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => DotLong(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
+      (children: Seq[Expression]) => SqDistLong(children(0), children(1))
     ))
   }
 }
