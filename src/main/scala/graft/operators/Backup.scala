@@ -68,12 +68,13 @@ object Backup {
     },
 
     // esop reclaimable space (Manifest.java:461-483): bytes referenced by
-    // exactly one manifest. One agg for ref-counts + one broadcast-able
-    // join back (ref table is tiny: |keys| ≪ |entries|).
+    // exactly one manifest. Ref-counts via a per-key window over the
+    // SAME manifest pass — a groupBy+self-join would compute the
+    // manifest dedupe (the biggest shuffle here) twice at 100 TB.
     "b05_reclaimable" -> { (s, dir) =>
-      val m = manifest(s, dir)
-      val refs = m.groupBy("object_key").agg(count(lit(1)).as("n_refs"))
-      m.join(refs, Seq("object_key"))
+      val w = Window.partitionBy("object_key")
+      manifest(s, dir)
+        .withColumn("n_refs", count(lit(1)).over(w))
         .groupBy("snapshot_day")
         .agg(
           asDouble(coalesce(sum(when(col("n_refs") === 1, col("size"))), lit(0).cast("decimal(18,2)"))).as("reclaimable"),

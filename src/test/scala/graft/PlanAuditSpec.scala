@@ -1,0 +1,28 @@
+package graft
+
+/** Audit: self-join operators must not recompute their expensive
+  * subtree — the exchange feeding both sides should be reused. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def audit(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("b05 computes the manifest dedupe exactly once") {
+    // one events scan in the final plan (toString includes the AQE
+    // initial plan too, so ≤2 across both)
+    val p = audit("b05_reclaimable")
+    assert("FileScan".r.findAllIn(p).length <= 2, p)
+  }
+
+  for (q <- Seq("d02_dedup_ngram", "d04_minhash_lsh", "d05_simhash", "d07_ann_lsh")) {
+    test(s"$q self-join reuses the build-side computation") {
+      val p = audit(q)
+      info(s"$q: ReusedExchange=" + p.contains("ReusedExchange")
+        + " scans=" + "FileScan".r.findAllIn(p).length)
+      assert(p.contains("ReusedExchange") || "FileScan".r.findAllIn(p).length <= 2, p)
+    }
+  }
+}
