@@ -123,6 +123,33 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c").as("centroid"), col("dist2"))
         .orderBy("vec_id")
+    },
+
+    // IVF-style ANN: coarse-quantize to the d13 centroid cells, then
+    // search only within the cell — the second scale path (vs d07's
+    // LSH): cells are the shuffle key, comparisons stay intra-cell.
+    "d15_ann_ivf" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
+      val assigned = q.crossJoin(broadcast(centroids(s)))
+        .withColumn("dist2", SqDistLong(col("q"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
+      val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
+        col("q").as("qa"), col("norm2").as("na"))
+      val b = assigned.select(col("vec_id").as("b_id"), col("cell"),
+        col("q").as("qb"), col("norm2").as("nb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
+        .withColumn("cos",
+          col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("a_id", "cell", "b_id", "rn", "cos")
+        .orderBy("a_id", "rn")
     }
   )
 
@@ -175,6 +202,27 @@ object Similarity {
         |      CAST(list_sum(list_transform(list_zip(q.q, ce.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
         |      ce.c ASC) AS rn
         |  FROM qtab q CROSS JOIN cents ce) t
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+
+    "d15_ann_ivf" -> (Corpus.qtabCte + ", " + centroidsSql +
+      s""", assigned AS (
+         |  SELECT vec_id, c AS cell, q, norm2 FROM (
+         |    SELECT q.vec_id, ce.c, q.q, q.norm2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(q.q, ce.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+         |        ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1
+         |)
+         |SELECT a_id, cell, b_id, rn, cos FROM (
+         |  SELECT a.vec_id AS a_id, a.cell AS cell, b.vec_id AS b_id,
+         |    CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |      b.vec_id ASC) AS rn
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin)
   )
 }

@@ -30,6 +30,16 @@ object IO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: co-locates rows by `bucketCol` so repeated
+    * joins/aggregations on that key skip the shuffle entirely — the
+    * core join strategy for fact⋈fact at 100 TB (both sides bucketed
+    * on the join key → zero-exchange SortMergeJoin). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
