@@ -26,25 +26,35 @@ object Dedup {
 
   private val seedsSql = "(SELECT unnest(range(0, 16)) AS seed)"
 
-  /** MinHash rows: (doc_id, seed∈[0,16), minh).
+  /** Wide signature: one row per doc, columns m0..m15.
     *
     * The 16-member hash family is carved out of 4 md5 digests (each
     * 128-bit digest yields 4×32-bit members): seed s uses hex chars
-    * [(s%4)·8, (s%4)·8+8) of md5("s<s/4>#" + gram). md5 dominates the
-    * sketch cost, so 4 calls/gram instead of 16 is a ~3× win with an
-    * identical cross-engine definition. */
-  private def minhash(s: SparkSession, dir: String): DataFrame = {
-    val seeds = s.range(0, 16).select(col("id").cast("int").as("seed"))
-    Corpus.grams(s, dir)
+    * [(s%4)·8, (s%4)·8+8) of md5("s<s/4>#" + gram) — md5 dominates the
+    * sketch cost, so 4 calls/gram instead of 16. The 16 mins are
+    * aggregate COLUMNS over the gram rows, so the shuffle carries
+    * |grams| rows (a seeds cross-join would carry 16×). */
+  private def minhashWide(s: SparkSession, dir: String): DataFrame = {
+    val withHashes = Corpus.grams(s, dir)
       .withColumn("d0", md5(concat(lit("s0#"), col("gram"))))
       .withColumn("d1", md5(concat(lit("s1#"), col("gram"))))
       .withColumn("d2", md5(concat(lit("s2#"), col("gram"))))
       .withColumn("d3", md5(concat(lit("s3#"), col("gram"))))
-      .crossJoin(broadcast(seeds))
-      .withColumn("digest", expr("CASE seed div 4 WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END"))
-      .withColumn("h", expr("CAST(conv(substr(digest, (seed % 4) * 8 + 1, 8), 16, 10) AS LONG)"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("minh"))
+    val hashed = (0 until 16).foldLeft(withHashes) { (df, seed) =>
+      df.withColumn(s"h$seed",
+        expr(s"CAST(conv(substr(d${seed / 4}, ${(seed % 4) * 8 + 1}, 8), 16, 10) AS LONG)"))
+    }
+    hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /** Long form (doc_id, seed, minh) — d03's declared output shape. */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    val stackExpr = (0 until 16)
+      .map(i => s"$i, m$i").mkString(s"stack(16, ", ", ", ") AS (seed, minh)")
+    minhashWide(s, dir).selectExpr("doc_id", stackExpr)
+      .withColumn("seed", col("seed").cast("int"))
   }
 
   private val minhashSql: String =
@@ -90,14 +100,14 @@ object Dedup {
     },
 
     // LSH banding (4 bands × 4 rows): candidate pairs share ≥1 band.
+    // Band signatures come straight off the wide per-doc signature row
+    // (concat of 4 members) — no second shuffle to regroup by band.
     "d04_minhash_lsh" -> { (s, dir) =>
-      val sig = minhash(s, dir)
-        .withColumn("band", expr("seed div 4"))
-        .groupBy("doc_id", "band")
-        .agg(collect_list(struct(col("seed"), col("minh"))).as("sm"))
-        .withColumn("sig", expr(
-          "array_join(transform(array_sort(sm), x -> CAST(x.minh AS STRING)), ',')"))
-        .select("doc_id", "band", "sig")
+      val bandStack = (0 until 4).map { b =>
+        val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
+        s"$b, concat_ws(',', $ms)"
+      }.mkString("stack(4, ", ", ", ") AS (band, sig)")
+      val sig = minhashWide(s, dir).selectExpr("doc_id", bandStack)
       val a = sig.toDF("a_id", "band", "sig")
       val b = sig.toDF("b_id", "band", "sig")
       a.join(b, Seq("band", "sig"))
@@ -109,16 +119,19 @@ object Dedup {
 
     // 32-bit SimHash fingerprints + hamming-near pairs (≤ 2 bits apart).
     "d05_simhash" -> { (s, dir) =>
+      // 32 per-bit sign sums as aggregate COLUMNS over the word rows —
+      // a bits cross-join would put 32×|words| rows through the shuffle.
       val words = Corpus.docs(s, dir)
         .select(col("doc_id"), explode(col("ws")).as("w")).distinct()
-      val bits = s.range(0, 32).select(col("id").cast("int").as("b"))
-      val fp = words
         .withColumn("h", hash32(col("w")))
-        .crossJoin(broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(sum(expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END")).as("sgn"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS LONG), b) ELSE CAST(0 AS LONG) END")).as("fp"))
+      val signCols = (0 until 32).map(b =>
+        sum(expr(s"CASE WHEN shiftright(h, $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"sg$b"))
+      val fpExpr = (0 until 32)
+        .map(b => s"CASE WHEN sg$b > 0 THEN ${1L << b}L ELSE 0L END")
+        .mkString(" + ")
+      val fp = words.groupBy("doc_id")
+        .agg(signCols.head, signCols.tail: _*)
+        .selectExpr("doc_id", s"CAST($fpExpr AS LONG) AS fp")
       val a = fp.toDF("a_id", "fp_a")
       val b2 = fp.toDF("b_id", "fp_b")
       a.join(b2, col("a_id") < col("b_id"))
