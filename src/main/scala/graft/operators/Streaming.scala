@@ -30,6 +30,31 @@ object Streaming {
         .groupBy("user_id", "event_type")
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_events"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Sessionization (30-min inactivity gap) — batch twin of the
+    // flatMapGroupsWithState streaming path (EventStream.sessionize):
+    // gap marks via lag + running sum = session numbers, one window
+    // pass partitioned by user.
+    "s03_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), dec2(col("value")).as("v"))
+        .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev")) > EventStream.sessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_no",
+          sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_no")
+        .agg(
+          min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          asDouble(sum(col("v"))).as("total_value"))
+        .orderBy("user_id", "sess_no")
     }
   )
 
@@ -44,6 +69,23 @@ object Streaming {
       """SELECT user_id, event_type, MIN(event_id) AS first_event,
         |  COUNT(1) AS n_events
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "s03_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM ordered)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(1) AS n_events,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin
   )
 }

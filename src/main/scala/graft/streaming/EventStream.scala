@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions._
@@ -50,6 +50,72 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
+
+  /** Session inactivity gap: 30 minutes, in microseconds. */
+  val sessionGapUs: Long = 30L * 60 * 1000000
+
+  /** One user's event inside the sessionizer (`ts` kept alongside the
+    * µs long so the watermark column survives into the stateful op). */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, tsu: Long, value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** A closed session (emitted downstream). */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom-state sessionization: 30-min-gap sessions per user via
+    * flatMapGroupsWithState — the state store holds ONE open session
+    * per user (bounded state), closed sessions are emitted as soon as
+    * the gap passes or the event-time timeout fires. Batch twin:
+    * `s03_sessionize` (lag + running-sum windows). */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizeGroup)
+  }
+
+  private def sessionizeGroup(user: Long, events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[Session] = {
+    def toSession(st: SessState): Session = {
+      // preserve µs: Timestamp(ms) would truncate and disagree with the
+      // batch twin's microsecond session_start
+      val t = new java.sql.Timestamp(st.start / 1000000 * 1000)
+      t.setNanos(((st.start % 1000000) * 1000).toInt)
+      Session(user, t, st.n, st.total)
+    }
+    if (!events.hasNext && state.hasTimedOut) {
+      val out = state.getOption.map(toSession).toIterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(_.tsu)
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      open match {
+        case Some(st) if e.tsu - st.last <= sessionGapUs =>
+          open = Some(SessState(st.start, e.tsu, st.n + 1, st.total + e.value))
+        case cur =>
+          cur.foreach(st => closed += toSession(st))
+          open = Some(SessState(e.tsu, e.tsu, 1, e.value))
+      }
+    }
+    open match {
+      case Some(st) =>
+        state.update(st)
+        state.setTimeoutTimestamp((st.last + sessionGapUs) / 1000 + 1)
+      case None => state.remove()
+    }
+    closed.result().iterator
+  }
 
   /** File-source stream over a testdata dir (ns ts read as long). */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {

@@ -22,6 +22,24 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("custom-state sessionization matches the batch window twin") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s03_test",
+      df => EventStream.sessionize(df).toDF())
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s03_test")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("s03_sessionize")(spark, sf)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // append mode only emits sessions closed before the final watermark;
+    // everything emitted must be a batch session, and most sessions close
+    assert(streamed.subsetOf(batch),
+      s"streamed-only sessions: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= batch.size / 2,
+      s"only ${streamed.size} of ${batch.size} sessions emitted")
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventStream.runToMemory(spark, sf, "graft_s02_test",
       EventStream.dedupStream)
