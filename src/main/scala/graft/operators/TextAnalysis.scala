@@ -91,6 +91,19 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Corpus vocabulary: top-20 words by document frequency — the
+    // df table a corpus-level quality/stopword pipeline starts from.
+    // One distinct + one agg + TakeOrderedAndProject (no global sort).
+    "d16_vocab" -> { (s, dir) =>
+      Corpus.docs(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("w").asc)
+        .limit(20)
+    },
+
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
@@ -147,6 +160,12 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(lower(text), '$tokenRe')) AS BIGINT) AS re_tokens,
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
          |FROM docs ORDER BY doc_id""".stripMargin),
+
+    "d16_vocab" -> (Corpus.docsCte +
+      """SELECT w, COUNT(1) AS doc_freq FROM
+        |  (SELECT DISTINCT doc_id, w FROM
+        |    (SELECT doc_id, unnest(ws) AS w FROM docs) u) t
+        |GROUP BY w ORDER BY doc_freq DESC, w ASC LIMIT 20""".stripMargin),
 
     "d11_fingerprint" -> (Corpus.docsCte +
       s""", wins AS (

@@ -21,6 +21,14 @@ object IO {
   def readJson(s: SparkSession, path: String): DataFrame =
     s.read.json(path)
 
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  /** Raw text ingestion (one row per line, column `value`) — the entry
+    * point for unprocessed corpus files feeding the text pipeline. */
+  def readText(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+
   /** Partitioned parquet write; `targetFiles` caps output files per
     * partition directory (small-file control on large clusters). */
   def writeParquet(df: DataFrame, path: String,
@@ -45,4 +53,7 @@ object IO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -65,6 +65,10 @@ class FunctionsSpec extends SparkSpec {
     assert(IO.readCsv(spark, s"$tmp/c").count() == 100)
     IO.writeJson(df, s"$tmp/j")
     assert(IO.readJson(spark, s"$tmp/j").count() == 100)
+    IO.writeOrc(df, s"$tmp/o")
+    assert(IO.readOrc(spark, s"$tmp/o").count() == 100)
+    IO.writeCsv(df.select("k"), s"$tmp/t")
+    assert(IO.readText(spark, s"$tmp/t").count() >= 100) // +headers
   }
 
   test("IO: partitioned write enables partition pruning") {
