@@ -35,18 +35,11 @@ object Dedup {
     * aggregate COLUMNS over the gram rows, so the shuffle carries
     * |grams| rows (a seeds cross-join would carry 16×). */
   private def minhashWide(s: SparkSession, dir: String): DataFrame = {
-    val withHashes = Corpus.grams(s, dir)
-      .withColumn("d0", md5(concat(lit("s0#"), col("gram"))))
-      .withColumn("d1", md5(concat(lit("s1#"), col("gram"))))
-      .withColumn("d2", md5(concat(lit("s2#"), col("gram"))))
-      .withColumn("d3", md5(concat(lit("s3#"), col("gram"))))
-    val hashed = (0 until 16).foldLeft(withHashes) { (df, seed) =>
-      df.withColumn(s"h$seed",
-        expr(s"CAST(conv(substr(d${seed / 4}, ${(seed % 4) * 8 + 1}, 8), 16, 10) AS LONG)"))
-    }
+    val hashed = Corpus.grams(s, dir)
+      .withColumn("hs", graft.functions.MinHash16(col("gram")))
     hashed.groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .agg(min(element_at(col("hs"), 1)).as("m0"),
+        (1 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
   }
 
   /** Long form (doc_id, seed, minh) — d03's declared output shape. */

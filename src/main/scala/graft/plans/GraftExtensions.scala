@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotLong, SqDistLong}
+import graft.functions.{CosineSim, DotLong, MinHash16, SqDistLong}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist_long"),
       new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
       (children: Seq[Expression]) => SqDistLong(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
+      (children: Seq[Expression]) => MinHash16(children(0))
     ))
   }
 }

@@ -56,6 +56,20 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("graft_cosine"))
   }
 
+  test("MinHash16 kernel equals the hex-substring md5 formulation") {
+    // the DuckDB oracle computes conv(substr(md5(...)),16,10); the native
+    // kernel must produce identical values straight from digest bytes
+    val df = spark.range(50).selectExpr("concat('gram_', id, ' x y') AS gram")
+      .withColumn("hs", graft.functions.MinHash16(org.apache.spark.sql.functions.col("gram")))
+    val sqlForm = (0 until 16).map(s =>
+      s"CAST(conv(substr(md5(concat('s', ${s / 4}, '#', gram)), ${(s % 4) * 8 + 1}, 8), 16, 10) AS LONG) AS e$s")
+    val both = df.selectExpr(Seq("hs") ++ sqlForm: _*).collect()
+    both.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      (0 until 16).foreach(s => assert(hs(s) == r.getLong(s + 1), s"member $s"))
+    }
+  }
+
   test("IO: parquet/csv/json round-trips preserve rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")
