@@ -23,9 +23,10 @@ package object functions {
   def asDouble(c: Column): Column = c.cast("double")
 
   /** Unsigned 32-bit integer hash of a string, stable across engines.
-    * DuckDB: CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT). */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * DuckDB: CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT).
+    * Spark side uses the native [[Hash32]] kernel (first 4 digest
+    * bytes big-endian — identical value, no hex round-trip). */
+  def hash32(c: Column): Column = Hash32(c)
 
   /** Seeded variant — a cheap universal-hash family for MinHash.
     * DuckDB: CAST(concat('0x', substr(md5(concat('s', i, '#', x)), 1, 8)) AS BIGINT). */

@@ -70,6 +70,13 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Hash32 kernel equals the hex-substring md5 formulation") {
+    val df = spark.range(50).selectExpr("concat('w_', id, '!') AS s")
+      .withColumn("h", graft.functions.hash32(org.apache.spark.sql.functions.col("s")))
+      .selectExpr("h", "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS LONG) AS e")
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("IO: parquet/csv/json round-trips preserve rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")
