@@ -155,6 +155,22 @@ object Backup {
         .orderBy("object_key")
     },
 
+    // esop remove-oldest (RemoveBackupOperation.java:170-200, the
+    // "oldest" selector): the oldest backup's entries, each flagged
+    // deletable when no other snapshot references its key (same
+    // ref-count window as b05, one manifest pass + a broadcast scalar).
+    "b13_remove_oldest" -> { (s, dir) =>
+      val w = Window.partitionBy("object_key")
+      val m = manifest(s, dir).withColumn("n_refs", count(lit(1)).over(w))
+      val oldest = manifest(s, dir).agg(min(col("snapshot_day")).as("oldest_day"))
+      m.join(broadcast(oldest), m("snapshot_day") === oldest("oldest_day"))
+        .select(
+          col("object_key"), col("node_id"),
+          asDouble(col("size")).as("size"),
+          when(col("n_refs") === 1, 1).otherwise(0).as("deletable"))
+        .orderBy("object_key")
+    },
+
     // esop `RestorationStrategy` snapshot resolution: each restore request
     // (commit-log event) matched to the latest snapshot strictly before
     // its day — an AS-OF join. Spark-first: union snapshots (visible from
@@ -261,6 +277,14 @@ object Backup {
       """SELECT object_key, concat('restored/', object_key) AS renamed_key,
         |  node_id, CAST(size AS DOUBLE) AS size
         |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
+        |ORDER BY object_key""".stripMargin),
+
+    "b13_remove_oldest" -> (cte +
+      """SELECT object_key, node_id, CAST(size AS DOUBLE) AS size,
+        |  CASE WHEN n_refs = 1 THEN 1 ELSE 0 END AS deletable
+        |FROM (SELECT m.*, COUNT(1) OVER (PARTITION BY object_key) AS n_refs
+        |      FROM manifest m) t
+        |WHERE snapshot_day = (SELECT min(snapshot_day) FROM manifest)
         |ORDER BY object_key""".stripMargin),
 
     "b12_asof_join" -> (cte +
