@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotLong, MinHash16, SqDistLong}
+import graft.functions.{CharCounts, CosineSim, DotLong, MinHash16, SqDistLong}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
       (children: Seq[Expression]) => MinHash16(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
+      (children: Seq[Expression]) => CharCounts(children.head)
     ))
   }
 }

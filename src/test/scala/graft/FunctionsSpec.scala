@@ -77,6 +77,21 @@ class FunctionsSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("CharCounts kernel equals the two-regex formulation") {
+    // includes multi-byte code points (©, é) — counted once, as punct
+    val df = spark.range(50)
+      .selectExpr("concat('Ab3 ', id, '!?x, yz-9 © café') AS s")
+      .withColumn("cc", graft.functions.CharCounts(col("s")))
+      .selectExpr("cc",
+        "CAST(length(regexp_replace(s, '[^0-9]', '')) AS LONG) AS ed",
+        "CAST(length(regexp_replace(s, '[a-zA-Z0-9 ]', '')) AS LONG) AS ep")
+    df.collect().foreach { r =>
+      val cc = r.getSeq[Long](0)
+      assert(cc(0) == r.getLong(1), "digits")
+      assert(cc(1) == r.getLong(2), "punct")
+    }
+  }
+
   test("IO: parquet/csv/json round-trips preserve rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")
