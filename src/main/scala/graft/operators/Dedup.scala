@@ -125,12 +125,26 @@ object Dedup {
       val fp = words.groupBy("doc_id")
         .agg(signCols.head, signCols.tail: _*)
         .selectExpr("doc_id", s"CAST($fpExpr AS LONG) AS fp")
-      val a = fp.toDF("a_id", "fp_a")
-      val b2 = fp.toDF("b_id", "fp_b")
-      a.join(b2, col("a_id") < col("b_id"))
+      // Pairing via pigeonhole banding: split the 32-bit fp into 3
+      // bands (11+11+10 bits). hamming ≤ 2 means at most 2 bands can
+      // differ, so every qualifying pair is bit-identical in ≥1 band —
+      // the candidate join is an EQUI-join on (band_idx, band_bits)
+      // (shuffle-partitioned, scales like LSH), never an all-pairs
+      // nested loop. Recall is exact, so the all-pairs oracle matches.
+      val bands = fp.select(col("doc_id"), col("fp"), expr(
+        """explode(array(
+          |  struct(0 AS bi, fp & 2047 AS bv),
+          |  struct(1 AS bi, shiftright(fp, 11) & 2047 AS bv),
+          |  struct(2 AS bi, shiftright(fp, 22) & 1023 AS bv))) AS b""".stripMargin))
+        .select(col("doc_id"), col("fp"), col("b.bi"), col("b.bv"))
+      val a = bands.toDF("a_id", "fp_a", "bi", "bv")
+      val b2 = bands.toDF("b_id", "fp_b", "bi", "bv")
+      a.join(b2, Seq("bi", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "fp_a", "fp_b")
+        .distinct() // a pair may collide in 2-3 bands
         .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
         .filter(col("hamming") <= 2)
-        .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
         .orderBy("a_id", "b_id")
     }
   )

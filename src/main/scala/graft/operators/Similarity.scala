@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{DotLong, SqDistLong}
 import graft.model.Corpus
+import graft.sources.Tables
 
-/** §2.C d06/d07/d12/d13 — similarity search over embeddings.
+/** §2.C d06/d07/d12/d13/d15 — similarity search over embeddings.
   *
   * Exact-arithmetic design: vectors are quantized to an integer grid
   * ([[Corpus.qvecs]]) so dot products, norms and distances are exact
@@ -17,48 +18,82 @@ import graft.model.Corpus
   * Scale:
   *   - d06 brute-force top-k is the correctness baseline: one
   *     broadcast of the smaller side, O(n²) pair stream through a
-  *     codegen'd zip_with/aggregate dot product, then a bounded
-  *     per-vector window. Exists to validate d07, not to run at SF∞.
-  *   - d07 is the scale path: 8 sign-random-projection hyperplanes
-  *     (deterministic md5-derived components) bucket vectors; the
-  *     quadratic comparison happens only inside buckets — the join is
-  *     an equi-join on bucket, shuffle-partitioned by bucket, and the
-  *     per-bucket pair count is what a 1000-executor cluster divides.
-  *   - d12/d13 are per-row / ×8 projections — no cross-vector shuffle.
+  *     codegen'd dot product, then a bounded per-vector window.
+  *     Exists to validate d07/d15, never the scale path.
+  *   - d07 is LSH: [[LshTables]] independent sign-random-projection
+  *     tables of [[lshBits]](n) bits each. The bucket space scales
+  *     with the data (bits ≈ log2 n − 4), so expected bucket occupancy
+  *     stays ~2⁴ no matter how large n grows — intra-bucket work is
+  *     LINEAR in n, and the bucket count (≫ cluster cores at scale)
+  *     is what a 1000-executor cluster divides. Candidates from the L
+  *     tables are unioned (distinct pairs) before scoring.
+  *   - d15 is IVF: nlist = ⌈√n⌉ coarse cells (the classic heuristic —
+  *     cell count and cell size both grow as √n), centroids trained by
+  *     one deterministic k-means refinement over the assignment step
+  *     (d13 is that step in isolation), then intra-cell top-k.
+  *   - d12/d13 are per-row / ×k projections — no cross-vector shuffle.
+  *
+  * The n-driven parameters come from a planning-time row count (a
+  * parquet metadata read, like the stats AQE plans from) — NOT a
+  * per-row collect; the DuckDB oracles compute the identical
+  * parameters from `count(1)` in SQL.
   */
 object Similarity {
 
+  /** Independent LSH hash tables unioned for candidate recall. */
+  val LshTables = 3
 
-  /** 8 SRP hyperplanes × 64 dims, components in [-1000, 1000]. */
-  private def planes(s: SparkSession): DataFrame =
-    s.range(0, 8).select(col("id").cast("int").as("j"))
+  private def bitLength(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+
+  /** Bits per LSH table: ~log2(n) − 4 keeps expected bucket occupancy
+    * near 2⁴ at every scale. DuckDB twin:
+    * greatest(4, length(to_base(n, 2)) - 4). */
+  def lshBits(n: Long): Int = math.max(4, bitLength(n) - 4)
+
+  /** IVF nlist ≈ √n. DuckDB twin: CAST(ceil(sqrt(n)) AS BIGINT). */
+  def ivfCells(n: Long): Long =
+    math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
+
+  /** np SRP hyperplanes × 64 dims, components in [-1000, 1000],
+    * md5-derived so both engines generate identical planes. */
+  private def planes(s: SparkSession, np: Int): DataFrame =
+    s.range(0, np).select(col("id").cast("int").as("j"))
       .withColumn("r", expr(
         """transform(sequence(0, 63), i ->
           |  CAST(conv(substr(md5(concat('rp', CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
 
-  /** 8 centroids × 64 dims, same deterministic family. */
-  private def centroids(s: SparkSession): DataFrame =
-    s.range(0, 8).select(col("id").cast("int").as("c"))
+  /** nc seed centroids × 64 dims, same deterministic family. */
+  private def centroids(s: SparkSession, nc: Long): DataFrame =
+    s.range(0, nc).select(col("id").cast("int").as("c"))
       .withColumn("cv", expr(
         """transform(sequence(0, 63), i ->
           |  CAST(conv(substr(md5(concat('cent', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
 
-  private val planesSql: String =
-    s"""planes AS (
-       |  SELECT j, list_transform(range(0, 64), i ->
-       |    ${Corpus.hash32Sql("concat('rp', CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS r
-       |  FROM (SELECT unnest(range(0, 8)) AS j)
-       |)""".stripMargin
+  /** Argmin-centroid assignment (the d13 step): ties broken by cell id. */
+  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist2", SqDistLong(col("q"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
+  }
 
-  private val centroidsSql: String =
+  private def centsSqlFrom(ncExpr: String): String =
     s"""cents AS (
        |  SELECT c, list_transform(range(0, 64), i ->
        |    ${Corpus.hash32Sql("concat('cent', CAST(c AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS cv
-       |  FROM (SELECT unnest(range(0, 8)) AS c)
+       |  FROM (SELECT unnest(range(0, $ncExpr)) AS c)
        |)""".stripMargin
+
+  private val centroidsSql: String = centsSqlFrom("8")
 
   private val duckDot =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
+
+  private val duckSqDist =
+    "CAST(list_sum(list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -78,27 +113,34 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
-    // LSH-bucketed ANN: SRP sign buckets, intra-bucket top-3.
+    // LSH ANN: L tables × lshBits(n) sign-projection bits; candidates
+    // equi-join per (table, bucket), union-distinct, then top-3.
     "d07_ann_lsh" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
-      val bucketed = q.crossJoin(broadcast(planes(s)))
+      val n = Tables.embeddings(s, dir).count() // planning-time stat
+      val bbits = lshBits(n)
+      val pl = planes(s, LshTables * bbits)
+        .withColumn("t", expr(s"CAST(j div $bbits AS INT)"))
+        .withColumn("bit", expr(s"CAST(j % $bbits AS INT)"))
+      val bucketed = q.crossJoin(broadcast(pl))
         .withColumn("d", DotLong(col("q"), col("r")))
-        .groupBy("vec_id")
-        .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), j) ELSE CAST(0 AS LONG) END")).as("bucket"))
-        .join(q, Seq("vec_id"))
-      val a = bucketed.select(col("vec_id").as("a_id"), col("bucket"),
-        col("q").as("qa"), col("norm2").as("na"))
-      val b = bucketed.select(col("vec_id").as("b_id"), col("bucket"),
-        col("q").as("qb"), col("norm2").as("nb"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-      a.join(b, Seq("bucket"))
+        .groupBy("vec_id", "t")
+        .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), bit) ELSE CAST(0 AS LONG) END")).as("bucket"))
+      val cand = bucketed.select(col("vec_id").as("a_id"), col("t"), col("bucket"))
+        .join(bucketed.select(col("vec_id").as("b_id"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
         .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      cand
+        .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")), Seq("a_id"))
+        .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("norm2").as("nb")), Seq("b_id"))
         .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select("a_id", "bucket", "b_id", "rn", "cos")
+        .select("a_id", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
     },
 
@@ -115,9 +157,8 @@ object Similarity {
 
     // k-means assignment step against fixed deterministic centroids.
     "d13_knn_centroid" -> { (s, dir) =>
-      val q = Corpus.qvecs(s, dir)
       val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
-      q.crossJoin(broadcast(centroids(s)))
+      Corpus.qvecs(s, dir).crossJoin(broadcast(centroids(s, 8)))
         .withColumn("dist2", SqDistLong(col("q"), col("cv")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -125,17 +166,21 @@ object Similarity {
         .orderBy("vec_id")
     },
 
-    // IVF-style ANN: coarse-quantize to the d13 centroid cells, then
-    // search only within the cell — the second scale path (vs d07's
-    // LSH): cells are the shuffle key, comparisons stay intra-cell.
+    // IVF ANN: nlist = ⌈√n⌉ seed centroids, one k-means refinement
+    // (per-dim floor(mean) over the assigned members — exact integer
+    // math in both engines), re-assign, then intra-cell top-3.
     "d15_ann_ivf" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
-      val assigned = q.crossJoin(broadcast(centroids(s)))
-        .withColumn("dist2", SqDistLong(col("q"), col("cv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
+      val n = Tables.embeddings(s, dir).count() // planning-time stat
+      val assign0 = assignCells(q, centroids(s, ivfCells(n)))
+      val cents1 = assign0
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum(col("comp")).cast("double") / count(lit(1))).cast("long").as("cmp"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> x.cmp)").as("cv"))
+        .select(col("cell").as("c"), col("cv"))
+      val assigned = assignCells(q, cents1)
       val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
         col("q").as("qa"), col("norm2").as("na"))
       val b = assigned.select(col("vec_id").as("b_id"), col("cell"),
@@ -166,26 +211,36 @@ object Similarity {
          |  FROM qtab a JOIN qtab b ON a.vec_id <> b.vec_id) t
          |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin),
 
-    "d07_ann_lsh" -> (Corpus.qtabCte + ", " + planesSql +
-      s""", dots AS (
-         |  SELECT q.vec_id, p.j, ${duckDot.format("q.q", "p.r")} AS d
+    "d07_ann_lsh" -> (Corpus.qtabCte +
+      s""", prm AS (SELECT greatest(4, CAST(length(to_base(count(1), 2)) AS BIGINT) - 4) AS bbits FROM qtab),
+         |planes AS (
+         |  SELECT j, CAST(j // prm.bbits AS INT) AS t, CAST(j % prm.bbits AS INT) AS bit,
+         |    list_transform(range(0, 64), i ->
+         |      ${Corpus.hash32Sql("concat('rp', CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS r
+         |  FROM prm, UNNEST(range(0, $LshTables * prm.bbits)) s(j)
+         |),
+         |dots AS (
+         |  SELECT q.vec_id, p.t, p.bit, ${duckDot.format("q.q", "p.r")} AS d
          |  FROM qtab q CROSS JOIN planes p
          |),
          |buckets AS (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-         |  FROM dots GROUP BY vec_id
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id, t
          |),
-         |bq AS (SELECT b.vec_id, b.bucket, q.q, q.norm2 FROM buckets b JOIN qtab q USING (vec_id))
-         |SELECT a_id, bucket, b_id, rn, cos FROM (
-         |  SELECT a.vec_id AS a_id, a.bucket AS bucket, b.vec_id AS b_id,
-         |    CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-         |      CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
-         |      b.vec_id ASC) AS rn
-         |  FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |)
+         |SELECT a_id, b_id, rn, cos FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(${duckDot.format("qa.q", "qb.q")} AS DOUBLE)
+         |      / (sqrt(CAST(qa.norm2 AS DOUBLE)) * sqrt(CAST(qb.norm2 AS DOUBLE))) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY c.a_id ORDER BY
+         |      CAST(${duckDot.format("qa.q", "qb.q")} AS DOUBLE)
+         |      / (sqrt(CAST(qa.norm2 AS DOUBLE)) * sqrt(CAST(qb.norm2 AS DOUBLE))) DESC,
+         |      c.b_id ASC) AS rn
+         |  FROM cand c JOIN qtab qa ON qa.vec_id = c.a_id JOIN qtab qb ON qb.vec_id = c.b_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
 
     "d12_embed_norm" -> (Corpus.qtabCte +
@@ -195,23 +250,37 @@ object Similarity {
         |FROM qtab ORDER BY vec_id""".stripMargin),
 
     "d13_knn_centroid" -> (Corpus.qtabCte + ", " + centroidsSql +
-      """SELECT vec_id, c AS centroid, dist2 FROM (
-        |  SELECT q.vec_id, ce.c,
-        |    CAST(list_sum(list_transform(list_zip(q.q, ce.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |      CAST(list_sum(list_transform(list_zip(q.q, ce.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
-        |      ce.c ASC) AS rn
-        |  FROM qtab q CROSS JOIN cents ce) t
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      s"""SELECT vec_id, c AS centroid, dist2 FROM (
+         |  SELECT q.vec_id, ce.c,
+         |    ${duckSqDist.format("q.q", "ce.cv")} AS dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC,
+         |      ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents ce) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
 
-    "d15_ann_ivf" -> (Corpus.qtabCte + ", " + centroidsSql +
-      s""", assigned AS (
+    "d15_ann_ivf" -> (Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+      s""", assign0 AS (
+         |  SELECT vec_id, c AS cell, q FROM (
+         |    SELECT q.vec_id, ce.c, q.q,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1
+         |),
+         |comps AS (
+         |  SELECT cell, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
+         |  FROM assign0, UNNEST(range(1, 65)) t(pos)
+         |  GROUP BY cell, pos
+         |),
+         |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell),
+         |assigned AS (
          |  SELECT vec_id, c AS cell, q, norm2 FROM (
          |    SELECT q.vec_id, ce.c, q.q, q.norm2,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        CAST(list_sum(list_transform(list_zip(q.q, ce.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
-         |        ce.c ASC) AS rn
-         |    FROM qtab q CROSS JOIN cents ce) t
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1 ce) t
          |  WHERE rn = 1
          |)
          |SELECT a_id, cell, b_id, rn, cos FROM (

@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"ANN degenerated to cartesian:\n$p")
   }
 
+  test("d05 simhash pairs via band equi-join (no nested-loop all-pairs)") {
+    val p = plan("d05_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"simhash pairing degenerated to all-pairs:\n$p")
+  }
+
+  test("ANN hash/cell spaces scale with input size (no fixed constants)") {
+    import graft.operators.Similarity
+    // LSH: bits per table track log2(n) so bucket occupancy stays ~2^4
+    assert(Similarity.lshBits(500) == 5)
+    assert(Similarity.lshBits(500) < Similarity.lshBits(1L << 20))
+    assert(Similarity.lshBits(1L << 20) < Similarity.lshBits(1L << 40))
+    // IVF: nlist ≈ √n — cell count AND per-cell size both grow as √n
+    assert(Similarity.ivfCells(500) == 23)
+    assert(Similarity.ivfCells(500) < Similarity.ivfCells(2000))
+    assert(Similarity.ivfCells(4L * 1000 * 1000) == 2000)
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // with AQE the codegen stage markers only exist in the FINAL plan —
     // execute first, then inspect the executed plan
