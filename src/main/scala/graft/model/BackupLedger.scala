@@ -14,12 +14,19 @@ import graft.sources.Tables
   * mirror it exactly):
   *   - node            = `user_id` (a Cassandra node uploading SSTables)
   *   - snapshot        = `day(ts)` (one backup per cluster per day)
-  *   - object_key      = `node<user>/sst_<event_id % 97>` — the bounded
-  *                       key space makes the same file recur across
-  *                       snapshots, which is what drives esop's
-  *                       incremental upload / reclaimable-space math
-  *                       (reference: `impl/ManifestEntry.java:18-97`,
+  *   - object_key      = `node<user>/ks<k%3>/tab<k%7>/sst_<k>` with
+  *                       k = event_id % 97 — the bounded key space
+  *                       makes the same file recur across snapshots,
+  *                       which is what drives esop's incremental
+  *                       upload / reclaimable-space math (reference:
+  *                       `impl/ManifestEntry.java:18-97`,
   *                       `impl/Manifest.java:461-483`)
+  *   - keyspace/table  = `ks<k%3>` / `tab<k%7>` — the entity dimension
+  *                       every esop operation filters by (`--entities`,
+  *                       `impl/DatabaseEntities.java:121`,
+  *                       `ManifestEntry.java:52`); derived from the
+  *                       sstable number so each object_key belongs to
+  *                       exactly one ks.table
   *   - size            = `value` as DECIMAL(18,2) (exact arithmetic)
   *   - ftype           = event_type → esop `ManifestEntry.Type`
   *   - upload_hash     = md5(object_key); download_hash corrupted for
@@ -33,9 +40,16 @@ import graft.sources.Tables
   */
 object BackupLedger {
 
+  /** Bounded sstable number; keyspace/table derive from it so one
+    * object_key always belongs to one ks.table (as esop's
+    * `ManifestEntry.keyspaceTable` does, `impl/ManifestEntry.java:52`). */
+  private def kNum = col("event_id") % 97
+
   private def keyExpr = concat(
     lit("node"), col("user_id").cast("string"),
-    lit("/sst_"), (col("event_id") % 97).cast("string"))
+    lit("/ks"), (kNum % 3).cast("string"),
+    lit("/tab"), (kNum % 7).cast("string"),
+    lit("/sst_"), kNum.cast("string"))
 
   /** Raw upload ledger — one row per upload event. */
   def ledger(s: SparkSession, dir: String): DataFrame =
@@ -45,6 +59,8 @@ object BackupLedger {
       date_trunc("day", col("ts")).cast("date").as("snapshot_day"),
       col("ts"),
       col("props"),
+      concat(lit("ks"), (kNum % 3).cast("string")).as("keyspace"),
+      concat(lit("tab"), (kNum % 7).cast("string")).as("table_name"),
       keyExpr.as("object_key"),
       dec2(col("value")).as("size"),
       when(col("event_type") === "signup", "CQL_SCHEMA")
@@ -63,8 +79,8 @@ object BackupLedger {
     ledger(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("snapshot_day", "object_key", "node_id", "size", "ftype",
-        "upload_hash", "download_hash")
+      .select("snapshot_day", "object_key", "keyspace", "table_name",
+        "node_id", "size", "ftype", "upload_hash", "download_hash")
   }
 
   /** Distinct (node, snapshot_day) pairs — the per-node backup history. */
@@ -73,28 +89,34 @@ object BackupLedger {
 
   /** DuckDB CTE prefix mirroring [[ledger]]/[[manifest]] exactly —
     * prepended to every §2.B oracle query. */
-  val oracleCte: String =
-    """WITH ledger AS (
+  val oracleCte: String = {
+    val key = "concat('node', CAST(user_id AS VARCHAR)," +
+      " '/ks', CAST((event_id % 97) % 3 AS VARCHAR)," +
+      " '/tab', CAST((event_id % 97) % 7 AS VARCHAR)," +
+      " '/sst_', CAST(event_id % 97 AS VARCHAR))"
+    s"""WITH ledger AS (
       |  SELECT event_id,
       |         user_id AS node_id,
       |         CAST(date_trunc('day', ts) AS DATE) AS snapshot_day,
       |         ts,
       |         props,
-      |         concat('node', CAST(user_id AS VARCHAR), '/sst_', CAST(event_id % 97 AS VARCHAR)) AS object_key,
+      |         concat('ks', CAST((event_id % 97) % 3 AS VARCHAR)) AS keyspace,
+      |         concat('tab', CAST((event_id % 97) % 7 AS VARCHAR)) AS table_name,
+      |         $key AS object_key,
       |         CAST(value AS DECIMAL(18,2)) AS size,
       |         CASE event_type WHEN 'signup' THEN 'CQL_SCHEMA'
       |                         WHEN 'error' THEN 'COMMIT_LOG'
       |                         WHEN 'click' THEN 'MANIFEST_FILE'
       |                         ELSE 'FILE' END AS ftype,
-      |         md5(concat('node', CAST(user_id AS VARCHAR), '/sst_', CAST(event_id % 97 AS VARCHAR))) AS upload_hash,
+      |         md5($key) AS upload_hash,
       |         CASE WHEN event_id % 53 = 0
       |              THEN md5(concat('corrupt#', CAST(event_id AS VARCHAR)))
-      |              ELSE md5(concat('node', CAST(user_id AS VARCHAR), '/sst_', CAST(event_id % 97 AS VARCHAR)))
+      |              ELSE md5($key)
       |         END AS download_hash
       |  FROM events
       |),
       |manifest AS (
-      |  SELECT snapshot_day, object_key, node_id, size, ftype, upload_hash, download_hash
+      |  SELECT snapshot_day, object_key, keyspace, table_name, node_id, size, ftype, upload_hash, download_hash
       |  FROM (SELECT l.*, ROW_NUMBER() OVER (PARTITION BY snapshot_day, object_key ORDER BY event_id DESC) AS rn
       |        FROM ledger l) t
       |  WHERE rn = 1
@@ -103,4 +125,5 @@ object BackupLedger {
       |  SELECT DISTINCT node_id, snapshot_day FROM manifest
       |)
       |""".stripMargin
+  }
 }

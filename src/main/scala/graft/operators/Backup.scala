@@ -30,7 +30,8 @@ object Backup {
         .agg(
           count(lit(1)).as("n_files"),
           asDouble(sum(col("size"))).as("total_size"),
-          countDistinct(col("node_id")).as("n_nodes"))
+          countDistinct(col("node_id")).as("n_nodes"),
+          countDistinct(concat_ws(".", col("keyspace"), col("table_name"))).as("n_tables"))
         .orderBy(col("snapshot_day").desc)
     },
 
@@ -63,7 +64,8 @@ object Backup {
       val prior = m.filter(col("snapshot_day") < day)
         .select("object_key").distinct()
       current.join(prior, Seq("object_key"), "left_anti")
-        .select(col("object_key"), col("node_id"), asDouble(col("size")).as("size"))
+        .select(col("object_key"), col("keyspace"), col("table_name"),
+          col("node_id"), asDouble(col("size")).as("size"))
         .orderBy("object_key")
     },
 
@@ -143,13 +145,17 @@ object Backup {
     },
 
     // esop restore-under-different-name (impl/RenamedEntities.java):
-    // keyspace/table projection with rewritten target keys.
+    // entity-level rename — the keyspace path segment is rewritten to
+    // its restore target, exactly what `--rename ks=ks_restored` does.
     "b11_table_rename" -> { (s, dir) =>
       manifest(s, dir)
         .filter(col("snapshot_day") === lit("2024-01-10").cast("date"))
         .select(
           col("object_key"),
-          concat(lit("restored/"), col("object_key")).as("renamed_key"),
+          col("keyspace"),
+          col("table_name"),
+          expr("replace(object_key, concat('/', keyspace, '/'), concat('/', keyspace, '_restored/'))")
+            .as("renamed_key"),
           col("node_id"),
           asDouble(col("size")).as("size"))
         .orderBy("object_key")
@@ -169,6 +175,21 @@ object Backup {
           asDouble(col("size")).as("size"),
           when(col("n_refs") === 1, 1).otherwise(0).as("deletable"))
         .orderBy("object_key")
+    },
+
+    // esop entity filtering (`DatabaseEntities.forTakingSnapshot`,
+    // impl/DatabaseEntities.java:121): operations scoped to an
+    // `--entities ks.tab,...` list — per-entity per-snapshot report.
+    // The filter is a pushed-down IN over the derived entity column;
+    // at 100 TB it prunes at the scan before any shuffle.
+    "b14_entities_filter" -> { (s, dir) =>
+      val wanted = Seq("ks0.tab1", "ks1.tab3", "ks2.tab5")
+      manifest(s, dir)
+        .withColumn("entity", concat_ws(".", col("keyspace"), col("table_name")))
+        .filter(col("entity").isin(wanted: _*))
+        .groupBy("entity", "snapshot_day")
+        .agg(count(lit(1)).as("n_files"), asDouble(sum(col("size"))).as("total_size"))
+        .orderBy("entity", "snapshot_day")
     },
 
     // esop `RestorationStrategy` snapshot resolution: each restore request
@@ -207,7 +228,8 @@ object Backup {
     "b01_manifest_list" -> (cte +
       """SELECT snapshot_day, COUNT(1) AS n_files,
         |  CAST(SUM(size) AS DOUBLE) AS total_size,
-        |  COUNT(DISTINCT node_id) AS n_nodes
+        |  COUNT(DISTINCT node_id) AS n_nodes,
+        |  COUNT(DISTINCT concat(keyspace, '.', table_name)) AS n_tables
         |FROM manifest GROUP BY snapshot_day
         |ORDER BY snapshot_day DESC""".stripMargin),
 
@@ -225,7 +247,7 @@ object Backup {
         |GROUP BY snapshot_day ORDER BY snapshot_day DESC""".stripMargin),
 
     "b04_snapshot_diff" -> (cte +
-      """SELECT object_key, node_id, CAST(size AS DOUBLE) AS size
+      """SELECT object_key, keyspace, table_name, node_id, CAST(size AS DOUBLE) AS size
         |FROM manifest m
         |WHERE snapshot_day = DATE '2024-01-10'
         |  AND NOT EXISTS (SELECT 1 FROM manifest p
@@ -274,10 +296,18 @@ object Backup {
         |FROM ledger GROUP BY 1 ORDER BY dc""".stripMargin),
 
     "b11_table_rename" -> (cte +
-      """SELECT object_key, concat('restored/', object_key) AS renamed_key,
+      """SELECT object_key, keyspace, table_name,
+        |  replace(object_key, concat('/', keyspace, '/'), concat('/', keyspace, '_restored/')) AS renamed_key,
         |  node_id, CAST(size AS DOUBLE) AS size
         |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
         |ORDER BY object_key""".stripMargin),
+
+    "b14_entities_filter" -> (cte +
+      """SELECT concat(keyspace, '.', table_name) AS entity, snapshot_day,
+        |  COUNT(1) AS n_files, CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM manifest
+        |WHERE concat(keyspace, '.', table_name) IN ('ks0.tab1', 'ks1.tab3', 'ks2.tab5')
+        |GROUP BY 1, 2 ORDER BY entity, snapshot_day""".stripMargin),
 
     "b13_remove_oldest" -> (cte +
       """SELECT object_key, node_id, CAST(size AS DOUBLE) AS size,

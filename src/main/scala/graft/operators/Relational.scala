@@ -122,23 +122,21 @@ object Relational {
         .orderBy("src")
     },
 
+    // SQL form: rollup grouping columns re-referenced post-agg trip the
+    // DataFrame ambiguous-self-join check; the SQL analyzer resolves
+    // them cleanly and plans the identical Expand + Aggregate. Tables
+    // are referenced as parquet paths directly — no temp views, so two
+    // concurrent calls on one session can't race on named state.
     "q10_rollup" -> { (s, dir) =>
-      val c = Tables.customer(s, dir)
-      val n = Tables.nation(s, dir)
-      val r = Tables.region(s, dir)
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("graft_q10_rollup")
-      // SQL form: rollup grouping columns re-referenced post-agg trip the
-      // DataFrame ambiguous-self-join check; the SQL analyzer resolves
-      // them cleanly and plans the identical Expand + Aggregate.
-      s.sql("""
-        SELECT coalesce(r_name, 'ALL') AS region,
+      s.sql(s"""
+        SELECT /*+ BROADCAST(n, r) */
+               coalesce(r_name, 'ALL') AS region,
                coalesce(n_name, 'ALL') AS nation,
                count(1) AS n_cust,
                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        FROM graft_q10_rollup
+        FROM parquet.`$dir/customer.parquet` c
+        JOIN parquet.`$dir/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+        JOIN parquet.`$dir/region.parquet` r ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
         ORDER BY region, nation
       """)
@@ -233,13 +231,12 @@ object Relational {
     },
 
     "q19_grouping_sets" -> { (s, dir) =>
-      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
-      s.sql("""
+      s.sql(s"""
         SELECT coalesce(o_orderstatus, 'ALL')   AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(1) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM graft_orders_gs
+        FROM parquet.`$dir/orders.parquet`
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
       """)
