@@ -192,6 +192,101 @@ object Backup {
         .orderBy("entity", "snapshot_day")
     },
 
+    // esop remote-inventory diff (`impl/BucketService.java`,
+    // `impl/RemoteObjectReference.java`, the s3/azure/gcp Restorer.list
+    // impls): the incremental path diffs against the ACTUAL remote
+    // bucket listing, not the backup's own history. The listing here is
+    // an external source — written and read back through the IO layer
+    // (the shape an S3 Inventory parquet manifest arrives in) — then
+    // left-anti-joined by the current snapshot. At 100 TB the inventory
+    // scan is columnar on one key column and the anti-join shuffles
+    // only (object_key); phantom remote objects (never uploaded by us)
+    // are simply never matched.
+    "b18_remote_inventory" -> { (s, dir) =>
+      val day = lit("2024-01-10").cast("date")
+      val listing = ledger(s, dir)
+        .filter(col("snapshot_day") < day && col("event_id") % 3 =!= 0)
+        .select("object_key").distinct()
+        .unionAll(s.range(0, 5).select(
+          concat(lit("phantom/obj_"), col("id").cast("string")).as("object_key")))
+      val invPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_remote_inventory"
+      graft.sources.IO.writeParquet(listing, invPath)
+      val remote = graft.sources.IO.readParquet(s, invPath)
+      manifest(s, dir)
+        .filter(col("snapshot_day") === day)
+        .join(remote, Seq("object_key"), "left_anti")
+        .select(col("object_key"), col("keyspace"), col("table_name"),
+          col("node_id"), asDouble(col("size")).as("size"))
+        .orderBy("object_key")
+    },
+
+    // esop token-ring consistency check (`Manifest.hasSameTokens`,
+    // impl/Manifest.java:114-118; interaction/CassandraSameTokens.java):
+    // a restore proceeds only if the target node's token list equals
+    // the backup's. Token lists are bounded per node (vnodes), so the
+    // set-equality is a sorted-list md5 comparison — one per-row
+    // projection over snapshots, no shuffle. Node ids divisible by 5
+    // have "moved" (one token replaced) to exercise the mismatch path.
+    "b15_token_check" -> { (s, dir) =>
+      val tok = "CAST(conv(substr(md5(concat('tok', CAST(node_id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG)"
+      val moved = "CAST(conv(substr(md5(concat('moved', CAST(node_id AS STRING))), 1, 8), 16, 10) AS LONG)"
+      snapshots(s, dir)
+        .withColumn("backup_hash", expr(
+          s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> $tok)), x -> CAST(x AS STRING))))"))
+        .withColumn("target_hash", expr(
+          s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS STRING))))"))
+        .withColumn("tokens_match",
+          when(col("backup_hash") === col("target_hash"), 1).otherwise(0))
+        .select("node_id", "snapshot_day", "backup_hash", "target_hash", "tokens_match")
+        .orderBy("node_id", "snapshot_day")
+    },
+
+    // esop schema-version agreement (interaction/ClusterSchemaVersions
+    // .java, CassandraSchemaVersion.java; Manifest.schemaVersion at
+    // Manifest.java:221): a restore gates on every node reporting ONE
+    // schema version. Versions roll weekly; nodes divisible by 7 lag a
+    // week behind — per snapshot: distinct-version count + agree flag.
+    "b16_schema_versions" -> { (s, dir) =>
+      val wk = "(datediff(snapshot_day, DATE '2020-01-01') div 7)"
+      snapshots(s, dir)
+        .withColumn("sv", expr(
+          s"concat('v', substr(md5(concat('schema', CAST(CASE WHEN node_id % 7 = 0 THEN $wk - 1 ELSE $wk END AS STRING))), 1, 6))"))
+        .groupBy("snapshot_day")
+        .agg(
+          countDistinct(col("sv")).as("n_versions"),
+          min(col("sv")).as("min_version"),
+          max(col("sv")).as("max_version"),
+          countDistinct(col("node_id")).as("n_nodes"))
+        .withColumn("agreement", when(col("n_versions") === 1, 1).otherwise(0))
+        .orderBy("snapshot_day")
+    },
+
+    // esop full topology resolution (topology/CassandraClusterTopology
+    // .java:37-181, getNodesFromDcAndRack): cluster→DC→rack→endpoint
+    // with per-level counts — one GROUPING SETS pass (a single scan +
+    // Expand, not three scans) over the ledger.
+    "b17_topology_full" -> { (s, dir) =>
+      val base = ledger(s, dir)
+        .withColumn("dc", concat(lit("dc"), (col("node_id") % 3).cast("string")))
+        .withColumn("rack", expr("concat('r', CAST((node_id div 3) % 2 AS STRING))"))
+        .withColumn("endpoint", expr(
+          "concat('10.', CAST(node_id % 3 AS STRING), '.', CAST((node_id div 3) % 2 AS STRING), '.', CAST(node_id AS STRING))"))
+      base.groupingSets(
+          Seq(Seq(col("dc")), Seq(col("dc"), col("rack")),
+            Seq(col("dc"), col("rack"), col("endpoint"))),
+          col("dc"), col("rack"), col("endpoint"))
+        .agg(
+          countDistinct(col("node_id")).as("n_nodes"),
+          count(lit(1)).as("n_entries"),
+          asDouble(sum(col("size"))).as("total_size"))
+        .select(col("dc"),
+          coalesce(col("rack"), lit("ALL")).as("rack"),
+          coalesce(col("endpoint"), lit("ALL")).as("endpoint"),
+          col("n_nodes"), col("n_entries"), col("total_size"))
+        .orderBy("dc", "rack", "endpoint")
+    },
+
     // esop `RestorationStrategy` snapshot resolution: each restore request
     // (commit-log event) matched to the latest snapshot strictly before
     // its day — an AS-OF join. Spark-first: union snapshots (visible from
@@ -316,6 +411,57 @@ object Backup {
         |      FROM manifest m) t
         |WHERE snapshot_day = (SELECT min(snapshot_day) FROM manifest)
         |ORDER BY object_key""".stripMargin),
+
+    "b18_remote_inventory" -> (cte +
+      """, inv AS (
+        |  SELECT DISTINCT object_key FROM ledger
+        |  WHERE snapshot_day < DATE '2024-01-10' AND event_id % 3 <> 0
+        |)
+        |SELECT object_key, keyspace, table_name, node_id, CAST(size AS DOUBLE) AS size
+        |FROM manifest m
+        |WHERE snapshot_day = DATE '2024-01-10'
+        |  AND NOT EXISTS (SELECT 1 FROM inv WHERE inv.object_key = m.object_key)
+        |ORDER BY object_key""".stripMargin),
+
+    "b15_token_check" -> (cte + {
+      val tok = "CAST(concat('0x', substr(md5(concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
+      val moved = "CAST(concat('0x', substr(md5(concat('moved', CAST(node_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+      s"""SELECT node_id, snapshot_day,
+         |  md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $tok)), x -> CAST(x AS VARCHAR)), ',')) AS backup_hash,
+         |  md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS VARCHAR)), ',')) AS target_hash,
+         |  CASE WHEN md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $tok)), x -> CAST(x AS VARCHAR)), ','))
+         |          = md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS VARCHAR)), ','))
+         |       THEN 1 ELSE 0 END AS tokens_match
+         |FROM snapshots ORDER BY node_id, snapshot_day""".stripMargin
+    }),
+
+    "b16_schema_versions" -> (cte +
+      """, sv AS (
+        |  SELECT snapshot_day, node_id,
+        |    concat('v', substr(md5(concat('schema',
+        |      CAST(CASE WHEN node_id % 7 = 0
+        |           THEN (date_diff('day', DATE '2020-01-01', snapshot_day) // 7) - 1
+        |           ELSE date_diff('day', DATE '2020-01-01', snapshot_day) // 7
+        |      END AS VARCHAR))), 1, 6)) AS sv
+        |  FROM snapshots
+        |)
+        |SELECT snapshot_day, COUNT(DISTINCT sv) AS n_versions,
+        |  MIN(sv) AS min_version, MAX(sv) AS max_version,
+        |  COUNT(DISTINCT node_id) AS n_nodes,
+        |  CASE WHEN COUNT(DISTINCT sv) = 1 THEN 1 ELSE 0 END AS agreement
+        |FROM sv GROUP BY snapshot_day ORDER BY snapshot_day""".stripMargin),
+
+    "b17_topology_full" -> (cte +
+      """SELECT dc, COALESCE(rack, 'ALL') AS rack, COALESCE(endpoint, 'ALL') AS endpoint,
+        |  COUNT(DISTINCT node_id) AS n_nodes, COUNT(1) AS n_entries,
+        |  CAST(SUM(size) AS DOUBLE) AS total_size
+        |FROM (SELECT node_id, size,
+        |        concat('dc', CAST(node_id % 3 AS VARCHAR)) AS dc,
+        |        concat('r', CAST((node_id // 3) % 2 AS VARCHAR)) AS rack,
+        |        concat('10.', CAST(node_id % 3 AS VARCHAR), '.', CAST((node_id // 3) % 2 AS VARCHAR), '.', CAST(node_id AS VARCHAR)) AS endpoint
+        |      FROM ledger) t
+        |GROUP BY GROUPING SETS ((dc), (dc, rack), (dc, rack, endpoint))
+        |ORDER BY dc, rack, endpoint""".stripMargin),
 
     "b12_asof_join" -> (cte +
       """SELECT l.event_id, l.node_id, l.snapshot_day AS request_day,

@@ -25,4 +25,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("ReusedExchange") || "FileScan".r.findAllIn(p).length <= 2, p)
     }
   }
+
+  test("b18 incremental plan prunes to an anti-join against the external inventory") {
+    // x04: the remote listing is a REAL external source (parquet round-
+    // trip through IO), and the incremental diff is a left-anti join —
+    // never a full-materialized set-difference
+    val p = audit("b18_remote_inventory")
+    assert(p.contains("LeftAnti"), s"no anti-join in incremental plan:\n$p")
+    assert(p.contains("graft_remote_inventory"),
+      s"inventory not read from the external source:\n$p")
+  }
 }
