@@ -287,6 +287,28 @@ object Backup {
         .orderBy("dc", "rack", "endpoint")
     },
 
+    // esop SSTable-generation semantics (`impl/SSTableUtils.java`:
+    // sstable content hashing + detect-existing-by-generation): parse
+    // node and generation out of the object_key FILENAME (not from
+    // ledger columns — this is the path-parsing a real manifest needs),
+    // then per-entity generation stats. A parse_ok counter cross-checks
+    // the parsed node against the ledger's node_id.
+    "b19_sstable_gen" -> { (s, dir) =>
+      manifest(s, dir)
+        .withColumn("gen",
+          regexp_extract(col("object_key"), "sst_([0-9]+)$", 1).cast("long"))
+        .withColumn("node_parsed",
+          regexp_extract(col("object_key"), "^node([0-9]+)/", 1).cast("long"))
+        .groupBy("keyspace", "table_name")
+        .agg(
+          max(col("gen")).as("max_gen"),
+          countDistinct(col("gen")).as("n_generations"),
+          count(lit(1)).as("n_sstables"),
+          countDistinct(col("node_parsed")).as("n_nodes"),
+          count(when(col("node_parsed") === col("node_id"), lit(1))).as("n_parse_ok"))
+        .orderBy("keyspace", "table_name")
+    },
+
     // esop `RestorationStrategy` snapshot resolution: each restore request
     // (commit-log event) matched to the latest snapshot strictly before
     // its day — an AS-OF join. Spark-first: union snapshots (visible from
@@ -411,6 +433,20 @@ object Backup {
         |      FROM manifest m) t
         |WHERE snapshot_day = (SELECT min(snapshot_day) FROM manifest)
         |ORDER BY object_key""".stripMargin),
+
+    "b19_sstable_gen" -> (cte +
+      """, parsed AS (
+        |  SELECT keyspace, table_name, node_id,
+        |    CAST(regexp_extract(object_key, 'sst_([0-9]+)$', 1) AS BIGINT) AS gen,
+        |    CAST(regexp_extract(object_key, '^node([0-9]+)/', 1) AS BIGINT) AS node_parsed
+        |  FROM manifest
+        |)
+        |SELECT keyspace, table_name, MAX(gen) AS max_gen,
+        |  COUNT(DISTINCT gen) AS n_generations, COUNT(1) AS n_sstables,
+        |  COUNT(DISTINCT node_parsed) AS n_nodes,
+        |  COUNT(CASE WHEN node_parsed = node_id THEN 1 END) AS n_parse_ok
+        |FROM parsed GROUP BY keyspace, table_name
+        |ORDER BY keyspace, table_name""".stripMargin),
 
     "b18_remote_inventory" -> (cte +
       """, inv AS (

@@ -92,6 +92,40 @@ object Similarity {
   private val duckDot =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2])) AS BIGINT)"
 
+  /** Per-(vec, table) LSH bucket assignment — the shared candidate
+    * machinery for d07 (ANN search) and d17 (near-dup dedup). */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val q = Corpus.qvecs(s, dir)
+    val n = Tables.embeddings(s, dir).count() // planning-time stat
+    val bbits = lshBits(n)
+    val pl = planes(s, LshTables * bbits)
+      .withColumn("t", expr(s"CAST(j div $bbits AS INT)"))
+      .withColumn("bit", expr(s"CAST(j % $bbits AS INT)"))
+    q.crossJoin(broadcast(pl))
+      .withColumn("d", DotLong(col("q"), col("r")))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), bit) ELSE CAST(0 AS LONG) END")).as("bucket"))
+  }
+
+  /** DuckDB twin of [[lshBuckets]]: prm/planes/dots/buckets CTE block. */
+  private val lshBucketsSql: String =
+    s""", prm AS (SELECT greatest(4, CAST(length(to_base(count(1), 2)) AS BIGINT) - 4) AS bbits FROM qtab),
+       |planes AS (
+       |  SELECT j, CAST(j // prm.bbits AS INT) AS t, CAST(j % prm.bbits AS INT) AS bit,
+       |    list_transform(range(0, 64), i ->
+       |      ${Corpus.hash32Sql("concat('rp', CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS r
+       |  FROM prm, UNNEST(range(0, $LshTables * prm.bbits)) s(j)
+       |),
+       |dots AS (
+       |  SELECT q.vec_id, p.t, p.bit, ${duckDot.format("q.q", "p.r")} AS d
+       |  FROM qtab q CROSS JOIN planes p
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t
+       |)""".stripMargin
+
   private val duckSqDist =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
 
@@ -117,15 +151,7 @@ object Similarity {
     // equi-join per (table, bucket), union-distinct, then top-3.
     "d07_ann_lsh" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
-      val n = Tables.embeddings(s, dir).count() // planning-time stat
-      val bbits = lshBits(n)
-      val pl = planes(s, LshTables * bbits)
-        .withColumn("t", expr(s"CAST(j div $bbits AS INT)"))
-        .withColumn("bit", expr(s"CAST(j % $bbits AS INT)"))
-      val bucketed = q.crossJoin(broadcast(pl))
-        .withColumn("d", DotLong(col("q"), col("r")))
-        .groupBy("vec_id", "t")
-        .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), bit) ELSE CAST(0 AS LONG) END")).as("bucket"))
+      val bucketed = lshBuckets(s, dir)
       val cand = bucketed.select(col("vec_id").as("a_id"), col("t"), col("bucket"))
         .join(bucketed.select(col("vec_id").as("b_id"), col("t"), col("bucket")),
           Seq("t", "bucket"))
@@ -142,6 +168,32 @@ object Similarity {
         .filter(col("rn") <= 3)
         .select("a_id", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
+    },
+
+    // Embedding-cosine near-dup dedup: unordered LSH candidate pairs
+    // (same deterministic L-table machinery as d07, mirrored in the
+    // oracle) filtered to cos ≥ τ; keep/drop by min vec_id. The scale
+    // shape is identical to d07 — candidates never leave their
+    // (table, bucket) equi-join partitions.
+    "d17_dedup_embed" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+      val bucketed = lshBuckets(s, dir)
+      val cand = bucketed.select(col("vec_id").as("a_id"), col("t"), col("bucket"))
+        .join(bucketed.select(col("vec_id").as("b_id"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")), Seq("a_id"))
+        .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("norm2").as("nb")), Seq("b_id"))
+        .withColumn("cos",
+          DotLong(col("qa"), col("qb")).cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("a_id"), col("b_id"), col("cos"),
+          least(col("a_id"), col("b_id")).as("keep_id"),
+          greatest(col("a_id"), col("b_id")).as("drop_id"))
+        .orderBy("a_id", "b_id")
     },
 
     // L2 norm + dimension audit per embedding.
@@ -211,23 +263,8 @@ object Similarity {
          |  FROM qtab a JOIN qtab b ON a.vec_id <> b.vec_id) t
          |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin),
 
-    "d07_ann_lsh" -> (Corpus.qtabCte +
-      s""", prm AS (SELECT greatest(4, CAST(length(to_base(count(1), 2)) AS BIGINT) - 4) AS bbits FROM qtab),
-         |planes AS (
-         |  SELECT j, CAST(j // prm.bbits AS INT) AS t, CAST(j % prm.bbits AS INT) AS bit,
-         |    list_transform(range(0, 64), i ->
-         |      ${Corpus.hash32Sql("concat('rp', CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS r
-         |  FROM prm, UNNEST(range(0, $LshTables * prm.bbits)) s(j)
-         |),
-         |dots AS (
-         |  SELECT q.vec_id, p.t, p.bit, ${duckDot.format("q.q", "p.r")} AS d
-         |  FROM qtab q CROSS JOIN planes p
-         |),
-         |buckets AS (
-         |  SELECT vec_id, t,
-         |    CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-         |  FROM dots GROUP BY vec_id, t
-         |),
+    "d07_ann_lsh" -> (Corpus.qtabCte + lshBucketsSql +
+      s""",
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
@@ -242,6 +279,20 @@ object Similarity {
          |      c.b_id ASC) AS rn
          |  FROM cand c JOIN qtab qa ON qa.vec_id = c.a_id JOIN qtab qb ON qb.vec_id = c.b_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
+
+    "d17_dedup_embed" -> (Corpus.qtabCte + lshBucketsSql +
+      s""",
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, cos, least(a_id, b_id) AS keep_id, greatest(a_id, b_id) AS drop_id
+         |FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(${duckDot.format("qa.q", "qb.q")} AS DOUBLE)
+         |      / (sqrt(CAST(qa.norm2 AS DOUBLE)) * sqrt(CAST(qb.norm2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN qtab qa ON qa.vec_id = c.a_id JOIN qtab qb ON qb.vec_id = c.b_id) t
+         |WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin),
 
     "d12_embed_norm" -> (Corpus.qtabCte +
       """SELECT vec_id, CAST(len(q) AS BIGINT) AS dim,

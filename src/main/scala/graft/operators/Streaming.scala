@@ -32,6 +32,14 @@ object Streaming {
         .orderBy("user_id", "event_type")
     },
 
+    // Stream-stream interval join — the same transform the streaming
+    // job runs (watermarks are no-ops on batch input); in batch Spark
+    // plans it as an equi-join on user plus the range predicate.
+    "s04_stream_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      EventStream.clickErrorJoin(ev, ev).orderBy("error_id", "click_id")
+    },
+
     // Sessionization (30-min inactivity gap) — batch twin of the
     // flatMapGroupsWithState streaming path (EventStream.sessionize):
     // gap marks via lag + running sum = session numbers, one window
@@ -70,6 +78,15 @@ object Streaming {
         |  COUNT(1) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "s04_stream_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+        |SELECT e.event_id AS error_id, e.user_id AS user_id, e.ts AS e_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM ev e JOIN ev c ON c.user_id = e.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
+        |ORDER BY error_id, click_id""".stripMargin,
 
     "s03_sessionize" ->
       """WITH ordered AS (

@@ -51,6 +51,27 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval self-join: each error event correlated to
+    * the same user's click events in the preceding hour. Watermarks on
+    * BOTH sides bound the join state store — click state older than
+    * watermark − interval is evicted, so state is O(events per hour),
+    * not O(stream length). Inner-join results emit as soon as both
+    * sides arrive. Batch twin (the oracle): `s04_stream_join`. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "1 hour")
+    e.join(c, expr(
+      "c_user = e_user AND c_ts >= e_ts - INTERVAL 1 HOUR AND c_ts < e_ts"))
+      .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Session inactivity gap: 30 minutes, in microseconds. */
   val sessionGapUs: Long = 30L * 60 * 1000000
 

@@ -40,6 +40,20 @@ class EventStreamSpec extends SparkSpec {
       s"only ${streamed.size} of ${batch.size} sessions emitted")
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
+      df => EventStream.clickErrorJoin(df, df))
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s04_test")
+      .select("error_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("s04_stream_join")(spark, sf)
+      .select("error_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventStream.runToMemory(spark, sf, "graft_s02_test",
       EventStream.dedupStream)
