@@ -44,6 +44,28 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Frame sampling over video-shaped media: every 4th frame of an
+    // n_frames clip (n_frames derived from blob length — the stand-in
+    // for container metadata), one output row per sampled frame with a
+    // timestamp and a stubbed perceptual hash. The Spark shape is the
+    // real thing a 100 TB video pipeline needs: a BOUNDED explode
+    // (≤ 10 rows/clip) inside codegen, per-row hashing, no shuffle —
+    // the decode stub (md5) is where an FFmpeg frame grab would slot.
+    "d18_frame_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .withColumn("n_frames",
+          least(greatest(expr("len div 50"), lit(1L)), lit(40L)))
+        .select(col("doc_id"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")).as("frame_idx"))
+        .withColumn("ts_ms", col("frame_idx") * 40)
+        .withColumn("phash", graft.functions.hash32(
+          concat(col("doc_id").cast("string"), lit("#"), col("frame_idx").cast("string"))))
+        .select("doc_id", "frame_idx", "ts_ms", "phash")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "d14_multimodal" -> { (s, dir) =>
       import s.implicits._
       val blobs = Tables.documents(s, dir)
@@ -59,6 +81,15 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "d18_frame_sample" ->
+      """SELECT doc_id, frame_idx, frame_idx * 40 AS ts_ms,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(frame_idx AS VARCHAR))), 1, 8)) AS BIGINT) AS phash
+        |FROM (
+        |  SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx
+        |  FROM (SELECT doc_id, least(greatest(length(text) // 50, 1), 40) AS n_frames
+        |        FROM documents) meta) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "d14_multimodal" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -70,13 +70,14 @@ object Similarity {
         """transform(sequence(0, 63), i ->
           |  CAST(conv(substr(md5(concat('cent', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
 
-  /** Argmin-centroid assignment (the d13 step): ties broken by cell id. */
-  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
+  /** nprobe-nearest-centroid assignment (nprobe=1 is the d13 step):
+    * ties broken by cell id. */
+  private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
     q.crossJoin(broadcast(cents))
       .withColumn("dist2", SqDistLong(col("q"), col("cv")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
   }
 
@@ -220,7 +221,10 @@ object Similarity {
 
     // IVF ANN: nlist = ⌈√n⌉ seed centroids, one k-means refinement
     // (per-dim floor(mean) over the assigned members — exact integer
-    // math in both engines), re-assign, then intra-cell top-3.
+    // math in both engines), re-assign, then intra-cell top-3 with the
+    // query side probing its nprobe=2 nearest cells (standard IVF
+    // search: data lives in 1 cell, probes widen recall; a pair can
+    // meet in at most one cell, so no dedup is needed).
     "d15_ann_ivf" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
       val n = Tables.embeddings(s, dir).count() // planning-time stat
@@ -233,7 +237,8 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> x.cmp)").as("cv"))
         .select(col("cell").as("c"), col("cv"))
       val assigned = assignCells(q, cents1)
-      val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
+      val probes = assignCells(q, cents1, nprobe = 2)
+      val a = probes.select(col("vec_id").as("a_id"), col("cell"),
         col("q").as("qa"), col("norm2").as("na"))
       val b = assigned.select(col("vec_id").as("b_id"), col("cell"),
         col("q").as("qb"), col("norm2").as("nb"))
@@ -326,14 +331,14 @@ object Similarity {
          |  GROUP BY cell, pos
          |),
          |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell),
-         |assigned AS (
-         |  SELECT vec_id, c AS cell, q, norm2 FROM (
-         |    SELECT q.vec_id, ce.c, q.q, q.norm2,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |    FROM qtab q CROSS JOIN cents1 ce) t
-         |  WHERE rn = 1
-         |)
+         |ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce
+         |),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2)
          |SELECT a_id, cell, b_id, rn, cos FROM (
          |  SELECT a.vec_id AS a_id, a.cell AS cell, b.vec_id AS b_id,
          |    CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
@@ -342,7 +347,7 @@ object Similarity {
          |      CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
          |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
          |      b.vec_id ASC) AS rn
-         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin)
   )
 }
