@@ -16,10 +16,15 @@ object Bench {
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so measured times reflect
-    // steady-state execution, not JIT + classloading.
-    SparkEntry.queries.get("q01_agg")
-      .foreach(f => f(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+    // JVM/codegen warmup: run EVERY query once at the smallest SF so
+    // measured times reflect steady-state execution (JIT, codegen
+    // compilation and classloading all paid up front) — a single-query
+    // warmup leaves the first join-heavy queries paying multi-second
+    // one-off JIT costs that show up as phantom regressions.
+    SparkEntry.queries.foreach { case (_, f) =>
+      try f(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -24,12 +24,18 @@ object Backup {
 
     // esop `AllManifestsReport.report` (Manifest.java:595-700):
     // per-backup file count / size / node coverage, newest first.
+    // Two-phase: pre-aggregate per (snapshot, node, entity) first so
+    // the multi-countDistinct Expand runs over the reduced set (days ×
+    // nodes × entities), not the full manifest — at 100 TB the Expand
+    // over raw entries would triple the dominant shuffle.
     "b01_manifest_list" -> { (s, dir) =>
       manifest(s, dir)
+        .groupBy("snapshot_day", "node_id", "keyspace", "table_name")
+        .agg(count(lit(1)).as("cnt"), sum(col("size")).as("sz"))
         .groupBy("snapshot_day")
         .agg(
-          count(lit(1)).as("n_files"),
-          asDouble(sum(col("size"))).as("total_size"),
+          sum(col("cnt")).as("n_files"),
+          asDouble(sum(col("sz"))).as("total_size"),
           countDistinct(col("node_id")).as("n_nodes"),
           countDistinct(concat_ws(".", col("keyspace"), col("table_name"))).as("n_tables"))
         .orderBy(col("snapshot_day").desc)

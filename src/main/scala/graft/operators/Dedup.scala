@@ -141,10 +141,10 @@ object Dedup {
       val b2 = bands.toDF("b_id", "fp_b", "bi", "bv")
       a.join(b2, Seq("bi", "bv"))
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "fp_a", "fp_b")
-        .distinct() // a pair may collide in 2-3 bands
         .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 2) // filter BEFORE the dedup shuffle
+        .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
+        .distinct() // a pair may collide in 2-3 bands
         .orderBy("a_id", "b_id")
     }
   )
