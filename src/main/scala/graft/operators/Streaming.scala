@@ -32,6 +32,14 @@ object Streaming {
         .orderBy("user_id", "event_type")
     },
 
+    // Sliding-window aggregation — the same DataFrame transform the
+    // streaming job runs; the oracle expands each event into its two
+    // overlapping windows explicitly.
+    "s05_sliding_window" -> { (s, dir) =>
+      EventStream.slidingAgg(Tables.events(s, dir))
+        .orderBy("win_start", "event_type")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -78,6 +86,16 @@ object Streaming {
         |  COUNT(1) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "s05_sliding_window" ->
+      """SELECT win_start, event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |           - (k * INTERVAL '30 minutes') AS win_start,
+        |         event_type, value
+        |  FROM events, UNNEST(range(0, 2)) t(k)) x
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     "s04_stream_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)

@@ -105,6 +105,49 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // TF-IDF top terms: tf × (N/df) with a RATIONAL idf — log() is not
+    // bit-stable across engines' libm, but tf·N/df ranks identically
+    // (log is monotone) and divides exact integers → bit-identical
+    // doubles. Shuffles: one per-doc-word agg, one small df agg
+    // (broadcast), a broadcast scalar N — no all-pairs anything.
+    "d19_tfidf" -> { (s, dir) =>
+      val docs = Corpus.docs(s, dir)
+      val wa = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      val tf = wa.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = wa.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+      tf.join(broadcast(dfreq), Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "w", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    },
+
+    // KMV (k-minimum-values) distinct-count sketch: est = (k−1)·2³²/h_k
+    // where h_k is the k-th smallest hash. Unlike HLL (whose registers
+    // differ per implementation), KMV is exactly mirrorable across
+    // engines — the sketch itself is just a bounded top-k over hashes
+    // (TakeOrdered, no global sort), the merge at 100 TB is a k-sized
+    // min-merge per partition.
+    "d20_kmv_sketch" -> { (s, dir) =>
+      val k = 64
+      val words = Corpus.docs(s, dir)
+        .select(explode(col("ws")).as("w")).distinct()
+      val kth = words.select(hash32(col("w")).as("h"))
+        .orderBy("h").limit(k)
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"))
+      val exact = words.agg(count(lit(1)).as("n_exact"))
+      kth.crossJoin(broadcast(exact))
+        .withColumn("est_distinct",
+          lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
+        .select("k_actual", "h_k", "est_distinct", "n_exact")
+    },
+
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
@@ -174,6 +217,31 @@ object TextAnalysis {
         |  (SELECT DISTINCT doc_id, w FROM
         |    (SELECT doc_id, unnest(ws) AS w FROM docs) u) t
         |GROUP BY w ORDER BY doc_freq DESC, w ASC LIMIT 20""".stripMargin),
+
+    "d19_tfidf" -> (Corpus.docsCte +
+      """, wa AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+        |tf AS (SELECT doc_id, w, count(1) AS tf FROM wa GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(1) AS df FROM (SELECT DISTINCT doc_id, w FROM wa) t GROUP BY w),
+        |n AS (SELECT count(1) AS n_docs FROM docs)
+        |SELECT doc_id, w, tf, df, score, rn FROM (
+        |  SELECT t.doc_id, t.w, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY
+        |      CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC,
+        |      t.w ASC) AS rn
+        |  FROM tf t JOIN dfreq d USING (w) CROSS JOIN n) x
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+
+    "d20_kmv_sketch" -> (Corpus.docsCte + {
+      val h = Corpus.hash32Sql("w")
+      s""", wd AS (SELECT DISTINCT w FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),
+         |hs AS (SELECT $h AS h FROM wd ORDER BY h LIMIT 64),
+         |kth AS (SELECT CAST(max(h) AS BIGINT) AS h_k, count(1) AS k_actual FROM hs),
+         |ex AS (SELECT count(1) AS n_exact FROM wd)
+         |SELECT k_actual, h_k,
+         |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_exact
+         |FROM kth, ex""".stripMargin
+    }),
 
     "d11_fingerprint" -> (Corpus.docsCte +
       s""", wins AS (

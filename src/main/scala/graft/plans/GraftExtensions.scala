@@ -41,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
       (children: Seq[Expression]) => CharCounts(children.head)
     ))
+    ext.injectOptimizerRule(_ => SelfDistanceElimination)
   }
 }

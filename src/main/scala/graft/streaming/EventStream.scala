@@ -44,6 +44,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding 1-hour window (30-min slide) aggregation — every event
+    * lands in exactly 2 overlapping windows; watermark bounds state to
+    * the open windows. Batch twin (the oracle): `s05_sliding_window`. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec2(col("value")))).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Streaming dedup: first event per (user_id, event_type) inside the
     * watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =

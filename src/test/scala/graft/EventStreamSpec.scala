@@ -40,6 +40,18 @@ class EventStreamSpec extends SparkSpec {
       s"only ${streamed.size} of ${batch.size} sessions emitted")
   }
 
+  test("streaming sliding-window agg equals batch sliding agg") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s05_test",
+      EventStream.slidingAgg, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s05_test")
+      .orderBy("win_start", "event_type").collect()
+    val batch = EventStream.slidingAgg(Tables.events(spark, sf))
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
       df => EventStream.clickErrorJoin(df, df))
