@@ -148,6 +148,28 @@ object TextAnalysis {
         .select("k_actual", "h_k", "est_distinct", "n_exact")
     },
 
+    // End-to-end training-set selection: the composition a real corpus
+    // pipeline ships — keep a doc iff (a) its quality score clears the
+    // bar and (b) it is the canonical keeper of its exact-dup group
+    // (min doc_id per content hash). One scan computes quality per-row;
+    // the dedup keeper is a window over the same pass (no groupBy +
+    // join-back, which would recompute the normalization lineage).
+    "d21_corpus_select" -> { (s, dir) =>
+      val enArr = array(enStop.map(lit): _*)
+      val keepW = Window.partitionBy("content_hash")
+      Corpus.docs(s, dir)
+        .withColumn("content_hash", md5(col("norm")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_stop", size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
+        .withColumn("keeper", min(col("doc_id")).over(keepW))
+        .filter(col("doc_id") === col("keeper")
+          && col("stop_ratio") >= 0.05 && col("n_words").between(5, 500))
+        .select("doc_id", "content_hash", "n_words", "stop_ratio")
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
@@ -242,6 +264,20 @@ object TextAnalysis {
          |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_exact
          |FROM kth, ex""".stripMargin
     }),
+
+    "d21_corpus_select" -> (Corpus.docsCte +
+      s""", scored AS (
+         |  SELECT doc_id, md5(norm) AS content_hash,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> list_contains($enStopSqlList, w))) AS DOUBLE)
+         |      / greatest(len(ws), 1) AS stop_ratio,
+         |    MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+         |  FROM docs
+         |)
+         |SELECT doc_id, content_hash, n_words, stop_ratio
+         |FROM scored
+         |WHERE doc_id = keeper AND stop_ratio >= 0.05 AND n_words BETWEEN 5 AND 500
+         |ORDER BY doc_id""".stripMargin),
 
     "d11_fingerprint" -> (Corpus.docsCte +
       s""", wins AS (

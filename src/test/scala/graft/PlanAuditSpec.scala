@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).length <= 2, p)
   }
 
-  for (q <- Seq("d02_dedup_ngram", "d04_minhash_lsh", "d05_simhash", "d07_ann_lsh")) {
+  for (q <- Seq("d02_dedup_ngram", "d04_minhash_lsh", "d05_simhash", "d07_ann_lsh",
+      "d17_dedup_embed")) {
     test(s"$q self-join reuses the build-side computation") {
       val p = audit(q)
       info(s"$q: ReusedExchange=" + p.contains("ReusedExchange")

@@ -53,6 +53,23 @@ class PlanSpec extends SparkSpec {
       s"simhash pairing degenerated to all-pairs:\n$p")
   }
 
+  test("d15 IVF pairing stays an equi-join on cell (no cartesian)") {
+    val p = plan("d15_ann_ivf")
+    assert(!p.contains("CartesianProduct"), s"IVF degenerated to cartesian:\n$p")
+  }
+
+  test("d17 embedding near-dup stays an equi-join on (table, bucket)") {
+    // BroadcastNestedLoopJoin appears ONLY as the intentional broadcast
+    // of the tiny hyperplane table against the vectors (linear), never
+    // as a vector×vector pairing (quadratic) — so the vector pair join
+    // must be a hash/sort-merge equi-join and nothing may be a true
+    // cartesian over the data.
+    val p = plan("d17_dedup_embed")
+    assert(!p.contains("CartesianProduct"), s"near-dup degenerated to cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join for the pair stream:\n$p")
+  }
+
   test("ANN hash/cell spaces scale with input size (no fixed constants)") {
     import graft.operators.Similarity
     // LSH: bits per table track log2(n) so bucket occupancy stays ~2^4
