@@ -112,19 +112,12 @@ object Dedup {
 
     // 32-bit SimHash fingerprints + hamming-near pairs (≤ 2 bits apart).
     "d05_simhash" -> { (s, dir) =>
-      // 32 per-bit sign sums as aggregate COLUMNS over the word rows —
-      // a bits cross-join would put 32×|words| rows through the shuffle.
-      val words = Corpus.docs(s, dir)
-        .select(col("doc_id"), explode(col("ws")).as("w")).distinct()
-        .withColumn("h", hash32(col("w")))
-      val signCols = (0 until 32).map(b =>
-        sum(expr(s"CASE WHEN shiftright(h, $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"sg$b"))
-      val fpExpr = (0 until 32)
-        .map(b => s"CASE WHEN sg$b > 0 THEN ${1L << b}L ELSE 0L END")
-        .mkString(" + ")
-      val fp = words.groupBy("doc_id")
-        .agg(signCols.head, signCols.tail: _*)
-        .selectExpr("doc_id", s"CAST($fpExpr AS LONG) AS fp")
+      // Fingerprints are a pure per-row projection via the SimHash32
+      // kernel (one pass over the row's distinct words) — the
+      // explode→distinct→32-sign-sums formulation the oracle mirrors
+      // would push |words| rows through TWO shuffles first.
+      val fp = Corpus.docs(s, dir)
+        .select(col("doc_id"), SimHash32(array_distinct(col("ws"))).as("fp"))
       // Pairing via pigeonhole banding: split the 32-bit fp into 3
       // bands (11+11+10 bits). hamming ≤ 2 means at most 2 bands can
       // differ, so every qualifying pair is bit-identical in ≥1 band —

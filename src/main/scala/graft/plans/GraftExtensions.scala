@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharCounts, CosineSim, DotLong, MinHash16, SqDistLong}
+import graft.functions.{CharCounts, CosineSim, DotLong, MinHash16, SimHash32, SqDistLong}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
       (children: Seq[Expression]) => CharCounts(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)
     ))
     ext.injectOptimizerRule(_ => SelfDistanceElimination)
   }

@@ -70,6 +70,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash32 kernel equals the explode/sign-sum formulation") {
+    val docs = spark.range(30).selectExpr(
+      "id AS doc_id",
+      "array_distinct(split(concat('w', id % 7, ' x y z', id % 3, ' common words ', id), ' ')) AS ws")
+    val viaKernel = docs
+      .select(col("doc_id"), graft.functions.SimHash32(col("ws")).as("fp"))
+    val words = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("h", graft.functions.hash32(col("w")))
+    val signCols = (0 until 32).map(b =>
+      sum(expr(s"CASE WHEN shiftright(h, $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"sg$b"))
+    val fpExpr = (0 until 32)
+      .map(b => s"CASE WHEN sg$b > 0 THEN ${1L << b}L ELSE 0L END").mkString(" + ")
+    val viaAgg = words.groupBy("doc_id").agg(signCols.head, signCols.tail: _*)
+      .selectExpr("doc_id", s"CAST($fpExpr AS LONG) AS fp")
+    val k = viaKernel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaAgg.collect().foreach(r => assert(k(r.getLong(0)) == r.getLong(1), s"doc ${r.getLong(0)}"))
+  }
+
   test("Hash32 kernel equals the hex-substring md5 formulation") {
     val df = spark.range(50).selectExpr("concat('w_', id, '!') AS s")
       .withColumn("h", graft.functions.hash32(org.apache.spark.sql.functions.col("s")))

@@ -17,7 +17,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).length <= 2, p)
   }
 
-  for (q <- Seq("d02_dedup_ngram", "d04_minhash_lsh", "d05_simhash", "d07_ann_lsh",
+  test("d05 simhash fingerprints are per-row (scan-side kernel, no word shuffle)") {
+    // the fingerprint build must be a projection at the scan (SimHash32
+    // kernel), never an explode+distinct+groupBy over |words| rows —
+    // re-scanning the docs twice for the self-join shuffles ~100× less
+    // than exchanging word-level rows would. toString includes the AQE
+    // initial plan too, so ≤ 4 scans across both copies.
+    val p = audit("d05_simhash")
+    assert(p.contains("graft_simhash32"), s"per-row kernel not in plan:\n$p")
+    assert("FileScan".r.findAllIn(p).length <= 4, p)
+  }
+
+  for (q <- Seq("d02_dedup_ngram", "d04_minhash_lsh", "d07_ann_lsh",
       "d17_dedup_embed")) {
     test(s"$q self-join reuses the build-side computation") {
       val p = audit(q)
