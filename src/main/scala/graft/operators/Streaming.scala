@@ -32,6 +32,16 @@ object Streaming {
         .orderBy("user_id", "event_type")
     },
 
+    // Stream-static broadcast enrichment, rolled up per dimension row —
+    // the join is the exact transform the streaming job runs.
+    "s06_stream_enrich" -> { (s, dir) =>
+      EventStream.enrich(Tables.events(s, dir), Tables.nation(s, dir))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          asDouble(sum(dec2(col("value")))).as("total_value"))
+        .orderBy("n_name")
+    },
+
     // Sliding-window aggregation — the same DataFrame transform the
     // streaming job runs; the oracle expands each event into its two
     // overlapping windows explicitly.
@@ -86,6 +96,12 @@ object Streaming {
         |  COUNT(1) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "s06_stream_enrich" ->
+      """SELECT n.n_name, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
 
     "s05_sliding_window" ->
       """SELECT win_start, event_type, COUNT(1) AS n,

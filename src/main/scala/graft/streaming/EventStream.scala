@@ -83,6 +83,16 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * dimension table (static side re-read per micro-batch, never
+    * stateful) — the standard pattern for attaching slowly-changing
+    * reference data to a 100 TB/day stream without any join state.
+    * Batch twin (the oracle aggregates it): `s06_stream_enrich`. */
+  def enrich(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(broadcast(nation), expr("user_id % 25 = n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"),
+        col("event_type"), col("value"))
+
   /** Session inactivity gap: 30 minutes, in microseconds. */
   val sessionGapUs: Long = 30L * 60 * 1000000
 

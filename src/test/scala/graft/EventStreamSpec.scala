@@ -66,6 +66,18 @@ class EventStreamSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("stream-static enrichment joins every event to its dimension row") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s06_test",
+      df => EventStream.enrich(df, Tables.nation(spark, sf)))
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s06_test")
+    val batch = EventStream.enrich(
+      Tables.events(spark, sf), Tables.nation(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("n_name").distinct().count()
+      == batch.select("n_name").distinct().count())
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventStream.runToMemory(spark, sf, "graft_s02_test",
       EventStream.dedupStream)
