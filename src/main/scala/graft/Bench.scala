@@ -20,10 +20,17 @@ object Bench {
     // measured times reflect steady-state execution (JIT, codegen
     // compilation and classloading all paid up front) — a single-query
     // warmup leaves the first join-heavy queries paying multi-second
-    // one-off JIT costs that show up as phantom regressions.
-    SparkEntry.queries.foreach { case (_, f) =>
-      try f(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // one-off JIT costs that show up as phantom regressions. Falls back
+    // to the bench SF itself when the small fixture is absent; warmup
+    // failures are reported, and fatal VM errors propagate.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    SparkEntry.queries.foreach { case (name, f) =>
+      try f(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -53,11 +53,15 @@ object SimHash32Kernel {
     val n = words.numElements()
     var i = 0
     while (i < n) {
-      val h = Hash32Kernel.compute(words.getUTF8String(i).getBytes)
-      var b = 0
-      while (b < 32) {
-        if (((h >> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
-        b += 1
+      // skip null elements: graft_simhash32 is a public SQL function,
+      // so arbitrary arrays must not NPE the task
+      if (!words.isNullAt(i)) {
+        val h = Hash32Kernel.compute(words.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -215,8 +215,11 @@ object Backup {
         .select("object_key").distinct()
         .unionAll(s.range(0, 5).select(
           concat(lit("phantom/obj_"), col("id").cast("string")).as("object_key")))
-      val invPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_remote_inventory"
+      // fresh dir per construction: a fixed shared path would let a
+      // concurrent Verify/Bench/test overwrite the listing between this
+      // query's (eager) write and its lazy execution
+      val invPath = java.nio.file.Files
+        .createTempDirectory("graft_remote_inventory").resolve("inv").toString
       graft.sources.IO.writeParquet(listing, invPath)
       val remote = graft.sources.IO.readParquet(s, invPath)
       manifest(s, dir)

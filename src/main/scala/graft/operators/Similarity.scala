@@ -71,14 +71,26 @@ object Similarity {
           |  CAST(conv(substr(md5(concat('cent', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
 
   /** nprobe-nearest-centroid assignment (nprobe=1 is the d13 step):
-    * ties broken by cell id. */
+    * ties broken by cell id. The nprobe=1 path is a lexicographic
+    * min(struct(dist2, c)) AGGREGATE — partial min runs map-side, so
+    * the shuffle carries one row per vector instead of pushing all
+    * n×ncells rows through a window sort. nprobe>1 keeps the window
+    * (needs the k-th smallest, not just the min). */
   private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
-    q.crossJoin(broadcast(cents))
+    val crossed = q.crossJoin(broadcast(cents))
       .withColumn("dist2", SqDistLong(col("q"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
+    if (nprobe == 1)
+      crossed.groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("c"))).as("m"),
+          first(col("q")).as("q"), first(col("norm2")).as("norm2"))
+        .select(col("vec_id"), col("m.c").as("cell"), col("q"), col("norm2"))
+    else {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
+      crossed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
+    }
   }
 
   private def centsSqlFrom(ncExpr: String): String =
@@ -208,14 +220,14 @@ object Similarity {
         .orderBy("vec_id")
     },
 
-    // k-means assignment step against fixed deterministic centroids.
+    // k-means assignment step against fixed deterministic centroids —
+    // argmin as a map-side-partial min(struct) aggregate, not a window.
     "d13_knn_centroid" -> { (s, dir) =>
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
       Corpus.qvecs(s, dir).crossJoin(broadcast(centroids(s, 8)))
         .withColumn("dist2", SqDistLong(col("q"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c").as("centroid"), col("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("c"))).as("m"))
+        .select(col("vec_id"), col("m.c").as("centroid"), col("m.dist2").as("dist2"))
         .orderBy("vec_id")
     },
 

@@ -108,8 +108,10 @@ object TextAnalysis {
     // TF-IDF top terms: tf × (N/df) with a RATIONAL idf — log() is not
     // bit-stable across engines' libm, but tf·N/df ranks identically
     // (log is monotone) and divides exact integers → bit-identical
-    // doubles. Shuffles: one per-doc-word agg, one small df agg
-    // (broadcast), a broadcast scalar N — no all-pairs anything.
+    // doubles. Shuffles: one per-doc-word agg, a word-keyed df join
+    // (NO broadcast hint — the vocabulary is unbounded at 100 TB, so
+    // Catalyst must stay free to shuffle it; it auto-broadcasts small
+    // vocabularies anyway), and a broadcast scalar N.
     "d19_tfidf" -> { (s, dir) =>
       val docs = Corpus.docs(s, dir)
       val wa = docs.select(col("doc_id"), explode(col("ws")).as("w"))
@@ -118,7 +120,7 @@ object TextAnalysis {
         .groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
-      tf.join(broadcast(dfreq), Seq("w"))
+      tf.join(dfreq, Seq("w"))
         .crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))

@@ -70,12 +70,14 @@ class EventStreamSpec extends SparkSpec {
     val q = EventStream.runToMemory(spark, sf, "graft_s06_test",
       df => EventStream.enrich(df, Tables.nation(spark, sf)))
     q.awaitTermination(120000)
-    val streamed = spark.table("graft_s06_test")
-    val batch = EventStream.enrich(
-      Tables.events(spark, sf), Tables.nation(spark, sf))
-    assert(streamed.count() == batch.count())
-    assert(streamed.select("n_name").distinct().count()
-      == batch.select("n_name").distinct().count())
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = pairs(spark.table("graft_s06_test"))
+    val batch = pairs(EventStream.enrich(
+      Tables.events(spark, sf), Tables.nation(spark, sf)))
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
   }
 
   test("streaming dedup emits at most one row per key") {
