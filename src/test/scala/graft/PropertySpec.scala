@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CharCountsKernel, Hash32Kernel}
+
+/** Property-style checks (seeded, deterministic) of the pure kernels
+  * and the mathematical guarantees the scale paths rely on. */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(0x67726166L) // "graf"
+
+  /** d05's band split: 11 + 11 + 10 bits of a 32-bit fingerprint. */
+  private def bands(fp: Long): Seq[Long] =
+    Seq(fp & 2047L, (fp >> 11) & 2047L, (fp >> 22) & 1023L)
+
+  test("pigeonhole: hamming <= 2 implies at least one identical band") {
+    // the exact-recall guarantee d05's equi-join banding rests on:
+    // flipping at most 2 of 32 bits can touch at most 2 of 3 bands
+    (1 to 2000).foreach { _ =>
+      val fp = rnd.nextLong() & 0xffffffffL
+      val flipped = fp ^ (1L << rnd.nextInt(32)) ^ (1L << rnd.nextInt(32))
+      val shared = bands(fp).zip(bands(flipped)).count { case (a, b) => a == b }
+      assert(shared >= 1, f"fp=$fp%08x flipped=$flipped%08x")
+    }
+  }
+
+  private def randomString(): String = {
+    val pools = Seq("abcXYZ 0123", "!?,;-—©é日本", " \t\nmixed 42 ©")
+    val pool = pools(rnd.nextInt(pools.length))
+    (1 to rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+  }
+
+  test("CharCountsKernel equals the code-point reference on arbitrary strings") {
+    (1 to 500).foreach { _ =>
+      val s = randomString()
+      val Array(digits, punct) = CharCountsKernel.compute(s.getBytes("UTF-8"))
+      val expDigits = s.codePoints().filter(c => c >= '0' && c <= '9').count()
+      val expPunct = s.codePoints().filter(c =>
+        !(c >= '0' && c <= '9') && !(c >= 'a' && c <= 'z')
+          && !(c >= 'A' && c <= 'Z') && c != ' ').count()
+      assert(digits == expDigits, s"digits of '${s.take(40)}'")
+      assert(punct == expPunct, s"punct of '${s.take(40)}'")
+    }
+  }
+
+  test("Hash32Kernel is an unsigned 32-bit value, stable across calls") {
+    (1 to 500).foreach { _ =>
+      val bytes = randomString().getBytes("UTF-8")
+      val h = Hash32Kernel.compute(bytes)
+      assert(h >= 0L && h <= 0xffffffffL)
+      assert(h == Hash32Kernel.compute(bytes)) // thread-local digest reset
+    }
+  }
+
+  test("lshBits/ivfCells are monotone and bounded") {
+    import graft.operators.Similarity
+    (1 to 2000).foreach { _ =>
+      val x = math.abs(rnd.nextLong() % (1L << 50)) + 1
+      val y = math.abs(rnd.nextLong() % (1L << 50)) + 1
+      val (lo, hi) = (math.min(x, y), math.max(x, y))
+      assert(Similarity.lshBits(lo) <= Similarity.lshBits(hi))
+      assert(Similarity.ivfCells(lo) <= Similarity.ivfCells(hi))
+      assert(Similarity.lshBits(lo) >= 4)
+      assert(Similarity.ivfCells(lo) >= 1)
+    }
+  }
+}
