@@ -20,6 +20,39 @@ object Backup {
 
   private val cte = BackupLedger.oracleCte
 
+  // ---- shared deterministic models (b15/b16/b20) -------------------
+
+  /** Spark SQL for the sorted-token-list md5 of a node (8 vnode tokens;
+    * the restore target's list has one token "moved" for node%5==0). */
+  private def tokenHashSpark(target: Boolean): String = {
+    val tok = "CAST(conv(substr(md5(concat('tok', CAST(node_id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG)"
+    val moved = "CAST(conv(substr(md5(concat('moved', CAST(node_id AS STRING))), 1, 8), 16, 10) AS LONG)"
+    val elem = if (target) s"CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END" else tok
+    s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> $elem)), x -> CAST(x AS STRING))))"
+  }
+
+  /** DuckDB twin of [[tokenHashSpark]]. */
+  private def tokenHashDuck(target: Boolean): String = {
+    val tok = "CAST(concat('0x', substr(md5(concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
+    val moved = "CAST(concat('0x', substr(md5(concat('moved', CAST(node_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    val elem = if (target) s"CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END" else tok
+    s"md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $elem)), x -> CAST(x AS VARCHAR)), ','))"
+  }
+
+  /** Per-(node, snapshot) schema version: weekly rolls, node%7==0 lags
+    * a week (mirrors ClusterSchemaVersions disagreement). */
+  private val schemaVerSpark: String = {
+    val wk = "(datediff(snapshot_day, DATE '2020-01-01') div 7)"
+    s"concat('v', substr(md5(concat('schema', CAST(CASE WHEN node_id % 7 = 0 THEN $wk - 1 ELSE $wk END AS STRING))), 1, 6))"
+  }
+
+  private val schemaVerDuck: String =
+    """concat('v', substr(md5(concat('schema',
+      |      CAST(CASE WHEN node_id % 7 = 0
+      |           THEN (date_diff('day', DATE '2020-01-01', snapshot_day) // 7) - 1
+      |           ELSE date_diff('day', DATE '2020-01-01', snapshot_day) // 7
+      |      END AS VARCHAR))), 1, 6))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // esop `AllManifestsReport.report` (Manifest.java:595-700):
@@ -238,13 +271,9 @@ object Backup {
     // projection over snapshots, no shuffle. Node ids divisible by 5
     // have "moved" (one token replaced) to exercise the mismatch path.
     "b15_token_check" -> { (s, dir) =>
-      val tok = "CAST(conv(substr(md5(concat('tok', CAST(node_id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG)"
-      val moved = "CAST(conv(substr(md5(concat('moved', CAST(node_id AS STRING))), 1, 8), 16, 10) AS LONG)"
       snapshots(s, dir)
-        .withColumn("backup_hash", expr(
-          s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> $tok)), x -> CAST(x AS STRING))))"))
-        .withColumn("target_hash", expr(
-          s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS STRING))))"))
+        .withColumn("backup_hash", expr(tokenHashSpark(target = false)))
+        .withColumn("target_hash", expr(tokenHashSpark(target = true)))
         .withColumn("tokens_match",
           when(col("backup_hash") === col("target_hash"), 1).otherwise(0))
         .select("node_id", "snapshot_day", "backup_hash", "target_hash", "tokens_match")
@@ -257,10 +286,8 @@ object Backup {
     // schema version. Versions roll weekly; nodes divisible by 7 lag a
     // week behind — per snapshot: distinct-version count + agree flag.
     "b16_schema_versions" -> { (s, dir) =>
-      val wk = "(datediff(snapshot_day, DATE '2020-01-01') div 7)"
       snapshots(s, dir)
-        .withColumn("sv", expr(
-          s"concat('v', substr(md5(concat('schema', CAST(CASE WHEN node_id % 7 = 0 THEN $wk - 1 ELSE $wk END AS STRING))), 1, 6))"))
+        .withColumn("sv", expr(schemaVerSpark))
         .groupBy("snapshot_day")
         .agg(
           countDistinct(col("sv")).as("n_versions"),
@@ -316,6 +343,33 @@ object Backup {
           countDistinct(col("node_parsed")).as("n_nodes"),
           count(when(col("node_parsed") === col("node_id"), lit(1))).as("n_parse_ok"))
         .orderBy("keyspace", "table_name")
+    },
+
+    // The esop go/no-go question a restore starts with — composition of
+    // the three gates esop checks before touching data: manifest hash
+    // integrity (HashServiceImpl), token-ring equality
+    // (Manifest.hasSameTokens) and cluster schema agreement
+    // (ClusterSchemaVersions). One row per snapshot with the violation
+    // counts and a ready flag; three single-pass aggs joined on the
+    // tiny snapshot_day key.
+    "b20_restore_readiness" -> { (s, dir) =>
+      val hash = manifest(s, dir).groupBy("snapshot_day")
+        .agg(count(when(col("upload_hash") =!= col("download_hash"), lit(1)))
+          .as("n_hash_mismatch"))
+      val tok = snapshots(s, dir)
+        .withColumn("bh", expr(tokenHashSpark(target = false)))
+        .withColumn("th", expr(tokenHashSpark(target = true)))
+        .groupBy("snapshot_day")
+        .agg(count(when(col("bh") =!= col("th"), lit(1))).as("n_token_mismatch"))
+      val sch = snapshots(s, dir)
+        .withColumn("sv", expr(schemaVerSpark))
+        .groupBy("snapshot_day")
+        .agg(countDistinct(col("sv")).as("n_versions"))
+      hash.join(tok, Seq("snapshot_day")).join(sch, Seq("snapshot_day"))
+        .withColumn("ready",
+          when(col("n_hash_mismatch") === 0 && col("n_token_mismatch") === 0
+            && col("n_versions") === 1, 1).otherwise(0))
+        .orderBy("snapshot_day")
     },
 
     // esop `RestorationStrategy` snapshot resolution: each restore request
@@ -468,26 +522,40 @@ object Backup {
         |  AND NOT EXISTS (SELECT 1 FROM inv WHERE inv.object_key = m.object_key)
         |ORDER BY object_key""".stripMargin),
 
-    "b15_token_check" -> (cte + {
-      val tok = "CAST(concat('0x', substr(md5(concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
-      val moved = "CAST(concat('0x', substr(md5(concat('moved', CAST(node_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    "b15_token_check" -> (cte +
       s"""SELECT node_id, snapshot_day,
-         |  md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $tok)), x -> CAST(x AS VARCHAR)), ',')) AS backup_hash,
-         |  md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS VARCHAR)), ',')) AS target_hash,
-         |  CASE WHEN md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $tok)), x -> CAST(x AS VARCHAR)), ','))
-         |          = md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END)), x -> CAST(x AS VARCHAR)), ','))
+         |  ${tokenHashDuck(target = false)} AS backup_hash,
+         |  ${tokenHashDuck(target = true)} AS target_hash,
+         |  CASE WHEN ${tokenHashDuck(target = false)}
+         |          = ${tokenHashDuck(target = true)}
          |       THEN 1 ELSE 0 END AS tokens_match
-         |FROM snapshots ORDER BY node_id, snapshot_day""".stripMargin
-    }),
+         |FROM snapshots ORDER BY node_id, snapshot_day""".stripMargin),
+
+    "b20_restore_readiness" -> (cte +
+      s""", h AS (
+         |  SELECT snapshot_day,
+         |    COUNT(CASE WHEN upload_hash <> download_hash THEN 1 END) AS n_hash_mismatch
+         |  FROM manifest GROUP BY snapshot_day
+         |),
+         |t AS (
+         |  SELECT snapshot_day,
+         |    COUNT(CASE WHEN ${tokenHashDuck(target = false)}
+         |               <> ${tokenHashDuck(target = true)} THEN 1 END) AS n_token_mismatch
+         |  FROM snapshots GROUP BY snapshot_day
+         |),
+         |sc AS (
+         |  SELECT snapshot_day, COUNT(DISTINCT $schemaVerDuck) AS n_versions
+         |  FROM snapshots GROUP BY snapshot_day
+         |)
+         |SELECT h.snapshot_day, h.n_hash_mismatch, t.n_token_mismatch, sc.n_versions,
+         |  CASE WHEN h.n_hash_mismatch = 0 AND t.n_token_mismatch = 0 AND sc.n_versions = 1
+         |       THEN 1 ELSE 0 END AS ready
+         |FROM h JOIN t USING (snapshot_day) JOIN sc USING (snapshot_day)
+         |ORDER BY snapshot_day""".stripMargin),
 
     "b16_schema_versions" -> (cte +
-      """, sv AS (
-        |  SELECT snapshot_day, node_id,
-        |    concat('v', substr(md5(concat('schema',
-        |      CAST(CASE WHEN node_id % 7 = 0
-        |           THEN (date_diff('day', DATE '2020-01-01', snapshot_day) // 7) - 1
-        |           ELSE date_diff('day', DATE '2020-01-01', snapshot_day) // 7
-        |      END AS VARCHAR))), 1, 6)) AS sv
+      s""", sv AS (
+        |  SELECT snapshot_day, node_id, $schemaVerDuck AS sv
         |  FROM snapshots
         |)
         |SELECT snapshot_day, COUNT(DISTINCT sv) AS n_versions,

@@ -72,8 +72,19 @@ object Dedup {
     "d02_dedup_ngram" -> { (s, dir) =>
       val g = Corpus.grams(s, dir)
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = g.toDF("a_id", "gram")
-      val b = g.toDF("b_id", "gram")
+      // exact pruning: a gram held by ONE doc can never be shared, so
+      // it contributes nothing to |∩| — and |∪| comes from the full
+      // per-doc sizes above, so dropping df=1 grams before the
+      // quadratic self-join changes nothing in the output while
+      // shrinking the join input to the shareable minority (most
+      // shingles are unique in a natural corpus). Same groupBy key as
+      // the join itself, so the exchange feeds both.
+      val shareable = g.groupBy("gram")
+        .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
+        .select("gram")
+      val gf = g.join(shareable, Seq("gram"))
+      val a = gf.toDF("gram", "a_id")
+      val b = gf.toDF("gram", "b_id")
       a.join(b, Seq("gram"))
         .filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
