@@ -169,6 +169,22 @@ object EventStream {
       .parquet(dir))
   }
 
+  /** Run `transform` over the event stream into partitioned parquet via
+    * foreachBatch — the production durable-sink pattern: each
+    * micro-batch lands through the same IO writer the batch side uses
+    * (idempotent per batch-id path, so replays after failure overwrite
+    * rather than duplicate). */
+  def runToParquet(s: SparkSession, dir: String, outDir: String,
+      transform: DataFrame => DataFrame): StreamingQuery =
+    transform(readEventsStream(s, dir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.IO.writeParquet(batch, s"$outDir/batch_$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run `transform` over the event stream into an in-memory sink,
     * processing all available input (test/CI harness). */
   def runToMemory(s: SparkSession, dir: String, name: String,

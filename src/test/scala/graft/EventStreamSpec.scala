@@ -80,6 +80,17 @@ class EventStreamSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("foreachBatch parquet sink lands every event durably") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val q = EventStream.runToParquet(spark, sf, tmp, identity)
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(s"$tmp/batch_0")
+    val src = Tables.events(spark, sf)
+    assert(landed.count() == src.count())
+    // checkpoint written → a restarted query would resume, not replay
+    assert(new java.io.File(s"$tmp/_checkpoint").isDirectory)
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventStream.runToMemory(spark, sf, "graft_s02_test",
       EventStream.dedupStream)
