@@ -70,6 +70,11 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join for the pair stream:\n$p")
   }
 
+  test("b04 incremental diff plans a left-anti join (never set-difference materialization)") {
+    val p = plan("b04_snapshot_diff")
+    assert(p.contains("LeftAnti"), s"no anti-join:\n$p")
+  }
+
   test("ANN hash/cell spaces scale with input size (no fixed constants)") {
     import graft.operators.Similarity
     // LSH: bits per table track log2(n) so bucket occupancy stays ~2^4
