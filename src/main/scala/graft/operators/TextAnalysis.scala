@@ -131,19 +131,22 @@ object TextAnalysis {
     },
 
     // KMV (k-minimum-values) distinct-count sketch: est = (k−1)·2³²/h_k
-    // where h_k is the k-th smallest hash. Unlike HLL (whose registers
-    // differ per implementation), KMV is exactly mirrorable across
-    // engines — the sketch itself is just a bounded top-k over hashes
-    // (TakeOrdered, no global sort), the merge at 100 TB is a k-sized
-    // min-merge per partition.
+    // where h_k is the k-th smallest distinct hash. Unlike HLL (whose
+    // registers differ per implementation), KMV is exactly mirrorable
+    // across engines. The dedup happens on the 8-byte HASH, not the
+    // word: map-side partial distinct dedupes within partitions — which
+    // IS the distributed KMV merge — and the shuffle carries narrow
+    // long rows; TakeOrdered then picks the k smallest without a
+    // global sort. (n_exact is computed only to report sketch error.)
     "d20_kmv_sketch" -> { (s, dir) =>
       val k = 64
-      val words = Corpus.docs(s, dir)
-        .select(explode(col("ws")).as("w")).distinct()
-      val kth = words.select(hash32(col("w")).as("h"))
+      val hashes = Corpus.docs(s, dir)
+        .select(explode(col("ws")).as("w"))
+        .select(hash32(col("w")).as("h")).distinct()
+      val kth = hashes
         .orderBy("h").limit(k)
         .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"))
-      val exact = words.agg(count(lit(1)).as("n_exact"))
+      val exact = hashes.agg(count(lit(1)).as("n_exact"))
       kth.crossJoin(broadcast(exact))
         .withColumn("est_distinct",
           lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
@@ -258,10 +261,10 @@ object TextAnalysis {
 
     "d20_kmv_sketch" -> (Corpus.docsCte + {
       val h = Corpus.hash32Sql("w")
-      s""", wd AS (SELECT DISTINCT w FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),
-         |hs AS (SELECT $h AS h FROM wd ORDER BY h LIMIT 64),
+      s""", hd AS (SELECT DISTINCT $h AS h FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),
+         |hs AS (SELECT h FROM hd ORDER BY h LIMIT 64),
          |kth AS (SELECT CAST(max(h) AS BIGINT) AS h_k, count(1) AS k_actual FROM hs),
-         |ex AS (SELECT count(1) AS n_exact FROM wd)
+         |ex AS (SELECT count(1) AS n_exact FROM hd)
          |SELECT k_actual, h_k,
          |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_exact
          |FROM kth, ex""".stripMargin

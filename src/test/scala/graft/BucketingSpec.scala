@@ -31,4 +31,22 @@ class BucketingSpec extends SparkSpec {
       assert(exchanges == 0, s"bucketed join still shuffled:\n$finalPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ledger materialized bucketed by object_key makes ref-count windows exchange-free") {
+    // the 100 TB deployment shape for §2.B: persist the manifest ONCE,
+    // bucketed on object_key — every ref-count/diff operator (b05/b13
+    // style windows and joins on the key) then reads pre-partitioned
+    // data and plans ZERO exchanges before the window
+    val m = graft.model.BackupLedger.manifest(spark, sf)
+    IO.writeBucketed(m, "graft_manifest_b", "object_key", 8)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("object_key")
+    val refs = spark.table("graft_manifest_b")
+      .withColumn("n_refs", count(lit(1)).over(w))
+      .filter(col("n_refs") === 1)
+    refs.collect()
+    val p = refs.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange hashpartitioning(object_key"),
+      s"window still shuffled over the bucketed table:\n$finalPlan")
+  }
 }
