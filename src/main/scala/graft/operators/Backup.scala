@@ -356,16 +356,17 @@ object Backup {
       val hash = manifest(s, dir).groupBy("snapshot_day")
         .agg(count(when(col("upload_hash") =!= col("download_hash"), lit(1)))
           .as("n_hash_mismatch"))
-      val tok = snapshots(s, dir)
+      // token + schema checks share ONE pass over snapshots — separate
+      // aggs would recompute the manifest dedupe window per branch
+      val snap = snapshots(s, dir)
         .withColumn("bh", expr(tokenHashSpark(target = false)))
         .withColumn("th", expr(tokenHashSpark(target = true)))
-        .groupBy("snapshot_day")
-        .agg(count(when(col("bh") =!= col("th"), lit(1))).as("n_token_mismatch"))
-      val sch = snapshots(s, dir)
         .withColumn("sv", expr(schemaVerSpark))
         .groupBy("snapshot_day")
-        .agg(countDistinct(col("sv")).as("n_versions"))
-      hash.join(tok, Seq("snapshot_day")).join(sch, Seq("snapshot_day"))
+        .agg(
+          count(when(col("bh") =!= col("th"), lit(1))).as("n_token_mismatch"),
+          countDistinct(col("sv")).as("n_versions"))
+      hash.join(snap, Seq("snapshot_day"))
         .withColumn("ready",
           when(col("n_hash_mismatch") === 0 && col("n_token_mismatch") === 0
             && col("n_versions") === 1, 1).otherwise(0))

@@ -77,12 +77,13 @@ object Dedup {
       // per-doc sizes above, so dropping df=1 grams before the
       // quadratic self-join changes nothing in the output while
       // shrinking the join input to the shareable minority (most
-      // shingles are unique in a natural corpus). Same groupBy key as
-      // the join itself, so the exchange feeds both.
-      val shareable = g.groupBy("gram")
-        .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
-        .select("gram")
-      val gf = g.join(shareable, Seq("gram"))
+      // shingles are unique in a natural corpus). The count is a
+      // window over the SAME pass (a groupBy + join-back would rescan
+      // and re-shuffle the gram explode), and it pre-partitions the
+      // rows on the self-join key.
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      val gf = g.withColumn("gc", count(lit(1)).over(wG))
+        .filter(col("gc") > 1).select("gram", "doc_id")
       val a = gf.toDF("gram", "a_id")
       val b = gf.toDF("gram", "b_id")
       a.join(b, Seq("gram"))

@@ -137,7 +137,9 @@ object TextAnalysis {
     // word: map-side partial distinct dedupes within partitions — which
     // IS the distributed KMV merge — and the shuffle carries narrow
     // long rows; TakeOrdered then picks the k smallest without a
-    // global sort. (n_exact is computed only to report sketch error.)
+    // global sort. The error baseline is the distinct-HASH count
+    // (named honestly: ~n²/2³³ birthday collisions below the true
+    // distinct-word count at large n).
     "d20_kmv_sketch" -> { (s, dir) =>
       val k = 64
       val hashes = Corpus.docs(s, dir)
@@ -146,11 +148,11 @@ object TextAnalysis {
       val kth = hashes
         .orderBy("h").limit(k)
         .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"))
-      val exact = hashes.agg(count(lit(1)).as("n_exact"))
+      val exact = hashes.agg(count(lit(1)).as("n_distinct_hashes"))
       kth.crossJoin(broadcast(exact))
         .withColumn("est_distinct",
           lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
-        .select("k_actual", "h_k", "est_distinct", "n_exact")
+        .select("k_actual", "h_k", "est_distinct", "n_distinct_hashes")
     },
 
     // End-to-end training-set selection: the composition a real corpus
@@ -264,9 +266,9 @@ object TextAnalysis {
       s""", hd AS (SELECT DISTINCT $h AS h FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),
          |hs AS (SELECT h FROM hd ORDER BY h LIMIT 64),
          |kth AS (SELECT CAST(max(h) AS BIGINT) AS h_k, count(1) AS k_actual FROM hs),
-         |ex AS (SELECT count(1) AS n_exact FROM hd)
+         |ex AS (SELECT count(1) AS n_distinct_hashes FROM hd)
          |SELECT k_actual, h_k,
-         |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_exact
+         |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_distinct_hashes
          |FROM kth, ex""".stripMargin
     }),
 

@@ -84,7 +84,9 @@ class EventStreamSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val q = EventStream.runToParquet(spark, sf, tmp, identity)
     q.awaitTermination(120000)
-    val landed = spark.read.parquet(s"$tmp/batch_0")
+    // glob over ALL batch dirs: AvailableNow may split multi-file
+    // sources into several micro-batches; durability = union matches
+    val landed = spark.read.parquet(s"$tmp/batch_*")
     val src = Tables.events(spark, sf)
     assert(landed.count() == src.count())
     // checkpoint written → a restarted query would resume, not replay
