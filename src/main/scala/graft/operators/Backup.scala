@@ -345,6 +345,25 @@ object Backup {
         .orderBy("keyspace", "table_name")
     },
 
+    // esop bandwidth throttling (measure/DataRate.java,
+    // impl/backup/Backuper.java --bandwidth): plan one snapshot's
+    // uploads against a fixed rate budget — per-file transfer seconds
+    // (ceil(size/rate)) and each node's running finish offset (nodes
+    // upload their own files sequentially, in deterministic key order).
+    // One bounded per-node window over one manifest pass.
+    "b21_bandwidth_plan" -> { (s, dir) =>
+      val rate = 25.0
+      val w = Window.partitionBy("node_id").orderBy("object_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      manifest(s, dir)
+        .filter(col("snapshot_day") === lit("2024-01-10").cast("date"))
+        .withColumn("est_sec", ceil(asDouble(col("size")) / rate).cast("long"))
+        .withColumn("finish_offset_sec", sum(col("est_sec")).over(w))
+        .select(col("node_id"), col("object_key"),
+          asDouble(col("size")).as("size"), col("est_sec"), col("finish_offset_sec"))
+        .orderBy("node_id", "object_key")
+    },
+
     // The esop go/no-go question a restore starts with — composition of
     // the three gates esop checks before touching data: manifest hash
     // integrity (HashServiceImpl), token-ring equality
@@ -531,6 +550,15 @@ object Backup {
          |          = ${tokenHashDuck(target = true)}
          |       THEN 1 ELSE 0 END AS tokens_match
          |FROM snapshots ORDER BY node_id, snapshot_day""".stripMargin),
+
+    "b21_bandwidth_plan" -> (cte +
+      """SELECT node_id, object_key, CAST(size AS DOUBLE) AS size,
+        |  CAST(CEIL(CAST(size AS DOUBLE) / 25.0) AS BIGINT) AS est_sec,
+        |  CAST(SUM(CAST(CEIL(CAST(size AS DOUBLE) / 25.0) AS BIGINT))
+        |    OVER (PARTITION BY node_id ORDER BY object_key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS finish_offset_sec
+        |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
+        |ORDER BY node_id, object_key""".stripMargin),
 
     "b20_restore_readiness" -> (cte +
       s""", h AS (
