@@ -37,7 +37,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch { case _: Throwable => false }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }

@@ -31,12 +31,19 @@ abstract class LongVecKernel extends BinaryExpression {
   protected def combine(x: String, y: String): String
   protected def combineEval(x: Long, y: Long): Long
 
+  // Null ELEMENTS are skipped (contribute nothing) — defined behavior
+  // for the registered SQL functions, matching SimHash32's guard;
+  // graft's quantized vectors never contain nulls.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L; var i = 0
-    while (i < n) { acc += combineEval(x.getLong(i), y.getLong(i)); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += combineEval(x.getLong(i), y.getLong(i))
+      i += 1
+    }
     acc
   }
 
@@ -49,6 +56,7 @@ abstract class LongVecKernel extends BinaryExpression {
         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |long $acc = 0L;
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
         |  final long $xi = $a.getLong($i);
         |  final long $yi = $b.getLong($i);
         |  $acc += ${combine(xi, yi)};

@@ -28,21 +28,9 @@ package object functions {
     * bytes big-endian — identical value, no hex round-trip). */
   def hash32(c: Column): Column = Hash32(c)
 
-  /** Seeded variant — a cheap universal-hash family for MinHash.
-    * DuckDB: CAST(concat('0x', substr(md5(concat('s', i, '#', x)), 1, 8)) AS BIGINT). */
-  def hash32Seeded(seed: Int, c: Column): Column =
-    hash32(concat(lit("s" + seed + "#"), c))
-
   /** Lowercase, strip non [a-z0-9 ], collapse runs of spaces, trim.
     * DuckDB: trim(regexp_replace(regexp_replace(lower(x),
     *   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')). */
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
-
-  /** Words of normalized text. DuckDB: string_split(x, ' '). */
-  def words(c: Column): Column = split(normText(c), " ")
-
-  /** Seconds since epoch (truncating). DuckDB:
-    * CAST(FLOOR(epoch(ts)) AS BIGINT). */
-  def epochSec(c: Column): Column = unix_timestamp(c)
 }

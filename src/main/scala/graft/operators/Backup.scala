@@ -20,6 +20,10 @@ object Backup {
 
   private val cte = BackupLedger.oracleCte
 
+  /** Per-(JVM, sf dir) synthetic remote-inventory locations (b18). */
+  private val inventoryPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---- shared deterministic models (b15/b16/b20) -------------------
 
   /** Spark SQL for the sorted-token-list md5 of a node (8 vnode tokens;
@@ -31,10 +35,13 @@ object Backup {
     s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> $elem)), x -> CAST(x AS STRING))))"
   }
 
-  /** DuckDB twin of [[tokenHashSpark]]. */
+  /** DuckDB twin of [[tokenHashSpark]] — hash members come from the
+    * single shared [[graft.model.Corpus.hash32Sql]] definition. */
   private def tokenHashDuck(target: Boolean): String = {
-    val tok = "CAST(concat('0x', substr(md5(concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
-    val moved = "CAST(concat('0x', substr(md5(concat('moved', CAST(node_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    val tok = graft.model.Corpus.hash32Sql(
+      "concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))")
+    val moved = graft.model.Corpus.hash32Sql(
+      "concat('moved', CAST(node_id AS VARCHAR))")
     val elem = if (target) s"CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END" else tok
     s"md5(array_to_string(list_transform(list_sort(list_transform(range(0, 8), i -> $elem)), x -> CAST(x AS VARCHAR)), ','))"
   }
@@ -203,11 +210,13 @@ object Backup {
     // esop remove-oldest (RemoveBackupOperation.java:170-200, the
     // "oldest" selector): the oldest backup's entries, each flagged
     // deletable when no other snapshot references its key (same
-    // ref-count window as b05, one manifest pass + a broadcast scalar).
+    // ref-count window as b05, ONE manifest pass + a broadcast scalar —
+    // the scalar comes off the raw ledger, whose day set is identical,
+    // so the manifest dedupe window never runs twice).
     "b13_remove_oldest" -> { (s, dir) =>
       val w = Window.partitionBy("object_key")
       val m = manifest(s, dir).withColumn("n_refs", count(lit(1)).over(w))
-      val oldest = manifest(s, dir).agg(min(col("snapshot_day")).as("oldest_day"))
+      val oldest = ledger(s, dir).agg(min(col("snapshot_day")).as("oldest_day"))
       m.join(broadcast(oldest), m("snapshot_day") === oldest("oldest_day"))
         .select(
           col("object_key"), col("node_id"),
@@ -248,11 +257,12 @@ object Backup {
         .select("object_key").distinct()
         .unionAll(s.range(0, 5).select(
           concat(lit("phantom/obj_"), col("id").cast("string")).as("object_key")))
-      // fresh dir per construction: a fixed shared path would let a
-      // concurrent Verify/Bench/test overwrite the listing between this
-      // query's (eager) write and its lazy execution
-      val invPath = java.nio.file.Files
-        .createTempDirectory("graft_remote_inventory").resolve("inv").toString
+      // one temp dir per (JVM, sf dir), cached: unique across processes
+      // (no cross-run overwrite race), idempotent Overwrite within the
+      // JVM, and bounded — repeated constructions don't accumulate dirs
+      val invPath = Backup.inventoryPaths.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft_remote_inventory")
+          .resolve("inv").toString)
       graft.sources.IO.writeParquet(listing, invPath)
       val remote = graft.sources.IO.readParquet(s, invPath)
       manifest(s, dir)

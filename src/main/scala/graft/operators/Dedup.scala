@@ -71,7 +71,15 @@ object Dedup {
     // Word-3-gram Jaccard near-dup pairs (|∩|/|∪| ≥ 0.5).
     "d02_dedup_ngram" -> { (s, dir) =>
       val g = Corpus.grams(s, dir)
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // per-doc gram counts as a PER-ROW projection over docs (size of
+      // the distinct-shingle array) — a groupBy over the exploded gram
+      // rows would re-derive the whole explode lineage a second time
+      // just to count it
+      val sizes = Corpus.docs(s, dir)
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), size(array_distinct(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+        ))).cast("long").as("n"))
       // exact pruning: a gram held by ONE doc can never be shared, so
       // it contributes nothing to |∩| — and |∪| comes from the full
       // per-doc sizes above, so dropping df=1 grams before the

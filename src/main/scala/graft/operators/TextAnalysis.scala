@@ -151,7 +151,10 @@ object TextAnalysis {
       val exact = hashes.agg(count(lit(1)).as("n_distinct_hashes"))
       kth.crossJoin(broadcast(exact))
         .withColumn("est_distinct",
-          lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
+          // standard KMV: when the sketch isn't full the set IS exact
+          when(col("k_actual") < k, col("n_distinct_hashes").cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double")))
         .select("k_actual", "h_k", "est_distinct", "n_distinct_hashes")
     },
 
@@ -268,7 +271,9 @@ object TextAnalysis {
          |kth AS (SELECT CAST(max(h) AS BIGINT) AS h_k, count(1) AS k_actual FROM hs),
          |ex AS (SELECT count(1) AS n_distinct_hashes FROM hd)
          |SELECT k_actual, h_k,
-         |  63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) AS est_distinct, n_distinct_hashes
+         |  CASE WHEN k_actual < 64 THEN CAST(n_distinct_hashes AS DOUBLE)
+         |       ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS est_distinct,
+         |  n_distinct_hashes
          |FROM kth, ex""".stripMargin
     }),
 

@@ -15,36 +15,47 @@ import graft.functions.{CharCounts, CosineSim, DotLong, MinHash16, SimHash32, Sq
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Arity-checked builder: wrong-arity SQL calls get a diagnosable
+    * error naming the function, not an IndexOutOfBoundsException from
+    * inside resolution. */
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.length == arity,
+        s"$name expects $arity argument(s), got ${children.length}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))
+      checked("graft_cosine", 2)(c => CosineSim(c(0), c(1)))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
-      (children: Seq[Expression]) => DotLong(children(0), children(1))
+      checked("graft_dot_long", 2)(c => DotLong(c(0), c(1)))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_sqdist_long"),
       new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
-      (children: Seq[Expression]) => SqDistLong(children(0), children(1))
+      checked("graft_sqdist_long", 2)(c => SqDistLong(c(0), c(1)))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
-      (children: Seq[Expression]) => MinHash16(children(0))
+      checked("graft_minhash16", 1)(c => MinHash16(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
-      (children: Seq[Expression]) => CharCounts(children.head)
+      checked("graft_char_counts", 1)(c => CharCounts(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      (children: Seq[Expression]) => SimHash32(children.head)
+      checked("graft_simhash32", 1)(c => SimHash32(c.head))
     ))
     ext.injectOptimizerRule(_ => SelfDistanceElimination)
   }

@@ -20,10 +20,12 @@ object Tables {
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
   /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos-since-epoch (legacy nanosAsLong conf, set in [[graft.GraftSession]]
-    * and the driver mains) and truncate to microseconds — the same µs
-    * truncation DuckDB applies when reading ns parquet, so both engines
-    * see identical timestamps. */
+    * nanos-since-epoch (legacy nanosAsLong conf — set HERE as a session
+    * side effect, and defensively in [[graft.GraftSession.configure]])
+    * and truncate to microseconds — the same µs truncation DuckDB
+    * applies when reading ns parquet, so both engines see identical
+    * timestamps. Any new code path reading events.parquet must go
+    * through this loader. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, dir, "events")
