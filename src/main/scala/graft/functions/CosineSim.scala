@@ -35,15 +35,19 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  // Null elements are skipped in both slots (defined behavior for the
+  // registered SQL function; graft's embeddings never contain nulls).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+      }
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -59,6 +63,7 @@ case class CosineSim(left: Expression, right: Expression)
         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
         |  final double $xi = (double) $a.getFloat($i);
         |  final double $yi = (double) $b.getFloat($i);
         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
