@@ -33,15 +33,22 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two measured passes per query, min reported: the host is shared,
+    // and a transient co-tenant spike during a single pass would be
+    // indistinguishable from a plan regression
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(name, fn)
+      val b = if (a >= 0) timeOnce(name, fn) else -1.0
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
