@@ -35,15 +35,24 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
-  // Null elements are skipped in both slots (defined behavior for the
-  // registered SQL function; graft's embeddings never contain nulls).
+  /** Null elements are skipped in both slots (defined behavior for the
+    * registered SQL function); the per-element branch is only emitted
+    * when the input ArrayTypes can actually hold null elements — same
+    * policy as [[LongVecKernel]], keeping internal plans branch-free. */
+  private[graft] def mayContainNullElems: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val guarded = mayContainNullElems
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+      if (!guarded || (!x.isNullAt(i) && !y.isNullAt(i))) {
         val xi = x.getFloat(i).toDouble
         val yi = y.getFloat(i).toDouble
         dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -59,11 +68,14 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val guard =
+        if (mayContainNullElems) s"if ($a.isNullAt($i) || $b.isNullAt($i)) continue;"
+        else ""
       s"""
         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
+        |  $guard
         |  final double $xi = (double) $a.getFloat($i);
         |  final double $yi = (double) $b.getFloat($i);
         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;

@@ -31,12 +31,21 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_simhash32"
 
+  /** Null-element skipping is only paid when the input ArrayType can
+    * hold null elements (`split` yields containsNull=false, so graft's
+    * own fingerprint path runs guard-free; arbitrary SQL callers keep
+    * the defined skip-null behavior). */
+  private[graft] def mayContainNullElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any =
-    SimHash32Kernel.compute(input.asInstanceOf[ArrayData])
+    SimHash32Kernel.compute(input.asInstanceOf[ArrayData], mayContainNullElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash32Kernel.compute($c);")
+      s"${ev.value} = graft.functions.SimHash32Kernel.compute($c, $mayContainNullElems);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
@@ -48,14 +57,15 @@ object SimHash32 {
 }
 
 object SimHash32Kernel {
-  def compute(words: ArrayData): Long = {
+  def compute(words: ArrayData, guarded: Boolean): Long = {
     val cnt = new Array[Int](32)
     val n = words.numElements()
     var i = 0
     while (i < n) {
-      // skip null elements: graft_simhash32 is a public SQL function,
-      // so arbitrary arrays must not NPE the task
-      if (!words.isNullAt(i)) {
+      // skip null elements only when the static type allows them:
+      // graft_simhash32 is a public SQL function, so arbitrary arrays
+      // must not NPE the task — but typed-non-null inputs skip the branch
+      if (!guarded || !words.isNullAt(i)) {
         val h = Hash32Kernel.compute(words.getUTF8String(i).getBytes)
         var b = 0
         while (b < 32) {

@@ -42,11 +42,15 @@ object Corpus {
       ))).as("gram"))
 
   /** Quantized embeddings: vec_id, q (array<long>, round(x*1000)),
-    * norm2 (exact Σq², long). */
+    * norm2 (exact Σq², long). The lambda result is coalesced so `q` is
+    * typed ArrayType(..., containsNull=false) — the parquet embedding
+    * elements are nominally nullable, and without the coalesce every
+    * vector kernel downstream would re-emit its per-element null branch
+    * (see [[graft.functions.LongVecKernel.mayContainNullElems]]). */
   def qvecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("q", expr(
-        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG))"))
+        "transform(embedding, e -> coalesce(CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG), CAST(0 AS LONG)))"))
       .withColumn("norm2", expr(
         "aggregate(q, CAST(0 AS LONG), (acc, x) -> acc + x * x)"))
       .select("vec_id", "q", "norm2")

@@ -26,14 +26,17 @@ object Backup {
 
   // ---- shared deterministic models (b15/b16/b20) -------------------
 
-  /** Spark SQL for the sorted-token-list md5 of a node (8 vnode tokens;
-    * the restore target's list has one token "moved" for node%5==0). */
-  private def tokenHashSpark(target: Boolean): String = {
-    val tok = "CAST(conv(substr(md5(concat('tok', CAST(node_id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG)"
-    val moved = "CAST(conv(substr(md5(concat('moved', CAST(node_id AS STRING))), 1, 8), 16, 10) AS LONG)"
-    val elem = if (target) s"CASE WHEN node_id % 5 = 0 AND i = 0 THEN $moved ELSE $tok END" else tok
-    s"md5(concat_ws(',', transform(array_sort(transform(sequence(0, 7), i -> $elem)), x -> CAST(x AS STRING))))"
-  }
+  /** The node's 8-vnode token list, built ONCE per row (`toks`); the
+    * restore target's list replaces token 0 for node%5==0. Both the
+    * backup and target sorted-list md5s derive from this one array —
+    * r3 evaluated all 8 md5-derived tokens twice per row from scratch,
+    * making b15 the slowest §2.B query. */
+  private val tokenArraySpark: String =
+    "transform(sequence(0, 7), i -> CAST(conv(substr(md5(concat('tok', CAST(node_id AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG))"
+  private val targetTokensSpark: String =
+    "CASE WHEN node_id % 5 = 0 THEN concat(array(CAST(conv(substr(md5(concat('moved', CAST(node_id AS STRING))), 1, 8), 16, 10) AS LONG)), slice(toks, 2, 7)) ELSE toks END"
+  private def sortedListHash(arr: String): String =
+    s"md5(concat_ws(',', transform(array_sort($arr), x -> CAST(x AS STRING))))"
 
   /** DuckDB twin of [[tokenHashSpark]] — hash members come from the
     * single shared [[graft.model.Corpus.hash32Sql]] definition. */
@@ -282,8 +285,9 @@ object Backup {
     // have "moved" (one token replaced) to exercise the mismatch path.
     "b15_token_check" -> { (s, dir) =>
       snapshots(s, dir)
-        .withColumn("backup_hash", expr(tokenHashSpark(target = false)))
-        .withColumn("target_hash", expr(tokenHashSpark(target = true)))
+        .withColumn("toks", expr(tokenArraySpark))
+        .withColumn("backup_hash", expr(sortedListHash("toks")))
+        .withColumn("target_hash", expr(sortedListHash(targetTokensSpark)))
         .withColumn("tokens_match",
           when(col("backup_hash") === col("target_hash"), 1).otherwise(0))
         .select("node_id", "snapshot_day", "backup_hash", "target_hash", "tokens_match")
@@ -388,8 +392,9 @@ object Backup {
       // token + schema checks share ONE pass over snapshots — separate
       // aggs would recompute the manifest dedupe window per branch
       val snap = snapshots(s, dir)
-        .withColumn("bh", expr(tokenHashSpark(target = false)))
-        .withColumn("th", expr(tokenHashSpark(target = true)))
+        .withColumn("toks", expr(tokenArraySpark))
+        .withColumn("bh", expr(sortedListHash("toks")))
+        .withColumn("th", expr(sortedListHash(targetTokensSpark)))
         .withColumn("sv", expr(schemaVerSpark))
         .groupBy("snapshot_day")
         .agg(

@@ -221,13 +221,20 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // A TRUE correlated EXISTS — written as SQL so Catalyst's subquery
+    // rewriting (RewritePredicateSubquery) does the decorrelation into
+    // a left-semi join, rather than hand-writing the semi-join shape
+    // (PlanSpec asserts the planned semi-join survives).
     "q18_exists_corr" -> { (s, dir) =>
-      val c = Tables.customer(s, dir)
-      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
-      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_cust"))
-        .orderBy("c_mktsegment")
+      s.sql(s"""
+        SELECT c_mktsegment, count(1) AS n_cust
+        FROM parquet.`$dir/customer.parquet` c
+        WHERE EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet` o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
     },
 
     "q19_grouping_sets" -> { (s, dir) =>

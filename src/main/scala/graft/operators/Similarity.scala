@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{DotLong, SqDistLong}
 import graft.model.Corpus
-import graft.sources.Tables
 
 /** §2.C d06/d07/d12/d13/d15 — similarity search over embeddings.
   *
@@ -56,41 +55,51 @@ object Similarity {
     math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
 
   /** np SRP hyperplanes × 64 dims, components in [-1000, 1000],
-    * md5-derived so both engines generate identical planes. */
+    * md5-derived so both engines generate identical planes. Lambda
+    * results coalesced → containsNull=false → branch-free kernels. */
   private def planes(s: SparkSession, np: Int): DataFrame =
     s.range(0, np).select(col("id").cast("int").as("j"))
       .withColumn("r", expr(
         """transform(sequence(0, 63), i ->
-          |  CAST(conv(substr(md5(concat('rp', CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
+          |  coalesce(CAST(conv(substr(md5(concat('rp', CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000, CAST(0 AS LONG)))""".stripMargin))
 
   /** nc seed centroids × 64 dims, same deterministic family. */
-  private def centroids(s: SparkSession, nc: Long): DataFrame =
+  private[graft] def centroids(s: SparkSession, nc: Long): DataFrame =
     s.range(0, nc).select(col("id").cast("int").as("c"))
       .withColumn("cv", expr(
         """transform(sequence(0, 63), i ->
-          |  CAST(conv(substr(md5(concat('cent', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000)""".stripMargin))
+          |  coalesce(CAST(conv(substr(md5(concat('cent', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000, CAST(0 AS LONG)))""".stripMargin))
 
-  /** nprobe-nearest-centroid assignment (nprobe=1 is the d13 step):
-    * ties broken by cell id. The nprobe=1 path is a lexicographic
-    * min(struct(dist2, c)) AGGREGATE — partial min runs map-side, so
-    * the shuffle carries one row per vector instead of pushing all
-    * n×ncells rows through a window sort. nprobe>1 keeps the window
-    * (needs the k-th smallest, not just the min). */
-  private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int = 1): DataFrame = {
-    val crossed = q.crossJoin(broadcast(cents))
-      .withColumn("dist2", SqDistLong(col("q"), col("cv")))
-    if (nprobe == 1)
-      crossed.groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("c"))).as("m"),
-          first(col("q")).as("q"), first(col("norm2")).as("norm2"))
-        .select(col("vec_id"), col("m.c").as("cell"), col("q"), col("norm2"))
-    else {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c").asc)
-      crossed
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= nprobe)
-        .select(col("vec_id"), col("c").as("cell"), col("q"), col("norm2"))
-    }
+  /** Two-nearest-centroid assignment, fully shuffle-free on the vector
+    * stream: the centroid set is tiny (√n rows ≈ 16 MB of longs at
+    * n=10⁹), so it is collapsed to ONE broadcast array row and each
+    * vector FOLDS over it keeping the two best (dist2, cell)
+    * accumulators — a per-row projection. The r3 formulation pushed the
+    * full n×√n crossed stream through a row_number sort-window (one
+    * exchange carrying ~3×10¹³ rows at n=10⁹); this computes the same
+    * top-2 with zero exchanges between the embeddings scan and the cell
+    * assignment (asserted in PlanSpec).
+    *
+    * Tie-break matches ORDER BY (dist2 ASC, cell ASC): the centroid
+    * array is sorted by cell id and the fold uses strict `<`, so on
+    * equal distance the earlier cell keeps its rank. Output: one row
+    * per vector with `cell1` (nearest — the d13 argmin) and `cell2`
+    * (second-nearest; -1 when fewer than two centroids exist). */
+  private[graft] def assignTop2(q: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents
+      .agg(expr("array_sort(collect_list(struct(c, cv)))").as("cents"))
+    q.crossJoin(broadcast(centsArr))
+      .withColumn("top2", expr(
+        s"""aggregate(
+           |  transform(cents, ce -> named_struct('d', graft_sqdist_long(q, ce.cv), 'c', ce.c)),
+           |  named_struct('d1', CAST(${Long.MaxValue} AS LONG), 'c1', CAST(-1 AS INT),
+           |               'd2', CAST(${Long.MaxValue} AS LONG), 'c2', CAST(-1 AS INT)),
+           |  (acc, e) -> CASE
+           |    WHEN e.d < acc.d1 THEN named_struct('d1', e.d, 'c1', e.c, 'd2', acc.d1, 'c2', acc.c1)
+           |    WHEN e.d < acc.d2 THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'd2', e.d, 'c2', e.c)
+           |    ELSE acc END)""".stripMargin))
+      .select(col("vec_id"), col("q"), col("norm2"),
+        col("top2.c1").as("cell1"), col("top2.c2").as("cell2"))
   }
 
   private def centsSqlFrom(ncExpr: String): String =
@@ -109,7 +118,7 @@ object Similarity {
     * machinery for d07 (ANN search) and d17 (near-dup dedup). */
   private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     val q = Corpus.qvecs(s, dir)
-    val n = Tables.embeddings(s, dir).count() // planning-time stat
+    val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
     val bbits = lshBits(n)
     val pl = planes(s, LshTables * bbits)
       .withColumn("t", expr(s"CAST(j div $bbits AS INT)"))
@@ -236,23 +245,29 @@ object Similarity {
     // math in both engines), re-assign, then intra-cell top-3 with the
     // query side probing its nprobe=2 nearest cells (standard IVF
     // search: data lives in 1 cell, probes widen recall; a pair can
-    // meet in at most one cell, so no dedup is needed).
+    // meet in at most one cell, so no dedup is needed). Both the
+    // assignment and the probe selection come from ONE shuffle-free
+    // per-row top-2 fold over the broadcast centroid array
+    // ([[assignTop2]]) — data side takes cell1, query side explodes
+    // {cell1, cell2}.
     "d15_ann_ivf" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
-      val n = Tables.embeddings(s, dir).count() // planning-time stat
-      val assign0 = assignCells(q, centroids(s, ivfCells(n)))
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val assign0 = assignTop2(q, centroids(s, ivfCells(n)))
+        .select(col("vec_id"), col("cell1").as("cell"), col("q"))
       val cents1 = assign0
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
         .groupBy("cell", "pos")
         .agg(floor(sum(col("comp")).cast("double") / count(lit(1))).cast("long").as("cmp"))
         .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> x.cmp)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
         .select(col("cell").as("c"), col("cv"))
-      val assigned = assignCells(q, cents1)
-      val probes = assignCells(q, cents1, nprobe = 2)
-      val a = probes.select(col("vec_id").as("a_id"), col("cell"),
-        col("q").as("qa"), col("norm2").as("na"))
-      val b = assigned.select(col("vec_id").as("b_id"), col("cell"),
+      val ass = assignTop2(q, cents1)
+      val a = ass
+        .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+        .filter(col("cell") >= 0)
+      val b = ass.select(col("vec_id").as("b_id"), col("cell1").as("cell"),
         col("q").as("qb"), col("norm2").as("nb"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
       a.join(b, Seq("cell"))

@@ -119,6 +119,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("null-element guard is emitted only for nullable-element arrays") {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    // nullable-element inputs: guard stays (public SQL function safety)
+    val nullable = spark.sql(
+      "SELECT array(CAST(1 AS LONG), CAST(NULL AS LONG), CAST(3 AS LONG)) AS a")
+    val nExpr = graft.functions.DotLong(
+      GraftBridge.expression(nullable("a")), GraftBridge.expression(nullable("a")))
+    // non-null-element inputs (qvecs shape): branch-free loop
+    val q = graft.model.Corpus.qvecs(spark, sf)
+    assert(!q.schema("q").dataType.asInstanceOf[ArrayType].containsNull,
+      "qvecs.q must be typed containsNull=false — kernels re-grow their hot-loop guard otherwise")
+    assert(q.schema("q").dataType == ArrayType(LongType, containsNull = false))
+    val qe = GraftBridge.expression(q("q"))
+    assert(!graft.functions.DotLong(qe, qe).mayContainNullElems)
+    assert(!graft.functions.SqDistLong(qe, qe).mayContainNullElems)
+    assert(nExpr.mayContainNullElems)
+    // embeddings straight off parquet are nullable-element floats —
+    // CosineSim keeps its guard there, and drops it on split() words
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ee = GraftBridge.expression(emb("embedding"))
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    assert(graft.functions.CosineSim(ee, ee).mayContainNullElems)
+    val ws = graft.model.Corpus.docs(spark, sf)
+    assert(!graft.functions.SimHash32(GraftBridge.expression(ws("ws"))).mayContainNullElems)
+  }
+
+  test("guarded kernels still skip null elements (defined SQL behavior)") {
+    val out = spark.sql(
+      """SELECT graft_dot_long(array(CAST(2 AS LONG), CAST(NULL AS LONG), CAST(3 AS LONG)),
+        |                      array(CAST(5 AS LONG), CAST(7 AS LONG), CAST(NULL AS LONG))) AS d,
+        |       graft_simhash32(array('a', CAST(NULL AS STRING), 'b')) AS f,
+        |       graft_simhash32(array('a', 'b')) AS f2""".stripMargin).collect().head
+    assert(out.getLong(0) == 10L) // only index 0 contributes
+    assert(out.getLong(1) == out.getLong(2)) // null word skipped
+  }
+
   test("IO: parquet/csv/json round-trips preserve rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")

@@ -70,6 +70,11 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join for the pair stream:\n$p")
   }
 
+  test("q18 correlated EXISTS decorrelates to a semi-join") {
+    val p = plan("q18_exists_corr")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to semi-join:\n$p")
+  }
+
   test("b04 incremental diff plans a left-anti join (never set-difference materialization)") {
     val p = plan("b04_snapshot_diff")
     assert(p.contains("LeftAnti"), s"no anti-join:\n$p")
@@ -85,6 +90,62 @@ class PlanSpec extends SparkSpec {
     assert(Similarity.ivfCells(500) == 23)
     assert(Similarity.ivfCells(500) < Similarity.ivfCells(2000))
     assert(Similarity.ivfCells(4L * 1000 * 1000) == 2000)
+  }
+
+  test("d15 cell assignment is shuffle-free on the vector stream") {
+    // the IVF probe/assignment fold must be a per-row projection over a
+    // broadcast centroid array — at n=10⁹ a window formulation would
+    // push n×√n rows through one sort exchange (r3 weak item)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.Similarity.assignTop2(
+      graft.model.Corpus.qvecs(spark, sf),
+      graft.operators.Similarity.centroids(spark, 23))
+    def pathToScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec if f.toString.contains("embeddings") => Some(List(f))
+      case _ => p.children.view.flatMap(c => pathToScan(c).map(p :: _)).headOption
+    }
+    val path = pathToScan(df.queryExecution.sparkPlan)
+    assert(path.isDefined, "no embeddings scan in the assignment plan")
+    assert(!path.get.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"exchange on the vector stream:\n${df.queryExecution.sparkPlan}")
+    assert(!path.get.exists(_.isInstanceOf[WindowExec]),
+      s"sort-window on the vector stream:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
+    // blast-radius guard: the brute-force baseline's quadratic shape
+    // must never silently leak into a scale path through future edits
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, PredicateHelper}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    object H extends PredicateHelper {
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        splitConjunctivePredicates(e)
+    }
+    def readsEmbeddings(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(_.toString.contains("embeddings"))
+        case _ => false
+      }
+      case _ => false
+    }
+    def tiny(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L) // broadcast scalars
+    def quadratic(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join
+          if !j.condition.toSeq.flatMap(H.conjuncts)
+              .exists(_.isInstanceOf[EqualTo])
+            && readsEmbeddings(j.left) && readsEmbeddings(j.right)
+            && !tiny(j.left) && !tiny(j.right) => j
+      }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => quadratic(SparkEntry.queries(name)(spark, sf)))
+    assert(offenders == Seq("d06_cosine_topk"),
+      s"quadratic embeddings pairing in: $offenders")
   }
 
   test("whole-stage codegen covers the q01 aggregation path") {
