@@ -83,9 +83,19 @@ object BackupLedger {
         "node_id", "size", "ftype", "upload_hash", "download_hash")
   }
 
-  /** Distinct (node, snapshot_day) pairs — the per-node backup history. */
+  /** Distinct (node, snapshot_day) pairs — the per-node backup history.
+    *
+    * Derived from the RAW ledger, not [[manifest]]: every object_key
+    * embeds its node ([[keyExpr]] prefixes `node<user_id>/`), so the
+    * manifest dedupe can never drop a (node, day) pair the ledger has —
+    * the two distinct sets are provably identical, and the 2-column
+    * distinct is a map-side partial aggregate instead of the manifest's
+    * full-row window sort (the dominant cost of b15/b16/b20 at sf0.1;
+    * at 100 TB it is the difference between shuffling two columns and
+    * shuffling the whole manifest). The oracle keeps `snapshots` as
+    * DISTINCT over `manifest` — value-identical by the argument above. */
   def snapshots(s: SparkSession, dir: String): DataFrame =
-    manifest(s, dir).select("node_id", "snapshot_day").distinct()
+    ledger(s, dir).select("node_id", "snapshot_day").distinct()
 
   /** DuckDB CTE prefix mirroring [[ledger]]/[[manifest]] exactly —
     * prepended to every §2.B oracle query. */
