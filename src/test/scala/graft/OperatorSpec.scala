@@ -36,6 +36,36 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("b22 ingested-manifest report equals the direct b01 report") {
+    // the JSON document round-trip must be lossless: file counts and
+    // exact decimal sizes from the ingested docs = the ledger-direct ones
+    val ing = SparkEntry.queries("b22_manifest_ingest")(spark, sf)
+      .select(col("snapshot_day").as("day"), col("n_files").as("ing_files"),
+        col("total_size").as("ing_size"))
+    val direct = SparkEntry.queries("b01_manifest_list")(spark, sf)
+    val j = ing.join(direct, ing("day") === direct("snapshot_day"))
+    assert(j.count() > 0)
+    assert(j.filter(col("ing_files") =!= col("n_files")
+      || col("ing_size") =!= col("total_size")).count() == 0)
+  }
+
+  test("b23 diff statuses are consistent with their old/new columns") {
+    val out = SparkEntry.queries("b23_pit_diff")(spark, sf)
+    assert(out.filter(col("status") === "added" && col("old_event_id").isNotNull).count() == 0)
+    assert(out.filter(col("status") === "removed" && col("new_event_id").isNotNull).count() == 0)
+    assert(out.filter(col("status") === "changed"
+      && (col("old_event_id").isNull || col("new_event_id").isNull
+        || col("old_event_id") === col("new_event_id"))).count() == 0)
+    assert(out.select("status").distinct().count() >= 2)
+  }
+
+  test("b24 location parse round-trips every ledger row") {
+    val out = SparkEntry.queries("b24_storage_locations")(spark, sf)
+    val total = out.agg(sum("n_files"), sum("n_parse_ok")).head()
+    assert(total.getLong(0) == total.getLong(1), "some locations failed to parse back")
+    assert(out.count() >= 2) // fleet spans multiple (proto, bucket) locations
+  }
+
   test("d01 exact-dedup group sizes sum to doc count") {
     val total = SparkEntry.queries("d01_dedup_exact")(spark, sf)
       .agg(sum("n_docs")).head().getLong(0)
