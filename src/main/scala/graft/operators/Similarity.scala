@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotLong, SqDistLong}
+import graft.functions.DotLong
 import graft.model.Corpus
 
 /** §2.C d06/d07/d12/d13/d15 — similarity search over embeddings.
@@ -99,7 +99,8 @@ object Similarity {
            |    WHEN e.d < acc.d2 THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'd2', e.d, 'c2', e.c)
            |    ELSE acc END)""".stripMargin))
       .select(col("vec_id"), col("q"), col("norm2"),
-        col("top2.c1").as("cell1"), col("top2.c2").as("cell2"))
+        col("top2.c1").as("cell1"), col("top2.c2").as("cell2"),
+        col("top2.d1").as("dist1"))
   }
 
   private def centsSqlFrom(ncExpr: String): String =
@@ -230,13 +231,12 @@ object Similarity {
     },
 
     // k-means assignment step against fixed deterministic centroids —
-    // argmin as a map-side-partial min(struct) aggregate, not a window.
+    // argmin as the same shuffle-free per-row fold the IVF path uses
+    // (r3 shipped it as a map-side min(struct) aggregate; the fold
+    // removes even that one n-row exchange).
     "d13_knn_centroid" -> { (s, dir) =>
-      Corpus.qvecs(s, dir).crossJoin(broadcast(centroids(s, 8)))
-        .withColumn("dist2", SqDistLong(col("q"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("c"))).as("m"))
-        .select(col("vec_id"), col("m.c").as("centroid"), col("m.dist2").as("dist2"))
+      assignTop2(Corpus.qvecs(s, dir), centroids(s, 8))
+        .select(col("vec_id"), col("cell1").as("centroid"), col("dist1").as("dist2"))
         .orderBy("vec_id")
     },
 

@@ -1,0 +1,22 @@
+package graft
+
+/** Dev-loop probe (test scope, not shipped): time one or more queries
+  * at sf0.1 and dump their executed plans — the fast path for plan
+  * audits without a full Bench run.
+  * Usage: sbt "Test/runMain graft.BenchProbe <query> [query ...]" */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (name <- args) {
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save() // warm codegen/JIT
+      val t0 = System.nanoTime
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      println(s"PROBETIME $name ${(System.nanoTime - t0) / 1e9}")
+      println(df.queryExecution.executedPlan.toString.take(6000))
+    }
+    spark.stop()
+  }
+}
