@@ -15,7 +15,7 @@ object BenchProbe {
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       println(s"PROBETIME $name ${(System.nanoTime - t0) / 1e9}")
-      println(df.queryExecution.executedPlan.toString.take(6000))
+      println(df.queryExecution.executedPlan.toString.take(60000))
     }
     spark.stop()
   }
