@@ -39,7 +39,7 @@ case class CosineSim(left: Expression, right: Expression)
     * registered SQL function); the per-element branch is only emitted
     * when the input ArrayTypes can actually hold null elements — same
     * policy as [[LongVecKernel]], keeping internal plans branch-free. */
-  private[graft] def mayContainNullElems: Boolean =
+  @transient private[graft] lazy val mayContainNullElems: Boolean =
     Seq(left.dataType, right.dataType).exists {
       case ArrayType(_, cn) => cn
       case _ => true

@@ -35,7 +35,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     * hold null elements (`split` yields containsNull=false, so graft's
     * own fingerprint path runs guard-free; arbitrary SQL callers keep
     * the defined skip-null behavior). */
-  private[graft] def mayContainNullElems: Boolean = child.dataType match {
+  @transient private[graft] lazy val mayContainNullElems: Boolean = child.dataType match {
     case ArrayType(_, cn) => cn
     case _ => true
   }

@@ -38,7 +38,7 @@ abstract class LongVecKernel extends BinaryExpression {
     * containsNull=false ([[graft.model.Corpus.qvecs]], the hyperplane /
     * centroid tables), so the bucketed/brute-force pair streams run the
     * branch-free loop — an unconditional guard cost d06 +60% in r3. */
-  private[graft] def mayContainNullElems: Boolean =
+  @transient private[graft] lazy val mayContainNullElems: Boolean =
     Seq(left.dataType, right.dataType).exists {
       case ArrayType(_, cn) => cn
       case _ => true

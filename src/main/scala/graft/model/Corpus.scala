@@ -75,12 +75,15 @@ object Corpus {
        |)
        |""".stripMargin
 
-  /** CTE prefix: qtab(vec_id, q, norm2) — quantized embeddings. */
+  /** CTE prefix: qtab(vec_id, q, norm2) — quantized embeddings. The
+    * COALESCE mirrors [[qvecs]] exactly: a NULL embedding element maps
+    * to 0 in BOTH engines (without it DuckDB's list_sum would skip the
+    * slot while Spark's kernel adds the 0 contribution). */
   val qtabCte: String =
     """WITH qtab AS (
       |  SELECT vec_id,
-      |         list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q,
-      |         CAST(list_sum(list_transform(list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)), x -> x * x)) AS BIGINT) AS norm2
+      |         list_transform(embedding, e -> CAST(round(CAST(COALESCE(e, 0.0) AS DOUBLE) * 1000) AS BIGINT)) AS q,
+      |         CAST(list_sum(list_transform(list_transform(embedding, e -> CAST(round(CAST(COALESCE(e, 0.0) AS DOUBLE) * 1000) AS BIGINT)), x -> x * x)) AS BIGINT) AS norm2
       |  FROM embeddings
       |)
       |""".stripMargin

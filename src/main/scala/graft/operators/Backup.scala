@@ -485,7 +485,10 @@ object Backup {
       val t2 = lit("2024-01-15 12:00:00").cast("timestamp")
       ledger(s, dir)
         .filter(col("ts") <= t2)
-        .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1))
+        // coalesce: NULL props must hash to ONE key in both engines —
+        // the oracle pairs the two cuts with an equi-join, which would
+        // drop NULL keys while this groupBy keeps them as a group
+        .withColumn("k", coalesce(regexp_extract(col("props"), "([0-9]+)", 1), lit("")))
         .groupBy("node_id", "k")
         .agg(
           max(when(col("ts") <= t1,
@@ -761,7 +764,7 @@ object Backup {
 
     "b23_pit_diff" -> (cte +
       """, ev AS (
-        |  SELECT node_id, regexp_extract(props, '([0-9]+)', 1) AS k, ts, event_id, size, ftype
+        |  SELECT node_id, COALESCE(regexp_extract(props, '([0-9]+)', 1), '') AS k, ts, event_id, size, ftype
         |  FROM ledger WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
         |),
         |s2 AS (

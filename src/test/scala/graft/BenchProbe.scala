@@ -9,8 +9,11 @@ object BenchProbe {
     val spark = GraftSession.local(32)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save() // warm codegen/JIT
+      // warm at the TARGET dir: pays codegen/JIT and any one-time
+      // scratch-fixture build outside the timed region (a different
+      // warmup dir would leave the fixture write inside it)
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
