@@ -92,6 +92,21 @@ class PlanSpec extends SparkSpec {
     assert(Similarity.ivfCells(4L * 1000 * 1000) == 2000)
   }
 
+  test("b16 keeps the snapshots distinct pinned (no countDistinct Expand)") {
+    // RemoveRedundantAggregates elides a distinct beneath an all-
+    // duplicate-insensitive aggregate, which would run the Expand over
+    // the full raw ledger (measured 0.9 -> 11.6s at sf0.1); the
+    // two-phase form has no Expand at all
+    val p = plan("b16_schema_versions")
+    assert(!p.contains("Expand"), s"countDistinct Expand resurfaced in b16:\n$p")
+  }
+
+  test("d13 centroid argmin is a projection (no window, no hash exchange)") {
+    val p = plan("d13_knn_centroid")
+    assert(!p.contains("Window"), s"argmin fell back to a window:\n$p")
+    assert(!p.contains("hashpartitioning"), s"argmin shuffles the vector stream:\n$p")
+  }
+
   test("d15 cell assignment is shuffle-free on the vector stream") {
     // the IVF probe/assignment fold must be a per-row projection over a
     // broadcast centroid array — at n=10⁹ a window formulation would
