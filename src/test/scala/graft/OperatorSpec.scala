@@ -123,6 +123,36 @@ class OperatorSpec extends SparkSpec {
     assert(out.select("dim").distinct().count() == 1)
   }
 
+  test("assignTop2 fold equals the window top-2 under heavy distance ties") {
+    // the shuffle-free IVF assignment must reproduce row_number over
+    // (dist2 ASC, cell ASC) EXACTLY — tiny value range forces many
+    // equal distances, exercising the tie-break path
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val qdf = (0 until 60).map(i => (i.toLong, Array.fill(4)(rnd.nextInt(3).toLong)))
+      .toDF("vec_id", "q")
+      .withColumn("norm2", expr("aggregate(q, CAST(0 AS LONG), (a, x) -> a + x * x)"))
+    val cents = (0 until 9).map(c => (c, Array.fill(4)(rnd.nextInt(3).toLong))).toDF("c", "cv")
+    val fold = graft.operators.Similarity.assignTop2(qdf, cents)
+      .select("vec_id", "cell1", "cell2").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d").asc, col("c").asc)
+    val ref = qdf.crossJoin(cents)
+      .withColumn("d", expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS LONG), (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(min(when(col("rn") === 1, col("c"))).as("c1"),
+        min(when(col("rn") === 2, col("c"))).as("c2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(fold == ref)
+    // single-centroid edge: second-best is the -1 sentinel
+    val one = graft.operators.Similarity.assignTop2(qdf, cents.limit(1))
+      .select("cell1", "cell2").distinct().collect()
+    assert(one.forall(r => r.getInt(0) == 0 && r.getInt(1) == -1))
+  }
+
   test("d14 multimodal features deterministic across runs") {
     val a = SparkEntry.queries("d14_multimodal")(spark, sf).collect()
     val b = SparkEntry.queries("d14_multimodal")(spark, sf).collect()
