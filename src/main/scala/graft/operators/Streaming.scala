@@ -42,6 +42,14 @@ object Streaming {
         .orderBy("n_name")
     },
 
+    // Live backup monitoring: the ledger's per-(day, node) manifest
+    // report as the exact transform the streaming job runs (day
+    // windows ≡ snapshot days on batch input).
+    "s07_backup_monitor" -> { (s, dir) =>
+      EventStream.backupMonitor(Tables.events(s, dir))
+        .orderBy("snapshot_day", "node_id")
+    },
+
     // Sliding-window aggregation — the same DataFrame transform the
     // streaming job runs; the oracle expands each event into its two
     // overlapping windows explicitly.
@@ -102,6 +110,12 @@ object Streaming {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "s07_backup_monitor" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS snapshot_day,
+        |  user_id AS node_id, COUNT(1) AS n_uploads,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_bytes
+        |FROM events GROUP BY 1, 2 ORDER BY snapshot_day, node_id""".stripMargin,
 
     "s05_sliding_window" ->
       """SELECT win_start, event_type, COUNT(1) AS n,

@@ -83,6 +83,22 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** Live backup monitoring — the §2.B ledger's manifest report as a
+    * stream: per-(snapshot day, node) upload counts and bytes update
+    * as backup events land (esop analogue: watching
+    * `AllManifestsReport` fill while `Backuper` uploads). Day windows
+    * keyed by node with a 1-day watermark bound the state store to the
+    * open day per node; the identical transform over the batch table
+    * is the oracle (`s07_backup_monitor`). */
+  def backupMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_uploads"),
+        asDouble(sum(dec2(col("value")))).as("total_bytes"))
+      .select(col("window.start").cast("date").as("snapshot_day"),
+        col("user_id").as("node_id"), col("n_uploads"), col("total_bytes"))
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * dimension table (static side re-read per micro-batch, never
     * stateful) — the standard pattern for attaching slowly-changing

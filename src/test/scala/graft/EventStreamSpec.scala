@@ -52,6 +52,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming backup monitor equals the batch ledger report") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s07_test",
+      EventStream.backupMonitor, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s07_test")
+      .orderBy("snapshot_day", "node_id").collect()
+    val batch = SparkEntry.queries("s07_backup_monitor")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
       df => EventStream.clickErrorJoin(df, df))
