@@ -81,7 +81,12 @@ object Dedup {
       // carries one row per distinct gram), deliberately NOT a
       // full-frame window over the gram rows — the window variant is
       // sort-based with no partial aggregation and measured 7× slower
-      // at sf0.1.
+      // at sf0.1. A full SSJoin-style prefix-filter variant (rank grams
+      // by df within each doc, join on rare-gram prefixes, score
+      // candidates via array_intersect) was also measured: 3× SLOWER
+      // here (9.4s vs 3.2s) — the rank window + per-doc gram arrays
+      // cost more than the candidate reduction saves at this corpus's
+      // sharing profile; d04's MinHash banding remains the scale path.
       val shareable = g.groupBy("gram")
         .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
         .select("gram")
