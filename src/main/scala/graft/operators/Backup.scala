@@ -428,12 +428,16 @@ object Backup {
       import org.apache.spark.sql.types._
       val docs = manifest(s, dir)
         .groupBy("node_id", "snapshot_day")
-        .agg(collect_list(struct(
+        // sort_array: collect_list order is nondeterministic across
+        // runs/JVMs; the report is order-insensitive but the on-disk
+        // JSON fixture should be byte-reproducible (struct ordering is
+        // well-defined, objectKey leads and is unique per group).
+        .agg(sort_array(collect_list(struct(
           col("object_key").as("objectKey"),
           col("size"),
           col("ftype").as("type"),
           col("upload_hash").as("hash"),
-          concat_ws(".", col("keyspace"), col("table_name")).as("keyspaceTable")))
+          concat_ws(".", col("keyspace"), col("table_name")).as("keyspaceTable"))))
           .as("entries"))
         .withColumn("tokens",
           expr(s"transform(array_sort($tokenArraySpark), x -> CAST(x AS STRING))"))

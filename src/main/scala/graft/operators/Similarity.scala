@@ -262,12 +262,15 @@ object Similarity {
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
         .select(col("cell").as("c"), col("cv"))
-        // lazy lineage break: cents1 (√n rows) feeds BOTH sides of the
-        // final cell self-join, and exchange reuse is not guaranteed
-        // across the two differently-shaped consumers — without this
-        // the whole refinement subtree (embeddings scan + fold +
-        // per-cell aggregates) executes twice (measured: 4 scans)
-        .localCheckpoint(false)
+        // lazy materialize-once: cents1 (√n rows) feeds BOTH sides of
+        // the final cell self-join, and exchange reuse is not
+        // guaranteed across the two differently-shaped consumers —
+        // without this the whole refinement subtree (embeddings scan +
+        // fold + per-cell aggregates) executes twice (measured: 4
+        // scans). persist (not localCheckpoint) keeps the lineage, so
+        // losing an executor on a real cluster recomputes the cached
+        // partitions instead of failing the query.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ass = assignTop2(q, cents1)
       val a = ass
         .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),

@@ -27,19 +27,37 @@ object Scratch {
   private val created =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.hadoop.conf.Configuration, String)]()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.forEach { case (conf, path) =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(path)
-          p.getFileSystem(conf).delete(p, true)
-        } catch { case _: Throwable => () }
-      }
-    }))
+    // Priority above FileSystem.SHUTDOWN_HOOK_PRIORITY (10): our
+    // deletes must run BEFORE Hadoop closes its cached FileSystems, or
+    // shared-root cleanup silently races the FS-close hook.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = created.forEach { case (conf, path) =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(conf)
+            // a registered subdir may already be gone via its root
+            if (fs.exists(p) && !fs.delete(p, true))
+              log.warn(s"scratch cleanup: delete returned false for $path")
+          } catch {
+            case e: Throwable =>
+              log.warn(s"scratch cleanup: failed to delete $path: $e")
+          }
+        }
+      },
+      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 10)
   }
 
-  private lazy val defaultRoot =
-    java.nio.file.Files.createTempDirectory("graft-scratch").toString
+  private lazy val defaultRoot = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    // The root itself is ours (per-JVM temp) — register it so the whole
+    // tree goes, not just the per-dataset UUID subdirs.
+    created.add((new org.apache.hadoop.conf.Configuration(), dir))
+    dir
+  }
 
   def root(s: SparkSession): String =
     s.conf.getOption("spark.graft.scratch").getOrElse(defaultRoot)
