@@ -111,7 +111,11 @@ object TextAnalysis {
     // doubles. Shuffles: one per-doc-word agg, a word-keyed df join
     // (NO broadcast hint — the vocabulary is unbounded at 100 TB, so
     // Catalyst must stay free to shuffle it; it auto-broadcasts small
-    // vocabularies anyway), and a broadcast scalar N.
+    // vocabularies anyway), and a broadcast scalar N. The top-3-per-doc
+    // runs on the custom TopKPerGroup operator (x04): a map-side
+    // partial keeps ≤3 rows per doc per partition in bounded heaps, so
+    // the rank exchange carries ~3/|terms per doc| of the rows the
+    // row_number window formulation would shuffle AND sort.
     "d19_tfidf" -> { (s, dir) =>
       val docs = Corpus.docs(s, dir)
       val wa = docs.select(col("doc_id"), explode(col("ws")).as("w"))
@@ -119,13 +123,12 @@ object TextAnalysis {
       val dfreq = wa.select("doc_id", "w").distinct()
         .groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
-      tf.join(dfreq, Seq("w"))
+      val scored = tf.join(dfreq, Seq("w"))
         .crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
-        .withColumn("rn", row_number().over(win))
-        .filter(col("rn") <= 3)
+      graft.plans.TopK.perGroup(scored,
+          Seq("doc_id"), Seq(("score", true), ("w", false)), k = 3, rankName = "rn")
         .select("doc_id", "w", "tf", "df", "score", "rn")
         .orderBy("doc_id", "rn")
     },

@@ -58,5 +58,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked("graft_simhash32", 1)(c => SimHash32(c.head))
     ))
     ext.injectOptimizerRule(_ => SelfDistanceElimination)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
