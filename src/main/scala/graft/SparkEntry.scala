@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Backup, Dedup, Multimodal, Relational, Similarity, Streaming, TextAnalysis}
+import graft.operators.{Backup, Curation, Dedup, Multimodal, Relational, Similarity, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Backup.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streaming.queries
+      Streaming.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Backup.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      Streaming.oracle
+      Streaming.oracle ++ Curation.oracle
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.model.Corpus
+
+/** §2.C d22–d25 — corpus CURATION: the decisions a training-data
+  * pipeline makes on top of the raw analysis/dedup passes (which docs
+  * to drop, resample, cluster, or scrub).
+  *
+  *   - d22 decontamination: a training doc sharing any word-3-gram
+  *     with a held-out benchmark set must not be trained on. The
+  *     benchmark gram set is tiny relative to the corpus, so it
+  *     BROADCASTS and the check is a map-side join — the corpus-side
+  *     scan never shuffles.
+  *   - d23 corpus mixing: deterministic per-stratum (language)
+  *     downsampling via an md5-derived keep bucket — a pure per-row
+  *     projection + filter, zero shuffles, reproducible across runs
+  *     and engines (no rand()).
+  *   - d24 duplicate clusters: connected components over the d04
+  *     MinHash-LSH candidate pairs — pairwise near-dup hits become
+  *     transitive KEEP-one groups. Iterative min-label propagation
+  *     with pointer jumping: O(log diameter) rounds, each one
+  *     hash-partitioned join, no driver-side data (the loop's only
+  *     driver value is the converged? count — the same class of
+  *     per-iteration statistic every iterative-ML Spark job reads).
+  *   - d25 PII scrub: detect + redact emails / IPv4s / phone numbers
+  *     before training. Per-row regex projections, zero shuffles. The
+  *     corpus text is synthetic word salad, so deterministic PII is
+  *     INJECTED from doc_id first (same expression in both engines) —
+  *     the operator under test is the detect/redact pipeline, and its
+  *     inputs then provably contain every pattern class.
+  */
+object Curation {
+
+  /** Benchmark membership: every 10th doc is the held-out set. */
+  private val benchCond = "doc_id % 10 = 0"
+
+  /** (lang, keep-rate%) corpus-mixing weights: downsample the
+    * over-represented languages, keep the rest whole. */
+  private val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 60, "zh" -> 50, "fr" -> 80, "es" -> 90, "de" -> 100)
+
+  // PII patterns restricted to the Java-regex ∩ RE2 common subset
+  // (character classes + bounded repetition; no lookaround, no \b).
+  private val emailRe = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+  private val ipRe = """[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"""
+  private val phoneRe = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+
+  /** Deterministic PII injection: email on every 5th doc, IPv4 on
+    * every 7th, phone on every 11th — mirrored verbatim in the oracle
+    * CTE so both engines scrub identical inputs. */
+  private def withPii(df: DataFrame): DataFrame =
+    df.withColumn("raw", concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+        .otherwise("")))
+
+  private val piiRawSql: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: per training doc, how many of its
+    // distinct 3-grams appear in ANY held-out doc. The benchmark gram
+    // set is broadcast (held-out suites are KBs–MBs against a 100 TB
+    // corpus), so the training side is one scan + map-side semi
+    // match + one per-doc count — no corpus-wide shuffle of grams.
+    "d22_decontaminate" -> { (s, dir) =>
+      val g = Corpus.grams(s, dir)
+      val bench = g.filter(expr(benchCond)).select("gram").distinct()
+      val hits = g.filter(not(expr(benchCond)))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+      Corpus.docs(s, dir).filter(not(expr(benchCond))).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+        .withColumn("contaminated", col("n_hit_grams") > 0)
+        .orderBy("doc_id")
+    },
+
+    // Corpus mixing: deterministic stratified downsampling. The keep
+    // decision is pmod(hash32("mix#" || doc_id), 100) < rate(lang) —
+    // reproducible (same doc always kept/dropped at a given rate,
+    // raising a rate only ADDS docs), per-row, zero shuffles.
+    "d23_corpus_mix" -> { (s, dir) =>
+      val rate = mixRates.foldLeft(lit(100)) { case (c, (lang, r)) =>
+        when(col("lang") === lang, r).otherwise(c)
+      }
+      graft.sources.Tables.documents(s, dir)
+        .withColumn("bucket",
+          pmod(hash32(concat(lit("mix#"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("rate", rate.cast("long"))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "source", "bucket", "rate")
+        .orderBy("doc_id")
+    },
+
+    // Near-dup clusters: connected components over the d04 LSH pairs.
+    // Min-label propagation (each node takes the min label among
+    // itself and its neighbors) + pointer jumping (then takes its
+    // label's label) to the exact fixpoint: every member ends labeled
+    // with the component's min doc_id. Jumping makes rounds
+    // O(log diameter); near-dup components are shallow (dups of dups),
+    // so this converges in 2–3 rounds. Each round is two
+    // hash-partitioned joins + one count — no collect of rows ever.
+    "d24_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.lshPairs(s, dir).select("a_id", "b_id")
+      val edges = pairs.toDF("src", "dst")
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 25) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min("lbl").as("nl"))
+        val propagated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        // pointer jumping: follow one indirection (label's label)
+        val next = propagated.as("a")
+          .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
+            Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+          .filter(col("lbl") =!= col("old")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0L
+        rounds += 1
+      }
+      val out = labels
+        .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+      edges.unpersist()
+      out
+    },
+
+    // PII scrub: count each pattern class, then redact in one
+    // email → IP → phone cascade (emails first — they are the only
+    // class containing other classes' alphabets). Output carries the
+    // counts + md5 of the redacted text (narrow result, full-text
+    // equality check across engines).
+    "d25_pii_scrub" -> { (s, dir) =>
+      withPii(graft.sources.Tables.documents(s, dir))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long"))
+        .withColumn("n_ips",
+          size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).cast("long"))
+        .withColumn("n_phones",
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).cast("long"))
+        .withColumn("redacted",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            phoneRe, "<PHONE>"))
+        .withColumn("has_pii", col("n_emails") + col("n_ips") + col("n_phones") > 0)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("has_pii"), md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d22_decontaminate" -> (Corpus.docsCte +
+      s""", bench AS (SELECT DISTINCT gram FROM grams WHERE $benchCond),
+         |hits AS (
+         |  SELECT g.doc_id, count(1) AS n FROM grams g JOIN bench USING (gram)
+         |  WHERE NOT (g.$benchCond) GROUP BY g.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+         |       COALESCE(h.n, 0) > 0 AS contaminated
+         |FROM docs d LEFT JOIN hits h USING (doc_id)
+         |WHERE NOT (d.$benchCond)
+         |ORDER BY doc_id""".stripMargin),
+
+    "d23_corpus_mix" -> {
+      val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 100 END")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, source,
+         |    ${Corpus.hash32Sql("'mix#' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |    CAST($rateSql AS BIGINT) AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, source, bucket, rate
+         |FROM m WHERE bucket < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "d24_dup_clusters" -> (Dedup.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
+        |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+        |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin),
+
+    "d25_pii_scrub" -> {
+      s"""WITH raws AS (
+         |  SELECT doc_id, $piiRawSql AS raw FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$ipRe')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  len(regexp_extract_all(raw, '$emailRe'))
+         |    + len(regexp_extract_all(raw, '$ipRe'))
+         |    + len(regexp_extract_all(raw, '$phoneRe')) > 0 AS has_pii,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS redacted_hash
+         |FROM raws ORDER BY doc_id""".stripMargin
+    }
+  )
+}

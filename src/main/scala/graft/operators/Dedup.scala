@@ -58,6 +58,37 @@ object Dedup {
        |  GROUP BY doc_id, seed
        |)""".stripMargin
 
+  /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
+    * without the presentation sort, shared with d24's clustering. */
+  private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val bandStack = (0 until 4).map { b =>
+      val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
+      s"$b, concat_ws(',', $ms)"
+    }.mkString("stack(4, ", ", ", ") AS (band, sig)")
+    val sig = minhashWide(s, dir).selectExpr("doc_id", bandStack)
+    val a = sig.toDF("a_id", "band", "sig")
+    val b = sig.toDF("b_id", "band", "sig")
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** DuckDB CTE chain ending in `pairs(a_id, b_id, n_shared_bands)` —
+    * the oracle twin of [[lshPairs]], shared by d04 and d24. */
+  private[operators] val lshPairsCte: String =
+    Corpus.docsCte + ", " + minhashSql +
+      """, sig AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, band
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS n_shared_bands
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: md5 over normalized text; min doc_id is the keeper.
@@ -115,18 +146,7 @@ object Dedup {
     // Band signatures come straight off the wide per-doc signature row
     // (concat of 4 members) — no second shuffle to regroup by band.
     "d04_minhash_lsh" -> { (s, dir) =>
-      val bandStack = (0 until 4).map { b =>
-        val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
-        s"$b, concat_ws(',', $ms)"
-      }.mkString("stack(4, ", ", ", ") AS (band, sig)")
-      val sig = minhashWide(s, dir).selectExpr("doc_id", bandStack)
-      val a = sig.toDF("a_id", "band", "sig")
-      val b = sig.toDF("b_id", "band", "sig")
-      a.join(b, Seq("band", "sig"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_shared_bands"))
-        .orderBy("a_id", "b_id")
+      lshPairs(s, dir).orderBy("a_id", "b_id")
     },
 
     // 32-bit SimHash fingerprints + hamming-near pairs (≤ 2 bits apart).
@@ -181,15 +201,8 @@ object Dedup {
     "d03_minhash" -> (Corpus.docsCte + ", " + minhashSql +
       "\nSELECT doc_id, seed, minh FROM mh ORDER BY doc_id, seed"),
 
-    "d04_minhash_lsh" -> (Corpus.docsCte + ", " + minhashSql +
-      """, sig AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
-        |  FROM mh GROUP BY doc_id, band
-        |)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS n_shared_bands
-        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin),
+    "d04_minhash_lsh" -> (lshPairsCte +
+      "\nSELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id"),
 
     "d05_simhash" -> (Corpus.docsCte +
       s""", wd AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.C d22–d25 semantics + plan-shape checks (the oracle gate proves
+  * value equality; these pin the invariants and the scale shapes). */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("d22 never emits held-out docs, and contamination == gram overlap") {
+    val rows = q("d22_decontaminate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 10 != 0), "benchmark doc leaked into the training report")
+    assert(rows.forall { r => (r.getLong(1) > 0) == r.getBoolean(2) })
+    assert(rows.exists(_.getBoolean(2)), "no contaminated docs at all — fixture lost its dup structure")
+    assert(rows.exists(!_.getBoolean(2)), "everything contaminated — filter broken")
+  }
+
+  test("d22 broadcasts the benchmark gram set (corpus side never shuffles for the probe)") {
+    val p = plan("d22_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark probe not broadcast:\n$p")
+  }
+
+  test("d23 respects per-stratum rates and stays a pure per-row filter") {
+    val rows = q("d23_corpus_mix").select("lang", "bucket", "rate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)), "kept row at/above its rate bucket")
+    val rates = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rates("en") == 60L && rates("zh") == 50L && rates("de") == 100L, rates.toString)
+    // dropping the presentation sort, the plan is shuffle-free
+    val df = graft.operators.Curation.queries("d23_corpus_mix")(spark, sf)
+    val noSort = df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }
+    val p = plan("d23_corpus_mix")
+    assert(!p.contains("Exchange hashpartitioning"), s"per-row sampler shuffled:\n$p")
+    assert(noSort.nonEmpty) // only the presentation ORDER BY remains
+  }
+
+  test("d24 clusters are closed over the candidate pairs and labeled by their min id") {
+    val labels = q("d24_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // label = min member of the cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by its min member")
+    }
+    // both endpoints of every candidate pair land in the same cluster
+    val pairs = graft.operators.Dedup.queries("d04_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
+  test("d24 cluster sizes are consistent with the labeling") {
+    val rows = q("d24_dup_clusters").collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      assert(r.getLong(2) == byCluster(r.getLong(1)).length.toLong)
+    }
+    // near-dup clustering must produce at least one non-trivial group
+    assert(byCluster.values.exists(_.length >= 2))
+  }
+
+  test("d25 finds exactly the injected PII and nothing in clean docs") {
+    val rows = q("d25_pii_scrub")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "has_pii").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 5 == 0) 1L else 0L), s"doc $id emails=${r.getLong(1)}")
+      assert(r.getLong(2) == (if (id % 7 == 0) 1L else 0L), s"doc $id ips=${r.getLong(2)}")
+      assert(r.getLong(3) == (if (id % 11 == 0) 1L else 0L), s"doc $id phones=${r.getLong(3)}")
+      assert(r.getBoolean(4) == (id % 5 == 0 || id % 7 == 0 || id % 11 == 0))
+    }
+  }
+
+  test("d25 redaction removes every match (no PII survives in the redacted text)") {
+    // rebuild the redacted text (the query ships only its hash) and
+    // re-scan it with the same patterns: zero residual matches
+    import graft.operators.Curation
+    val df = Curation.queries("d25_pii_scrub")(spark, sf)
+    val residual = graft.sources.Tables.documents(spark, sf)
+      .withColumn("raw", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))).otherwise("")))
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+          "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"),
+          "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+      .filter(col("red").rlike("[a-z0-9]+@[a-z0-9]+\\.[a-z]+")
+        || col("red").rlike("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")
+        || col("red").rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+      .count()
+    assert(residual == 0L, s"$residual docs still carry PII after redaction")
+    assert(df.count() > 0)
+  }
+}
