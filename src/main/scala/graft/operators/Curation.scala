@@ -128,25 +128,36 @@ object Curation {
         .persist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
+      // Convergence telemetry: per-node labels are NON-INCREASING, so
+      // the label sum strictly decreases every non-converged round —
+      // an unchanged sum IS the fixpoint proof. Exact decimal keeps
+      // that argument airtight at any node count (no silent long
+      // wraparound to alias two states).
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = lblSum(labels)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 25) {
-        val nbrMin = edges
+        // one fused min-pass: each node takes min over {its own label}
+        // ∪ {neighbor labels} — the self label enters through the
+        // union, so there is no separate left-join back to `labels`
+        val propagated = edges
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("id")).agg(min("lbl").as("nl"))
-        val propagated = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .select(col("src").as("id"), col("lbl"))
+          .union(labels)
+          .groupBy("id").agg(min("lbl").as("lbl"))
         // pointer jumping: follow one indirection (label's label)
         val next = propagated.as("a")
           .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
             Seq("lbl"), "left")
           .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
           .persist()
-        val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-          .filter(col("lbl") =!= col("old")).limit(1).count()
+        val s = lblSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0L
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         rounds += 1
       }
       val out = labels

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.DotLong
@@ -154,24 +153,31 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-5 neighbors per vector (baseline).
+    // Brute-force cosine top-5 neighbors per vector (baseline). The
+    // top-5 runs on the custom TopKPerGroup operator (x04), not a
+    // row_number sort-window: all pairs for a given a_id are generated
+    // in one task (b is broadcast), so the map-side partial reduces the
+    // n² pair stream to exactly 5 rows per vector BEFORE the exchange —
+    // the shuffle carries 5n rows instead of sorting n².
     "d06_cosine_topk" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
       val a = q.toDF("a_id", "qa", "na")
       val b = q.toDF("b_id", "qb", "nb")
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      val pairs = a.join(broadcast(b), col("a_id") =!= col("b_id"))
         .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      graft.plans.TopK.perGroup(pairs,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 5, rankName = "rn")
         .select("a_id", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
     },
 
     // LSH ANN: L tables × lshBits(n) sign-projection bits; candidates
-    // equi-join per (table, bucket), union-distinct, then top-3.
+    // equi-join per (table, bucket), union-distinct, then top-3 via
+    // TopKPerGroup (x04) — the partial prunes the scored candidate
+    // stream to ≤3 rows per query vector per partition before the rank
+    // exchange, instead of shuffle-sorting every candidate pair.
     "d07_ann_lsh" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
       val bucketed = lshBuckets(s, dir)
@@ -180,15 +186,14 @@ object Similarity {
           Seq("t", "bucket"))
         .filter(col("a_id") =!= col("b_id"))
         .select("a_id", "b_id").distinct()
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-      cand
+      val scored = cand
         .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")), Seq("a_id"))
         .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("norm2").as("nb")), Seq("b_id"))
         .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      graft.plans.TopK.perGroup(scored,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
         .select("a_id", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
     },
@@ -278,14 +283,16 @@ object Similarity {
         .filter(col("cell") >= 0)
       val b = ass.select(col("vec_id").as("b_id"), col("cell1").as("cell"),
         col("q").as("qb"), col("norm2").as("nb"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-      a.join(b, Seq("cell"))
+      // intra-cell top-3 via TopKPerGroup (x04): the partial prunes the
+      // cell-join pair stream to ≤3 rows per query per partition before
+      // the rank exchange — no sort-window over the crossed stream.
+      val scored = a.join(b, Seq("cell"))
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("dot", DotLong(col("qa"), col("qb")))
         .withColumn("cos",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      graft.plans.TopK.perGroup(scored,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
         .select("a_id", "cell", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
     }
