@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"IVF degenerated to cartesian:\n$p")
   }
 
+  test("pair-stream top-k runs on TopKPerGroup, never a sort-window") {
+    // the x04 operator's map-side partial is what keeps these
+    // exchanges at k rows per group — a silent fallback to
+    // row_number().over(...) would reintroduce a full shuffle+sort of
+    // the pair stream
+    for (q <- Seq("d06_cosine_topk", "d07_ann_lsh", "d15_ann_ivf", "d19_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+        s"$q fell off the custom top-k operator:\n$p")
+      assert(!p.contains("Window"), s"$q still ranks through a sort-window:\n$p")
+    }
+  }
+
   test("d17 embedding near-dup stays an equi-join on (table, bucket)") {
     // BroadcastNestedLoopJoin appears ONLY as the intentional broadcast
     // of the tiny hyperplane table against the vectors (linear), never
