@@ -161,6 +161,24 @@ object TextAnalysis {
         .select("k_actual", "h_k", "est_distinct", "n_distinct_hashes")
     },
 
+    // GROUPED distinct-count sketches in ONE pass: per-source
+    // distinct-word estimates via the KMV TypedImperativeAggregate
+    // (x06). Where d20's global formulation shuffles every distinct
+    // hash, this carries one ≤64-long serialized buffer per (source,
+    // partition) through the exchange — the partial/final merge tree
+    // IS the sketch union, so the cost per group is O(k) regardless of
+    // corpus size.
+    "d26_kmv_by_source" -> { (s, dir) =>
+      Corpus.docs(s, dir)
+        .select(col("source"), explode(col("ws")).as("w"))
+        .select(col("source"), hash32(col("w")).as("h"))
+        .groupBy("source")
+        .agg(KmvSketchAgg(col("h"), 64).as("kmv"))
+        .select(col("source"), col("kmv.k_actual").as("k_actual"),
+          col("kmv.h_k").as("h_k"), col("kmv.est_distinct").as("est_distinct"))
+        .orderBy("source")
+    },
+
     // End-to-end training-set selection: the composition a real corpus
     // pipeline ships — keep a doc iff (a) its quality score clears the
     // bar and (b) it is the canonical keeper of its exact-dup group
@@ -278,6 +296,25 @@ object TextAnalysis {
          |       ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END AS est_distinct,
          |  n_distinct_hashes
          |FROM kth, ex""".stripMargin
+    }),
+
+    "d26_kmv_by_source" -> (Corpus.docsCte + {
+      val h = Corpus.hash32Sql("w")
+      s""", wh AS (
+         |  SELECT DISTINCT dd.source, $h AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t
+         |  JOIN documents dd USING (doc_id)),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(1) OVER (PARTITION BY source) AS nd
+         |  FROM wh)
+         |SELECT source,
+         |  CAST(least(nd, 64) AS BIGINT) AS k_actual,
+         |  CAST(max(CASE WHEN rn <= 64 THEN h END) AS BIGINT) AS h_k,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE 63.0 * 4294967296.0 / CAST(max(CASE WHEN rn <= 64 THEN h END) AS DOUBLE) END AS est_distinct
+         |FROM r GROUP BY source, nd ORDER BY source""".stripMargin
     }),
 
     "d21_corpus_select" -> (Corpus.docsCte +

@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, MinHash16, SimHash32, SqDistLong}
+import graft.functions.{CharCounts, CosineSim, DotLong, KmvSketchAgg, MinHash16, SimHash32, SqDistLong}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -56,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       checked("graft_simhash32", 1)(c => SimHash32(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      checked("graft_kmv", 2) { c =>
+        // k parameterizes the buffer shape, so it must be a literal —
+        // a column-valued k would mean a different aggregate per row
+        val k = c(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv(hash, k): k must be an integer literal, got $other")
+        }
+        new KmvSketchAgg(c(0), k)
+      }
     ))
     ext.injectOptimizerRule(_ => SelfDistanceElimination)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)

@@ -171,6 +171,47 @@ class FunctionsSpec extends SparkSpec {
     assert(IO.readText(spark, s"$tmp/t").count() >= 100) // +headers
   }
 
+  test("x06: KMV aggregate matches the exact sort formulation and is partition-invariant") {
+    import graft.functions.KmvSketchAgg
+    // 500 values with duplicates over a known distinct set
+    val df = spark.range(2000).selectExpr(
+      "CAST(id % 3 AS STRING) AS g",
+      // multiply by a big odd constant mod a prime-ish span: collision-free
+      // enough to have >k distinct per group, duplicated by the %-fold
+      "CAST((id % 311) * 2654435761 % 4294967296 AS LONG) AS h")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(KmvSketchAgg(col("h"), 16).as("kmv"))
+      .selectExpr("g", "kmv.k_actual", "kmv.h_k", "kmv.est_distinct")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = run(7)
+    // exact reference: per group, k-th smallest distinct hash
+    val want = df.selectExpr("g", "h").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= 16)
+      .groupBy("g").agg(count(lit(1)).as("ka"), max("h").as("hk"))
+      .collect().map { r =>
+        val (ka, hk) = (r.getLong(1), r.getLong(2))
+        val est = if (ka < 16) ka.toDouble else 15.0 * 4294967296.0 / hk.toDouble
+        (r.getString(0), ka, hk, est)
+      }.toSet
+    assert(got == want, s"only-got=${got -- want} only-want=${want -- got}")
+    // merge associativity: any partitioning yields the identical sketch
+    assert(run(1) == got && run(32) == got)
+  }
+
+  test("x06: graft_kmv registered as a SQL function, k must be a literal") {
+    val est = spark.sql(
+      "SELECT graft_kmv(CAST(id AS LONG), 8).k_actual AS ka FROM range(5)")
+      .collect().head.getLong(0)
+    assert(est == 5L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_kmv(CAST(id AS LONG), CAST(id AS INT)) FROM range(5)").collect()
+    }
+    assert(e.getMessage.contains("graft_kmv") || e.getCause != null)
+  }
+
   test("IO: partitioned write enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
     val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")
