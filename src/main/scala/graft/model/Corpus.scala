@@ -27,11 +27,17 @@ import graft.sources.Tables
   */
 object Corpus {
 
+  /** norm + ws (normalized word array) over ANY frame with a `text`
+    * column — shared by the batch table loads and the streaming
+    * sources (the transform must be definable once and applied to
+    * both). */
+  def normalized(df: DataFrame): DataFrame =
+    df.withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+
   /** doc_id, text, norm, ws (normalized word array). */
   def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("norm", normText(col("text")))
-      .withColumn("ws", split(col("norm"), " "))
+    normalized(Tables.documents(s, dir))
 
   /** Distinct word-3-gram shingles per doc (docs with ≥3 words). */
   def grams(s: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,14 @@ object Streaming {
         .orderBy("win_start", "event_type")
     },
 
+    // Streaming corpus curation — the document-feed quality gate as
+    // the exact transform the streaming job runs (per-row kernel
+    // scoring shared with d09, bounded (lang, source) state).
+    "s08_corpus_curate" -> { (s, dir) =>
+      graft.streaming.DocStream.curate(Tables.documents(s, dir))
+        .orderBy("lang", "source")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -126,6 +134,24 @@ object Streaming {
         |         event_type, value
         |  FROM events, UNNEST(range(0, 2)) t(k)) x
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "s08_corpus_curate" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, text, string_split(${graft.model.Corpus.normSql}, ' ') AS ws
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang, source,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> list_contains(${TextAnalysis.enStopSqlList}, w))) AS DOUBLE)
+         |      / greatest(len(ws), 1)
+         |    - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)
+         |    + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality
+         |  FROM d)
+         |SELECT lang, source, COUNT(1) AS n_docs,
+         |  CAST(SUM(CASE WHEN quality >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words
+         |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "s04_stream_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)

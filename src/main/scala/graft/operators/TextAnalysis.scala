@@ -27,7 +27,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "les", "des", "un"))
 
   private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
-  private val enStopSqlList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val enStopSqlList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The d09 per-row quality columns over a docs-shaped frame (`text`
+    * + `ws`) — ONE definition shared by the batch query and the
+    * streaming curation gate (s08), so stream and batch provably score
+    * identically. Stateless and per-row: safe on any streaming source. */
+  private[graft] def qualityCols(docs: DataFrame): DataFrame = {
+    val enArr = array(enStop.map(lit): _*)
+    docs
+      .withColumn("cc", CharCounts(col("text")))
+      .withColumn("n_chars_raw", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_digits", element_at(col("cc"), 1))
+      .withColumn("n_punct", element_at(col("cc"), 2))
+      .withColumn("n_stop", size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(col("n_chars_raw"), lit(1L)))
+      .withColumn("quality",
+        col("stop_ratio") - col("punct_ratio")
+          + when(col("n_words").between(5, 200), 0.1).otherwise(0.0))
+  }
 
   private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -61,21 +83,7 @@ object TextAnalysis {
     // instead of two full regex passes — same values, ~half the text
     // scanning cost of the hottest per-row operator.
     "d09_quality" -> { (s, dir) =>
-      val enArr = array(enStop.map(lit): _*)
-      Corpus.docs(s, dir)
-        .withColumn("cc", CharCounts(col("text")))
-        .withColumn("n_chars_raw", length(col("text")).cast("long"))
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("n_digits", element_at(col("cc"), 1))
-        .withColumn("n_punct", element_at(col("cc"), 2))
-        .withColumn("n_stop", size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
-        .withColumn("stop_ratio",
-          col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
-        .withColumn("punct_ratio",
-          col("n_punct").cast("double") / greatest(col("n_chars_raw"), lit(1L)))
-        .withColumn("quality",
-          col("stop_ratio") - col("punct_ratio")
-            + when(col("n_words").between(5, 200), 0.1).otherwise(0.0))
+      qualityCols(Corpus.docs(s, dir))
         .select("doc_id", "n_chars_raw", "n_words", "n_digits", "n_punct",
           "n_stop", "stop_ratio", "punct_ratio", "quality")
         .orderBy("doc_id")

@@ -63,6 +63,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming corpus curation equals the batch quality gate") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s08_test",
+      DocStream.curate, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s08_test")
+      .orderBy("lang", "source").collect()
+    val batch = SparkEntry.queries("s08_corpus_curate")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
       df => EventStream.clickErrorJoin(df, df))
