@@ -77,6 +77,38 @@ object Multimodal {
         .toDF()
         .select("doc_id", "n_bytes", "checksum", "width", "height")
         .orderBy("doc_id")
+    },
+
+    // Clip-level near-dup via shared frame fingerprints — the video
+    // twin of shingle dedup: each clip contributes one fingerprint per
+    // fixed-stride frame (50-char windows standing in for decoded
+    // frames, hashed like d18's phash), and two clips pair iff they
+    // share ≥ 3 fingerprints. The pairing is an EQUI-join on the
+    // fingerprint (shuffle-partitioned by hash — the reused-shot
+    // minority, never all clip pairs), with df=1 fingerprints pruned
+    // exactly first (a frame seen in ONE clip cannot contribute to any
+    // pair — same argument as d02's gram pruning), so at 100 TB the
+    // join input is the duplicated-content fraction of the corpus.
+    "d27_clip_dedup" -> { (s, dir) =>
+      val frames = graft.model.Corpus.docs(s, dir)
+        .filter(length(col("norm")) >= 50)
+        .select(col("doc_id"), col("norm"),
+          explode(expr("sequence(1, length(norm) - 49, 50)")).as("i"))
+        .select(col("doc_id"),
+          graft.functions.hash32(expr("substring(norm, i, 50)")).as("ph"))
+        .distinct()
+      val shareable = frames.groupBy("ph")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select("ph")
+      val f = frames.join(shareable, Seq("ph"))
+      val a = f.select(col("ph"), col("doc_id").as("a_id"))
+      val b = f.select(col("ph"), col("doc_id").as("b_id"))
+      a.join(b, Seq("ph"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .filter(col("n_shared_frames") >= 3)
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -96,6 +128,15 @@ object Multimodal {
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d27_clip_dedup" -> (graft.model.Corpus.docsCte +
+      s""", fr AS (
+         |  SELECT DISTINCT doc_id, ${graft.model.Corpus.hash32Sql("substr(norm, i, 50)")} AS ph
+         |  FROM docs, UNNEST(range(1, length(norm) - 48, 50)) t(i)
+         |  WHERE length(norm) >= 50)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS n_shared_frames
+         |FROM fr a JOIN fr b ON a.ph = b.ph AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(1) >= 3 ORDER BY a_id, b_id""".stripMargin)
   )
 }

@@ -158,4 +158,19 @@ class OperatorSpec extends SparkSpec {
     val b = SparkEntry.queries("d14_multimodal")(spark, sf).collect()
     assert(a.sameElements(b))
   }
+
+  test("d27 clip pairs share at least the threshold and never self-pair") {
+    val rows = SparkEntry.queries("d27_clip_dedup")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)),
+      "pair not ordered a < b")
+    assert(rows.forall(_.getLong(2) >= 3), "below the shared-frame threshold")
+    // shared fingerprints can never exceed either clip's frame count
+    val frameCounts = graft.model.Corpus.docs(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("norm")) >= 50)
+      .selectExpr("doc_id", "size(sequence(1, length(norm) - 49, 50)) AS nf")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r =>
+      r.getLong(2) <= math.min(frameCounts(r.getLong(0)), frameCounts(r.getLong(1)))))
+  }
 }
