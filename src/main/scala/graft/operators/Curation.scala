@@ -164,6 +164,12 @@ object Curation {
         .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
+      // edges' cache is no longer needed (the result reads the cached
+      // final labels); labels' cache must OUTLIVE this builder — the
+      // returned frame materializes later, and dropping it would
+      // re-execute the whole loop lineage. It is bounded by the
+      // near-dup member count (the clustered minority, not the corpus)
+      // and lives until session end.
       edges.unpersist()
       out
     },
