@@ -79,6 +79,26 @@ class TopKSpec extends SparkSpec {
     assert(got == Set((1, 10, 1), (1, 20, 2), (2, 5, 1)), got.toString)
   }
 
+  test("x04 equals the window formulation on randomized heavily-tied data") {
+    // the production shape (d06/d07/d15): mixed directions, a coarse
+    // double score full of ties, a unique ascending tiebreak — any
+    // divergence between the bounded-heap pruning and row_number
+    // ranking shows up here across several k and partitionings
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x746f706bL) // "topk"
+    val data = Seq.tabulate(3000)(i => (rnd.nextInt(20), rnd.nextInt(5).toDouble, i.toLong))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("u").asc)
+    for ((k, parts) <- Seq((1, 2), (3, 7), (7, 32))) {
+      val df = data.toDF("g", "v", "u").repartition(parts)
+      val got = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("u", false)), k)
+        .select("g", "v", "u", "rn").collect().map(_.toSeq).toSet
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("g", "v", "u", "rn").collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"k=$k parts=$parts only-custom=${(got -- want).take(3)} only-window=${(want -- got).take(3)}")
+    }
+  }
+
   test("x04 exec node count: exactly one partial and one final") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
