@@ -133,8 +133,12 @@ object Curation {
       // an unchanged sum IS the fixpoint proof. Exact decimal keeps
       // that argument airtight at any node count (no silent long
       // wraparound to alias two states).
-      def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      def lblSum(df: DataFrame): java.math.BigDecimal = {
+        // sum over an empty frame is NULL — normalize so an empty pair
+        // graph (no near-dups at all) converges on the first check
+        val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
       var prevSum = lblSum(labels)
       var converged = false
       var rounds = 0
