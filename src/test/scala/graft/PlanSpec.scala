@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"IVF degenerated to cartesian:\n$p")
   }
 
+  test("d26 KMV sketch aggregates in two phases (map-side partial buffers)") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // partial/final pair is what keeps the exchange at one <=k-long
+    // buffer per (group, partition) instead of the distinct hashes
+    val p = plan("d26_kmv_by_source")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"KMV did not plan a partial ObjectHashAggregate:\n$p")
+  }
+
   test("pair-stream top-k runs on TopKPerGroup, never a sort-window") {
     // the x04 operator's map-side partial is what keeps these
     // exchanges at k rows per group — a silent fallback to
