@@ -45,14 +45,14 @@ object Curation {
 
   // PII patterns restricted to the Java-regex ∩ RE2 common subset
   // (character classes + bounded repetition; no lookaround, no \b).
-  private val emailRe = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
-  private val ipRe = """[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"""
-  private val phoneRe = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  private[graft] val emailRe = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+  private[graft] val ipRe = """[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"""
+  private[graft] val phoneRe = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
 
   /** Deterministic PII injection: email on every 5th doc, IPv4 on
     * every 7th, phone on every 11th — mirrored verbatim in the oracle
     * CTE so both engines scrub identical inputs. */
-  private def withPii(df: DataFrame): DataFrame =
+  private[graft] def withPii(df: DataFrame): DataFrame =
     df.withColumn("raw", concat(
       col("text"),
       when(col("doc_id") % 5 === 0,
@@ -151,7 +151,11 @@ object Curation {
           .select(col("src").as("id"), col("lbl"))
           .union(labels)
           .groupBy("id").agg(min("lbl").as("lbl"))
-        // pointer jumping: follow one indirection (label's label)
+        // pointer jumping: follow one indirection (label's label).
+        // propagated feeds both sides, but its expensive subtree (the
+        // edge join + union) sits BELOW the min-agg exchange, which
+        // ReuseExchange dedupes — only the tiny post-shuffle merge
+        // evaluates per side, so no persist is needed here.
         val next = propagated.as("a")
           .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
             Seq("lbl"), "left")

@@ -89,7 +89,12 @@ case class TopKPerGroupExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val grp = groupExprs
+    // -0.0 and 0.0 (and NaNs) must land in ONE group: the heap map
+    // keys on raw UnsafeRow bytes, and without this an exchange that
+    // co-partitions them (hash normalizes floats) would still split
+    // them into two heaps. Same normalization Aggregate/Window get
+    // from the optimizer; a no-op for non-float group types.
+    val grp = groupExprs.map(GraftBridge.normalizeFloats)
     val ord = order
     val kk = k
     val rank = rankAttr

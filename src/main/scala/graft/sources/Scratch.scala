@@ -48,7 +48,11 @@ object Scratch {
           }
         }
       },
-      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 10)
+      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 10,
+      // explicit generous timeout: the manager's default per-hook
+      // budget (hadoop.service.shutdown.timeout, 30s) could cancel a
+      // large fixture-tree delete mid-iteration and leak the rest
+      5, java.util.concurrent.TimeUnit.MINUTES)
   }
 
   private lazy val defaultRoot = {

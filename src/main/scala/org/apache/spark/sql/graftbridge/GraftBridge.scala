@@ -19,6 +19,12 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Float normalization (-0.0 → 0.0, canonical NaN) for grouping
+    * keys — the same treatment the optimizer gives Aggregate/Window
+    * keys; a no-op for expressions that don't need it. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** DataFrame over a (resolved) custom logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

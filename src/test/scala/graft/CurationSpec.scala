@@ -79,28 +79,20 @@ class CurationSpec extends SparkSpec {
   }
 
   test("d25 redaction removes every match (no PII survives in the redacted text)") {
-    // rebuild the redacted text (the query ships only its hash) and
-    // re-scan it with the same patterns: zero residual matches
+    // rebuild the redacted text (the query ships only its hash) with
+    // the SAME production injection + patterns (not copies that could
+    // drift), and re-scan it: zero residual matches
     import graft.operators.Curation
     val df = Curation.queries("d25_pii_scrub")(spark, sf)
-    val residual = graft.sources.Tables.documents(spark, sf)
-      .withColumn("raw", concat(col("text"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(""),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
-            lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))).otherwise("")))
+    val residual = Curation.withPii(graft.sources.Tables.documents(spark, sf))
       .withColumn("red",
         regexp_replace(regexp_replace(regexp_replace(col("raw"),
-          "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
-          "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"),
-          "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
-      .filter(col("red").rlike("[a-z0-9]+@[a-z0-9]+\\.[a-z]+")
-        || col("red").rlike("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")
-        || col("red").rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+          Curation.emailRe, "<EMAIL>"),
+          Curation.ipRe, "<IP>"),
+          Curation.phoneRe, "<PHONE>"))
+      .filter(col("red").rlike(Curation.emailRe)
+        || col("red").rlike(Curation.ipRe)
+        || col("red").rlike(Curation.phoneRe))
       .count()
     assert(residual == 0L, s"$residual docs still carry PII after redaction")
     assert(df.count() > 0)

@@ -99,6 +99,17 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("x04 merges -0.0 and 0.0 group keys like the window formulation") {
+    import spark.implicits._
+    // raw UnsafeRow bytes differ for the two zeros; without float
+    // normalization one logical group would split into two heaps
+    val df = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L), (0.0, 4L)).toDF("g", "v")
+      .repartition(2)
+    val got = TopK.perGroup(df, Seq("g"), Seq(("v", false)), 2)
+      .select("v", "rn").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 1), (2L, 2)), s"zeros split into two groups: $got")
+  }
+
   test("x04 exec node count: exactly one partial and one final") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
