@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"IVF degenerated to cartesian:\n$p")
   }
 
+  test("d23 corpus mixing never reads the text column") {
+    // the keep decision derives from doc_id/lang only — at 100 TB the
+    // scan must prune the (dominant) text bytes away
+    val p = plan("d23_corpus_mix")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"text not pruned from the scan: $readSchema")
+    assert(readSchema.contains("lang"), readSchema)
+  }
+
   test("d26 KMV sketch aggregates in two phases (map-side partial buffers)") {
     // TypedImperativeAggregate plans as ObjectHashAggregate; the
     // partial/final pair is what keeps the exchange at one <=k-long
