@@ -139,7 +139,11 @@ object Curation {
         val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
         if (s == null) java.math.BigDecimal.ZERO else s
       }
-      var prevSum = lblSum(labels)
+      // no baseline sum job: every node comes from an edge, so every
+      // component has >= 2 members and its non-min members MUST change
+      // in round 1 — the first possible fixpoint is round 2, and the
+      // first comparable pair of sums is (round 1, round 2)
+      var prevSum: java.math.BigDecimal = null
       var converged = false
       var rounds = 0
       while (!converged && rounds < 25) {
@@ -164,7 +168,7 @@ object Curation {
         val s = lblSum(next)
         labels.unpersist()
         labels = next
-        converged = s.compareTo(prevSum) == 0
+        converged = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
         rounds += 1
       }
