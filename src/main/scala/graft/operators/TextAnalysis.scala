@@ -176,6 +176,28 @@ object TextAnalysis {
         .select("k_actual", "h_k", "est_distinct", "n_distinct_hashes")
     },
 
+    // Corpus length statistics — the quality-dashboard numbers every
+    // ingestion pipeline tracks per stratum. Spark's EXACT percentile
+    // aggregate buffers a value→count map per group: for a bounded
+    // domain like document lengths (thousands of distinct values, not
+    // billions), that partial map merges associatively and the
+    // exchange carries one bounded map per (lang, partition) — exact
+    // quantiles at 100 TB without a global sort. The interpolation
+    // ((n−1)·q position, linear between neighbors) is the same
+    // definition DuckDB's quantile_cont uses, over exact integer
+    // inputs — bit-identical doubles.
+    "d28_corpus_stats" -> { (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ps"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("lang"), col("n_docs"),
+          col("ps")(0).as("p50"), col("ps")(1).as("p90"), col("ps")(2).as("p99"),
+          col("total_chars"))
+        .orderBy("lang")
+    },
+
     // GROUPED distinct-count sketches in ONE pass: per-source
     // distinct-word estimates via the KMV TypedImperativeAggregate
     // (x06). Where d20's global formulation shuffles every distinct
@@ -312,6 +334,14 @@ object TextAnalysis {
          |  n_distinct_hashes
          |FROM kth, ex""".stripMargin
     }),
+
+    "d28_corpus_stats" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d26_kmv_by_source" -> (Corpus.docsCte + {
       val h = Corpus.hash32Sql("w")
