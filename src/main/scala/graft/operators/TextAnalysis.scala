@@ -176,6 +176,29 @@ object TextAnalysis {
         .select("k_actual", "h_k", "est_distinct", "n_distinct_hashes")
     },
 
+    // Repetition detection — the Gopher/RefinedWeb-style quality
+    // filter: the fraction of a document's word bigrams taken by its
+    // single most frequent bigram (degenerate machine-generated text
+    // scores high). Rational arithmetic only (count / count → exact
+    // double), and the per-doc argmax runs on TopKPerGroup with k=1 —
+    // the exchange carries ONE bigram per (doc, partition), not the
+    // full bigram frequency table a row_number window would sort.
+    "d29_repetition" -> { (s, dir) =>
+      val docs = Corpus.docs(s, dir).filter(size(col("ws")) >= 2)
+      val bg = docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
+      val counts = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val top = graft.plans.TopK.perGroup(counts,
+        Seq("doc_id"), Seq(("c", true), ("bg", false)), k = 1)
+      val nbg = docs.select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"))
+      top.join(nbg, Seq("doc_id"))
+        .withColumn("top_frac", col("c").cast("double") / col("n_bigrams"))
+        .withColumn("repetitive", col("top_frac") >= 0.2)
+        .select("doc_id", "bg", "c", "n_bigrams", "top_frac", "repetitive")
+        .orderBy("doc_id")
+    },
+
     // Corpus length statistics — the quality-dashboard numbers every
     // ingestion pipeline tracks per stratum. Spark's EXACT percentile
     // aggregate buffers a value→count map per group: for a bounded
@@ -334,6 +357,24 @@ object TextAnalysis {
          |  n_distinct_hashes
          |FROM kth, ex""".stripMargin
     }),
+
+    "d29_repetition" -> (Corpus.docsCte +
+      """, bgs AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM docs, UNNEST(range(1, len(ws))) t(i)
+        |  WHERE len(ws) >= 2),
+        |counts AS (SELECT doc_id, bg, count(1) AS c FROM bgs GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, bg, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+        |  FROM counts),
+        |nb AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_bigrams
+        |       FROM docs WHERE len(ws) >= 2)
+        |SELECT r.doc_id, r.bg, r.c, n.n_bigrams,
+        |  CAST(r.c AS DOUBLE) / n.n_bigrams AS top_frac,
+        |  CAST(r.c AS DOUBLE) / n.n_bigrams >= 0.2 AS repetitive
+        |FROM ranked r JOIN nb n USING (doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     "d28_corpus_stats" ->
       """SELECT lang, COUNT(1) AS n_docs,

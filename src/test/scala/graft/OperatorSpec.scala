@@ -159,6 +159,17 @@ class OperatorSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("d29 top-bigram fraction is a valid maximum share") {
+    val rows = SparkEntry.queries("d29_repetition")(spark, sf)
+      .select("c", "n_bigrams", "top_frac").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, n, f) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(c >= 1 && c <= n, s"top count $c outside [1, $n]")
+      assert(f > 0.0 && f <= 1.0, s"fraction $f outside (0, 1]")
+    }
+  }
+
   test("d27 clip pairs share at least the threshold and never self-pair") {
     val rows = SparkEntry.queries("d27_clip_dedup")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)),
