@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"IVF degenerated to cartesian:\n$p")
   }
 
+  test("d27 clip dedup pairs via fingerprint equi-join (no all-pairs)") {
+    val p = plan("d27_clip_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"clip dedup degenerated to all-pairs:\n$p")
+  }
+
   test("d23 corpus mixing never reads the text column") {
     // the keep decision derives from doc_id/lang only — at 100 TB the
     // scan must prune the (dominant) text bytes away
