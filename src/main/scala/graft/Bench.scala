@@ -50,10 +50,25 @@ object Bench {
       val b = if (a >= 0) timeOnce(name, fn) else -1.0
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // The harness captures only the LAST ~2000 chars of stdout, and sbt
+    // appends a ~76-char "[success]" line after ours — at 80+ queries the
+    // full-name form overflows that window and the whole line is lost
+    // (round 5's bench recorded parsed=null). Key the per-query map by the
+    // short id prefix (b01, d24, q01, s01 — unique by construction, the
+    // SURVEY §2 row ids) so the line stays well under the window at any
+    // future query count.
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      "short query ids collide — two SURVEY ids share a prefix")
+    val qs = shortIds.zip(results.map(_._2)).map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    require(line.length <= 1800,
+      s"bench JSON line ${line.length} chars — would overflow the 2000-char tail capture")
+    println(line)
     spark.stop()
   }
 }
