@@ -123,11 +123,45 @@ object Curation {
     // hash-partitioned joins + one count — no collect of rows ever.
     "d24_dup_clusters" -> { (s, dir) =>
       val pairs = Dedup.lshPairs(s, dir).select("a_id", "b_id")
-      val edges = pairs.toDF("src", "dst")
+      // localCheckpoint (not persist): every round's plan references the
+      // previous round's frame FOUR times (propagated on both sides of
+      // the jump join, labels in the union), so with lazy lineage the
+      // logical plan grows ~4× per round and the driver ends up
+      // re-analyzing ~4^rounds copies of the whole LSH pipeline — at
+      // sf0.1 the FINAL tiny report alone paid ~1.7s of pure plan
+      // analysis. Checkpointing pins each round to its materialized
+      // blocks, so every loop plan stays O(1) size. Trade-off (same as
+      // GraphX's iterative cut): checkpoint blocks are executor-local,
+      // so an executor loss mid-loop fails the query instead of
+      // recomputing — acceptable for a seconds-long loop; a long-lived
+      // cluster deployment would set a reliable checkpoint dir and use
+      // Dataset.checkpoint on the same cadence.
+      val sym = pairs.toDF("src", "dst")
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .persist()
+      // self-loops let each round's min-pass see the node's OWN label
+      // through the same neighbor join — no per-round union back to
+      // `labels` (a self-union of a checkpointed frame also trips
+      // Union's constraint rewrite on duplicate attribute ids)
+      // no distinct on the loops: one loop per incident edge is
+      // harmless under the min-aggregate and skips a |sym| shuffle
+      val edges = sym
+        .union(sym.select(col("src"), col("src").as("dst")))
+        .localCheckpoint()
+      // loop-local tuning: the convergence rounds run over the cached
+      // near-dup minority (KBs–MBs even when the corpus is 100 TB — the
+      // edge set is the LSH candidate output, not the corpus), so each
+      // round's job is pure scheduling overhead. AQE would split every
+      // round into per-stage jobs and re-optimize each; 32 shuffle
+      // partitions would schedule 32 tasks per tiny exchange. Dial both
+      // down for the loop only, restore after — on a cluster the same
+      // loop-local override applies (the iterative tail of an iterative
+      // job wants small fixed plans, the scan wants AQE).
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).persist()
+        .withColumn("lbl", col("id")).localCheckpoint()
       // Convergence telemetry: per-node labels are NON-INCREASING, so
       // the label sum strictly decreases every non-converged round —
       // an unchanged sum IS the fixpoint proof. Exact decimal keeps
@@ -146,14 +180,13 @@ object Curation {
       var prevSum: java.math.BigDecimal = null
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 25) {
-        // one fused min-pass: each node takes min over {its own label}
-        // ∪ {neighbor labels} — the self label enters through the
-        // union, so there is no separate left-join back to `labels`
+      try while (!converged && rounds < 25) {
+        // one min-pass: each node takes min over {its own label} ∪
+        // {neighbor labels} — the self label enters through the
+        // self-loop edge, so the round is a single join + aggregate
         val propagated = edges
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("lbl"))
-          .union(labels)
           .groupBy("id").agg(min("lbl").as("lbl"))
         // pointer jumping: follow one indirection (label's label).
         // propagated feeds both sides, but its expensive subtree (the
@@ -164,25 +197,25 @@ object Curation {
           .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
             Seq("lbl"), "left")
           .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
-          .persist()
-        val s = lblSum(next)
-        labels.unpersist()
+          .localCheckpoint() // materializes the round; truncates lineage
+        val s = lblSum(next) // second micro-job over the cached blocks
         labels = next
         converged = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
         rounds += 1
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", partsWas)
       }
       val out = labels
         .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
-      // edges' cache is no longer needed (the result reads the cached
-      // final labels); labels' cache must OUTLIVE this builder — the
-      // returned frame materializes later, and dropping it would
-      // re-execute the whole loop lineage. It is bounded by the
-      // near-dup member count (the clustered minority, not the corpus)
-      // and lives until session end.
-      edges.unpersist()
+      // the returned frame reads the FINAL round's checkpoint blocks
+      // (bounded by the near-dup member count — the clustered minority,
+      // not the corpus); intermediate rounds' and edges' blocks are
+      // reclaimed by the ContextCleaner once their RDDs are
+      // unreachable, i.e. as soon as this builder returns.
       out
     },
 
