@@ -572,6 +572,28 @@ object Backup {
         .filter(col("kind") === 1)
         .select("event_id", "node_id", "request_day", "matched_day")
         .orderBy("event_id")
+    },
+
+    // Restore fetch plan: esop's incremental upload stores each file
+    // ONCE — under the snapshot that first saw it — and later manifests
+    // just reference it (`impl/backup/Backuper.java` ALREADY_PRESENT).
+    // Restoring the latest snapshot therefore fetches from MANY earlier
+    // backups; this groups the latest manifest per node by the source
+    // snapshot each file actually lives under (provenance = min
+    // snapshot_day per (node, object_key)). Both aggregates key on the
+    // manifest's natural keys; `latest` is per-node (broadcast-sized at
+    // any fleet size).
+    "b25_fetch_plan" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val latest = m.groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+      val target = m.join(broadcast(latest), Seq("node_id", "snapshot_day"))
+      val firstSeen = m.groupBy("node_id", "object_key")
+        .agg(min("snapshot_day").as("src_day"))
+      target.join(firstSeen, Seq("node_id", "object_key"))
+        .groupBy("node_id", "src_day")
+        .agg(count(lit(1)).as("n_files"),
+          asDouble(sum(col("size"))).as("bytes"))
+        .orderBy("node_id", "src_day")
     }
   )
 
@@ -837,6 +859,19 @@ object Backup {
         |  (SELECT max(sn.snapshot_day) FROM snapshots sn
         |   WHERE sn.node_id = l.node_id AND sn.snapshot_day < l.snapshot_day) AS matched_day
         |FROM ledger l WHERE l.ftype = 'COMMIT_LOG'
-        |ORDER BY l.event_id""".stripMargin)
+        |ORDER BY l.event_id""".stripMargin),
+
+    "b25_fetch_plan" -> (cte +
+      """, latest AS (
+        |  SELECT node_id, max(snapshot_day) AS snapshot_day FROM manifest GROUP BY 1),
+        |target AS (
+        |  SELECT m.* FROM manifest m JOIN latest USING (node_id, snapshot_day)),
+        |firsts AS (
+        |  SELECT node_id, object_key, min(snapshot_day) AS src_day
+        |  FROM manifest GROUP BY 1, 2)
+        |SELECT t.node_id, f.src_day, count(1) AS n_files,
+        |  CAST(sum(t.size) AS DOUBLE) AS bytes
+        |FROM target t JOIN firsts f USING (node_id, object_key)
+        |GROUP BY 1, 2 ORDER BY node_id, src_day""".stripMargin)
   )
 }

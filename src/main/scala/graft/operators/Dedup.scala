@@ -178,6 +178,36 @@ object Dedup {
         .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
         .distinct() // a pair may collide in 2-3 bands
         .orderBy("a_id", "b_id")
+    },
+
+    // CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) — the asymmetric
+    // complement of d02's Jaccard. A short doc fully embedded in a long
+    // one scores ~|A∩B|/|A| ≈ 1 here but |A∩B|/|A∪B| ≪ 1 on Jaccard, so
+    // quote/excerpt duplication only this metric catches. Same exact
+    // df=1 pruning as d02 (an unshared gram contributes nothing to the
+    // intersection; the denominators come from the unpruned per-doc
+    // sizes), so the quadratic join again runs only over the shareable
+    // gram minority.
+    "d30_containment" -> { (s, dir) =>
+      val g = Corpus.grams(s, dir)
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shareable = g.groupBy("gram")
+        .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
+        .select("gram")
+      val gf = g.join(shareable, Seq("gram"))
+      val a = gf.toDF("gram", "a_id")
+      val b = gf.toDF("gram", "b_id")
+      a.join(b, Seq("gram"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.8)
+        .select("a_id", "b_id", "inter", "na", "nb", "containment")
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -221,6 +251,19 @@ object Dedup {
          |  bit_count(xor(a.fp, b.fp)) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 2
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    "d30_containment" -> (Corpus.docsCte +
+      """, sizes AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS inter,
+        |  any_value(sa.n) AS na, any_value(sb.n) AS nb,
+        |  CAST(count(1) AS DOUBLE) / least(any_value(sa.n), any_value(sb.n)) AS containment
+        |FROM grams a
+        |JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING CAST(count(1) AS DOUBLE) / least(any_value(sa.n), any_value(sb.n)) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 }

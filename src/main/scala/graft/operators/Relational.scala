@@ -247,6 +247,59 @@ object Relational {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
       """)
+    },
+
+    // PIVOT with an EXPLICIT value list: passing the statuses up front
+    // keeps this a single-pass aggregate — the value-less pivot API
+    // first runs a distinct-collect job over the pivot column, which at
+    // 100 TB is a full extra scan before any real work starts.
+    "q20_pivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    // lag/lead over the per-customer order history: inter-order gap in
+    // days and spend delta — the window partitions by a bounded key
+    // (customer), so partitions stay small at any total order count.
+    "q21_lead_lag" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")).cast("long"))
+        .withColumn("price_delta",
+          asDouble(dec2(col("o_totalprice")) - dec2(lag(col("o_totalprice"), 1).over(w))))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select("o_custkey", "o_orderkey", "gap_days", "price_delta", "next_key")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // INTERSECT / EXCEPT set algebra (both plan as hash-aggregated
+    // left-semi / left-anti joins — no sort, shuffles only the
+    // projected key column): the returning-customer partition of two
+    // order years.
+    "q22_setops" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def custs(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from).cast("timestamp")
+          && col("o_orderdate") < lit(until).cast("timestamp"))
+          .select("o_custkey")
+      val y95 = custs("1995-01-01", "1996-01-01")
+      val y96 = custs("1996-01-01", "1997-01-01")
+      y95.intersect(y96).withColumn("kind", lit("both"))
+        .unionAll(y95.except(y96).withColumn("kind", lit("only_1995")))
+        .select("kind", "o_custkey")
+        .orderBy("kind", "o_custkey")
     }
   )
 
@@ -391,6 +444,41 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, gap_days, price_delta, next_key FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER w AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      - CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS price_delta,
+        |    lead(o_orderkey) OVER w AS next_key,
+        |    lag(o_orderdate) OVER w AS prev_date
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |) t WHERE prev_date IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q22_setops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT 'both' AS kind, o_custkey
+        |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) a
+        |UNION ALL
+        |SELECT 'only_1995' AS kind, o_custkey
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b
+        |ORDER BY kind, o_custkey""".stripMargin
   )
 }

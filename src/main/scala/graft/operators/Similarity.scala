@@ -235,6 +235,28 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // int8 vector quantization (the 4× storage cut a 100 TB embedding
+    // store takes before ANN indexing): per-vector max-abs scale,
+    // q8_i = round(127·q_i/scale). Everything compared cross-engine is
+    // EXACT integer arithmetic — the reconstruction error is kept as
+    // the integer Σ(127·q_i − q8_i·scale)² (the true squared error
+    // scaled by 127²/scale², with no float summation anywhere), and
+    // the only float op, the rounding division, is one IEEE divide
+    // both engines evaluate bit-identically. Pure per-row projection:
+    // zero shuffles at any corpus size.
+    "d32_embed_quant" -> { (s, dir) =>
+      Corpus.qvecs(s, dir)
+        .withColumn("scale",
+          greatest(expr("aggregate(q, CAST(0 AS LONG), (acc, x) -> greatest(acc, abs(x)))"), lit(1L)))
+        .withColumn("q8", expr(
+          "transform(q, x -> CAST(round(CAST(127 * x AS DOUBLE) / scale) AS LONG))"))
+        .withColumn("sq_err", expr(
+          "aggregate(zip_with(q, q8, (a, b) -> (127 * a - b * scale) * (127 * a - b * scale)), CAST(0 AS LONG), (acc, x) -> acc + x)"))
+        .select(col("vec_id"), col("scale"), col("sq_err"),
+          md5(concat_ws(",", expr("transform(q8, x -> CAST(x AS STRING))"))).as("q8_hash"))
+        .orderBy("vec_id")
+    },
+
     // k-means assignment step against fixed deterministic centroids —
     // argmin as the same shuffle-free per-row fold the IVF path uses
     // (r3 shipped it as a map-side min(struct) aggregate; the fold
@@ -347,6 +369,21 @@ object Similarity {
         |  CAST(list_sum(q) AS BIGINT) AS sum_q,
         |  sqrt(CAST(norm2 AS DOUBLE)) AS l2_norm
         |FROM qtab ORDER BY vec_id""".stripMargin),
+
+    "d32_embed_quant" -> (Corpus.qtabCte +
+      """, sc AS (
+        |  SELECT vec_id, q,
+        |    greatest(CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT), 1) AS scale
+        |  FROM qtab),
+        |q8t AS (
+        |  SELECT vec_id, q, scale,
+        |    list_transform(q, x -> CAST(round(CAST(127 * x AS DOUBLE) / scale) AS BIGINT)) AS q8
+        |  FROM sc)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(range(1, len(q) + 1), i ->
+        |    (127 * q[i] - q8[i] * scale) * (127 * q[i] - q8[i] * scale))) AS BIGINT) AS sq_err,
+        |  md5(array_to_string(list_transform(q8, x -> CAST(x AS VARCHAR)), ',')) AS q8_hash
+        |FROM q8t ORDER BY vec_id""".stripMargin),
 
     "d13_knn_centroid" -> (Corpus.qtabCte + ", " + centroidsSql +
       s"""SELECT vec_id, c AS centroid, dist2 FROM (

@@ -53,6 +53,10 @@ object TextAnalysis {
 
   private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** URL pattern (Java-regex ∩ RE2 common subset, as d25's patterns):
+    * group 1 = domain, group 2 = path segment. */
+  private val urlRe = """https?://([a-z0-9.]+)/([a-z0-9]+)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword-lexicon scoring, argmax lang per doc
@@ -275,6 +279,60 @@ object TextAnalysis {
           min(hash32(col("w8"))).as("fp_min"),
           countDistinct(col("w8")).as("n_uniq_windows"))
         .orderBy("doc_id")
+    },
+
+    // URL extraction + per-domain inventory — the provenance report a
+    // crawl corpus runs before domain-level filtering/deduplication.
+    // The corpus text is synthetic word salad, so URLs are INJECTED
+    // deterministically from doc_id (mirrored in the oracle CTE; same
+    // pattern as d25's PII injection) — the operator under test is the
+    // extract→explode→per-domain rollup. The countDistinct Expand runs
+    // over the extracted URL stream (≤2 rows/doc by construction, and
+    // in a real crawl |urls| ≪ |text bytes|), never the corpus scan.
+    "d31_url_extract" -> { (s, dir) =>
+      val raw = graft.sources.Tables.documents(s, dir)
+        .withColumn("raw", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" http://site"), (col("doc_id") % 50).cast("string"),
+              lit(".example.com/p"), (col("doc_id") % 97).cast("string")))
+            .otherwise(""),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" https://cdn"), (col("doc_id") % 7).cast("string"),
+              lit(".example.org/x"), (col("doc_id") % 31).cast("string")))
+            .otherwise("")))
+      raw.select(col("doc_id"),
+          explode(regexp_extract_all(col("raw"), lit(urlRe), lit(0))).as("url"))
+        .withColumn("domain", regexp_extract(col("url"), urlRe, 1))
+        .withColumn("path", regexp_extract(col("url"), urlRe, 2))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("path")).as("n_paths"))
+        .orderBy("domain")
+    },
+
+    // Z-order data layout (x07 kernel in production): a 32-bit Morton
+    // key over (length bucket, source bucket) — the clustering key a
+    // 100 TB corpus would range-partition + sort by so scans filtering
+    // on EITHER dimension prune files via min/max stats. The report
+    // groups docs into the 16 top-level Z-ranges (the key's high 4
+    // bits = the 4×4 grid cell both dimensions quartered) and shows
+    // the layout is balanced + range-contiguous. Key computation is
+    // the branch-free ZOrder2 codegen kernel — a pure per-row
+    // projection at the scan, no shuffle before the 16-group agg.
+    "d33_zorder" -> { (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .withColumn("x", least(col("n_chars") * 100, lit(65535L)))
+        .withColumn("y", pmod(hash32(col("source")), lit(65536L)))
+        .withColumn("zkey", ZOrder2(col("x"), col("y")))
+        .withColumn("zrange", shiftright(col("zkey"), 28))
+        .groupBy("zrange")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("zkey")).as("min_z"),
+          max(col("zkey")).as("max_z"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("zrange")
     }
   )
 
@@ -425,6 +483,41 @@ object TextAnalysis {
          |)
          |SELECT doc_id, min(${Corpus.hash32Sql("w8")}) AS fp_min,
          |  count(DISTINCT w8) AS n_uniq_windows
-         |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "d31_url_extract" ->
+      s"""WITH raws AS (
+         |  SELECT doc_id, concat(text,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' http://site' || CAST(doc_id % 50 AS VARCHAR)
+         |              || '.example.com/p' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END,
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN ' https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+         |              || '.example.org/x' || CAST(doc_id % 31 AS VARCHAR) ELSE '' END) AS raw
+         |  FROM documents),
+         |urls AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(raw, '$urlRe')) AS url FROM raws)
+         |SELECT regexp_extract(url, '$urlRe', 1) AS domain,
+         |  count(1) AS n_urls,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT regexp_extract(url, '$urlRe', 2)) AS n_paths
+         |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "d33_zorder" ->
+      s"""WITH zt AS (
+         |  SELECT doc_id, source,
+         |    least(n_chars * 100, 65535) AS x,
+         |    ${Corpus.hash32Sql("source")} % 65536 AS y
+         |  FROM documents),
+         |zk AS (
+         |  SELECT doc_id, source,
+         |    CAST(list_sum(list_transform(range(0, 16), j ->
+         |      ((x >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j))
+         |      + ((y >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j + 1)))) AS BIGINT) AS zkey
+         |  FROM zt)
+         |SELECT zkey >> 28 AS zrange, count(1) AS n_docs,
+         |  min(zkey) AS min_z, max(zkey) AS max_z,
+         |  count(DISTINCT source) AS n_sources
+         |FROM zk GROUP BY 1 ORDER BY zrange""".stripMargin
   )
 }

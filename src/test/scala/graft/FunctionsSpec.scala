@@ -212,6 +212,40 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_kmv") || e.getCause != null)
   }
 
+  test("x07: ZOrder2 kernel equals the per-bit HOF formulation") {
+    // randomized 16-bit inputs (deterministic hash spread), plus the
+    // corner values; the oracle computes the same per-bit sum in DuckDB
+    val df = spark.range(200).selectExpr(
+      "CAST(conv(substr(md5(concat('zx', id)), 1, 4), 16, 10) AS LONG) AS x",
+      "CAST(conv(substr(md5(concat('zy', id)), 1, 4), 16, 10) AS LONG) AS y")
+      .unionAll(spark.sql(
+        "SELECT CAST(0 AS LONG) x, CAST(0 AS LONG) y " +
+          "UNION ALL SELECT CAST(65535 AS LONG), CAST(65535 AS LONG)"))
+    val hof = "aggregate(sequence(0, 15), CAST(0 AS LONG), (acc, j) -> " +
+      "acc + ((shiftright(x, j) & 1) * shiftleft(CAST(1 AS LONG), 2 * j)) " +
+      "+ ((shiftright(y, j) & 1) * shiftleft(CAST(1 AS LONG), 2 * j + 1)))"
+    val both = df
+      .withColumn("zk", graft.functions.ZOrder2(col("x"), col("y")))
+      .selectExpr("zk", s"$hof AS ze")
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("x07: graft_zorder registered via extensions; interleave is monotone per dimension") {
+    val out = spark.sql(
+      "SELECT graft_zorder(CAST(3 AS LONG), CAST(5 AS LONG)) AS z, " +
+        "graft_zorder(CAST(NULL AS LONG), CAST(1 AS LONG)) AS zn").collect().head
+    // 3 = 0b11 on even bits -> 0b0101; 5 = 0b101 on odd bits -> 0b100010
+    assert(out.getLong(0) == ((1L) | (1L << 2) | (1L << 1) | (1L << 5)))
+    assert(out.isNullAt(1)) // null-propagating like every binary expression
+    // fixing one dimension, the key grows with the other: z-ranges are
+    // scannable as ranges per dimension slice
+    val zs = spark.range(100)
+      .selectExpr("graft_zorder(CAST(id AS LONG), CAST(7 AS LONG)) AS z", "id")
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(zs.sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("IO: partitioned write enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
     val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")
