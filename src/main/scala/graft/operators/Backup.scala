@@ -594,6 +594,34 @@ object Backup {
         .agg(count(lit(1)).as("n_files"),
           asDouble(sum(col("size"))).as("bytes"))
         .orderBy("node_id", "src_day")
+    },
+
+    // esop's upload tracker (`impl/AbstractTracker.java:43` — units with
+    // NOT_STARTED/FINISHED/FAILED/IGNORED states, sessions reporting
+    // finished/submitted progress, `:152-158`): the mid-backup progress
+    // report at a time cut. Unit states derive deterministically from
+    // the ledger (failures/ignores pinned by event_id; FINISHED = upload
+    // event at or before the cut) — one conditional-agg pass per
+    // (node, snapshot) session, no per-unit state kept anywhere.
+    "b26_progress" -> { (s, dir) =>
+      val cut = lit("2024-01-15 12:00:00").cast("timestamp")
+      ledger(s, dir)
+        .withColumn("state",
+          when(col("event_id") % 41 === 0, "FAILED")
+            .when(col("event_id") % 37 === 0, "IGNORED")
+            .when(col("ts") <= cut, "FINISHED")
+            .otherwise("NOT_STARTED"))
+        .groupBy("node_id", "snapshot_day")
+        .agg(count(lit(1)).as("n_units"),
+          count(when(col("state") === "FINISHED", 1)).as("n_finished"),
+          count(when(col("state") === "FAILED", 1)).as("n_failed"),
+          count(when(col("state") === "IGNORED", 1)).as("n_ignored"))
+        .withColumn("progress",
+          col("n_finished").cast("double") / col("n_units"))
+        .withColumn("complete",
+          col("n_failed") === 0
+            && col("n_finished") + col("n_ignored") === col("n_units"))
+        .orderBy("node_id", "snapshot_day")
     }
   )
 
@@ -872,6 +900,26 @@ object Backup {
         |SELECT t.node_id, f.src_day, count(1) AS n_files,
         |  CAST(sum(t.size) AS DOUBLE) AS bytes
         |FROM target t JOIN firsts f USING (node_id, object_key)
-        |GROUP BY 1, 2 ORDER BY node_id, src_day""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY node_id, src_day""".stripMargin),
+
+    "b26_progress" -> (cte +
+      """, st AS (
+        |  SELECT node_id, snapshot_day,
+        |    CASE WHEN event_id % 41 = 0 THEN 'FAILED'
+        |         WHEN event_id % 37 = 0 THEN 'IGNORED'
+        |         WHEN ts <= TIMESTAMP '2024-01-15 12:00:00' THEN 'FINISHED'
+        |         ELSE 'NOT_STARTED' END AS state
+        |  FROM ledger)
+        |SELECT node_id, snapshot_day,
+        |  count(1) AS n_units,
+        |  count(CASE WHEN state = 'FINISHED' THEN 1 END) AS n_finished,
+        |  count(CASE WHEN state = 'FAILED' THEN 1 END) AS n_failed,
+        |  count(CASE WHEN state = 'IGNORED' THEN 1 END) AS n_ignored,
+        |  CAST(count(CASE WHEN state = 'FINISHED' THEN 1 END) AS DOUBLE)
+        |    / count(1) AS progress,
+        |  count(CASE WHEN state = 'FAILED' THEN 1 END) = 0
+        |    AND count(CASE WHEN state = 'FINISHED' THEN 1 END)
+        |      + count(CASE WHEN state = 'IGNORED' THEN 1 END) = count(1) AS complete
+        |FROM st GROUP BY 1, 2 ORDER BY node_id, snapshot_day""".stripMargin)
   )
 }

@@ -89,6 +89,61 @@ object Dedup {
         |  GROUP BY 1, 2
         |)""".stripMargin
 
+  /** Exact Jaccard near-dup pairs (a_id, b_id, inter, jaccard ≥ 0.5) —
+    * d02's output without the presentation sort, shared with the d34
+    * recall evaluation.
+    *
+    * Exact pruning: a gram held by ONE doc can never be shared, so it
+    * contributes nothing to |∩| — and |∪| comes from the full per-doc
+    * sizes, so dropping df=1 grams before the quadratic self-join
+    * changes nothing in the output while shrinking the join input to
+    * the shareable minority. The df count is a hash AGGREGATE (map-side
+    * partial combine, shuffle carries one row per distinct gram),
+    * deliberately NOT a full-frame window over the gram rows — the
+    * window variant is sort-based with no partial aggregation and
+    * measured 7× slower at sf0.1. A full SSJoin-style prefix-filter
+    * variant (rank grams by df within each doc, join on rare-gram
+    * prefixes, score candidates via array_intersect) was also measured:
+    * 3× SLOWER here (9.4s vs 3.2s) — the rank window + per-doc gram
+    * arrays cost more than the candidate reduction saves at this
+    * corpus's sharing profile; d04's MinHash banding remains the scale
+    * path. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val g = Corpus.grams(s, dir)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shareable = g.groupBy("gram")
+      .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
+      .select("gram")
+    val gf = g.join(shareable, Seq("gram"))
+    val a = gf.toDF("gram", "a_id")
+    val b = gf.toDF("gram", "b_id")
+    a.join(b, Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+      .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB CTE `exact(a_id, b_id)` — the oracle twin of
+    * [[jaccardPairs]] (projected to the pair keys), appended after a
+    * chain that already establishes `grams`. */
+  private val exactPairsCte: String =
+    """sizes AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1),
+      |exact AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM grams a
+      |  JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  JOIN sizes sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING CAST(count(1) AS DOUBLE)
+      |    / (any_value(sa.n) + any_value(sb.n) - count(1)) >= 0.5
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: md5 over normalized text; min doc_id is the keeper.
@@ -101,38 +156,7 @@ object Dedup {
 
     // Word-3-gram Jaccard near-dup pairs (|∩|/|∪| ≥ 0.5).
     "d02_dedup_ngram" -> { (s, dir) =>
-      val g = Corpus.grams(s, dir)
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // exact pruning: a gram held by ONE doc can never be shared, so
-      // it contributes nothing to |∩| — and |∪| comes from the full
-      // per-doc sizes above, so dropping df=1 grams before the
-      // quadratic self-join changes nothing in the output while
-      // shrinking the join input to the shareable minority. The df
-      // count is a hash AGGREGATE (map-side partial combine, shuffle
-      // carries one row per distinct gram), deliberately NOT a
-      // full-frame window over the gram rows — the window variant is
-      // sort-based with no partial aggregation and measured 7× slower
-      // at sf0.1. A full SSJoin-style prefix-filter variant (rank grams
-      // by df within each doc, join on rare-gram prefixes, score
-      // candidates via array_intersect) was also measured: 3× SLOWER
-      // here (9.4s vs 3.2s) — the rank window + per-doc gram arrays
-      // cost more than the candidate reduction saves at this corpus's
-      // sharing profile; d04's MinHash banding remains the scale path.
-      val shareable = g.groupBy("gram")
-        .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
-        .select("gram")
-      val gf = g.join(shareable, Seq("gram"))
-      val a = gf.toDF("gram", "a_id")
-      val b = gf.toDF("gram", "b_id")
-      a.join(b, Seq("gram"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
-        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
+      jaccardPairs(s, dir)
         .select("a_id", "b_id", "inter", "jaccard")
         .orderBy("a_id", "b_id")
     },
@@ -208,6 +232,27 @@ object Dedup {
         .filter(col("containment") >= 0.8)
         .select("a_id", "b_id", "inter", "na", "nb", "containment")
         .orderBy("a_id", "b_id")
+    },
+
+    // Sketch-quality evaluation — measure, don't guess: what fraction
+    // of the EXACT Jaccard-0.5 near-dup pairs does the d04 MinHash-LSH
+    // candidate generation actually surface (recall), and how selective
+    // is the candidate set (n_candidates vs n_hit)? This is the QA
+    // gate a production dedup pipeline runs on a sample before trusting
+    // the sketch path at full corpus scale. Both inputs are the shared
+    // bucketed plans (exact pairs df=1-pruned, candidates band-joined);
+    // the comparison itself is one tiny pair-key join.
+    "d34_lsh_recall" -> { (s, dir) =>
+      val exact = jaccardPairs(s, dir).select("a_id", "b_id")
+      val cand = lshPairs(s, dir).select("a_id", "b_id")
+      val hits = exact.join(cand.withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(broadcast(nCand))
+        .withColumn("recall",
+          col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
+        .select("n_exact", "n_candidates", "n_hit", "recall")
     }
   )
 
@@ -264,6 +309,16 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING CAST(count(1) AS DOUBLE) / least(any_value(sa.n), any_value(sb.n)) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    "d34_lsh_recall" -> (lshPairsCte + ", " + exactPairsCte +
+      """SELECT
+        |  (SELECT count(1) FROM exact) AS n_exact,
+        |  (SELECT count(1) FROM pairs) AS n_candidates,
+        |  (SELECT count(1) FROM exact e JOIN pairs p
+        |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS n_hit,
+        |  CAST((SELECT count(1) FROM exact e JOIN pairs p
+        |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS DOUBLE)
+        |    / greatest((SELECT count(1) FROM exact), 1) AS recall""".stripMargin)
   )
 }
