@@ -200,6 +200,97 @@ class PlanSpec extends SparkSpec {
       s"quadratic embeddings pairing in: $offenders")
   }
 
+  test("q20 pivot with explicit values plans without a distinct-collect pre-job") {
+    // a value-less pivot runs an eager distinct job at BUILD time; the
+    // explicit-list form must stay fully lazy
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // flush the async bus with a sentinel job: events deliver in
+      // order, so once the sentinel's events arrived, any earlier
+      // (pivot-build) job start has been counted too
+      def flushed(): Int = { spark.range(1).count(); Thread.sleep(200); jobs }
+      val j0 = flushed()
+      val df = SparkEntry.queries("q20_pivot")(spark, sf)
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      val j1 = flushed()
+      val valueless = graft.sources.Tables.orders(spark, sf)
+        .groupBy("o_orderpriority").pivot("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      valueless.queryExecution.optimizedPlan
+      val j2 = flushed()
+      // the explicit-value build is job-free; the value-less build runs
+      // the distinct-collect pre-job on top of the same flush overhead
+      assert(j2 - j1 > j1 - j0,
+        s"explicit pivot not cheaper: explicit=${j1 - j0} valueless=${j2 - j1}")
+      // and the plan reads orders exactly once
+      val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(scans == 1, s"pivot plan has $scans leaves")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q22 set ops plan as semi/anti joins (no cartesian, no materialized difference)") {
+    val p = plan("q22_setops")
+    assert(p.contains("LeftSemi"), s"INTERSECT not a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT not an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("b25 per-node latest-snapshot join broadcasts (never shuffles the manifest for it)") {
+    val p = plan("b25_fetch_plan")
+    assert(p.contains("BroadcastHashJoin"), s"latest join not broadcast:\n$p")
+  }
+
+  test("d31 reads only (doc_id, text) and expands only the URL stream") {
+    val df = SparkEntry.queries("d31_url_extract")(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned documents scan: $readSchema")
+    // the countDistinct Expand must sit ABOVE the URL explode
+    // (Generate), i.e. it expands extracted URLs, not document rows
+    val sp = df.queryExecution.sparkPlan
+    def hasGenerateBelow(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty
+    val expands = sp.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.nonEmpty, "no Expand (countDistinct shape changed?)")
+    expands.foreach(e => assert(hasGenerateBelow(e),
+      s"Expand not above the URL explode:\n$sp"))
+  }
+
+  test("d32 quantization is per-row: only the presentation sort exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("d32_embed_quant")(spark, sf)
+    val shuffles = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.size <= 1, // the final orderBy range partitioning only
+      s"quantization shuffles the vector stream:\n${df.queryExecution.sparkPlan}")
+  }
+
+  test("d33 zorder key is computed at the scan (no exchange before the partial agg)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("d33_zorder")(spark, sf)
+    // walk root→scan; the FIRST aggregate met from the scan side must
+    // appear before any exchange on that path (map-side partial)
+    def pathToScan(p: SparkPlan): Option[List[SparkPlan]] =
+      if (p.children.isEmpty) Some(List(p))
+      else p.children.view.flatMap(c => pathToScan(c).map(p :: _)).headOption
+    val path = pathToScan(df.queryExecution.sparkPlan).get.reverse // scan-first
+    val firstAgg = path.indexWhere(_.isInstanceOf[BaseAggregateExec])
+    val firstExchange = path.indexWhere(_.isInstanceOf[ShuffleExchangeLike])
+    assert(firstAgg >= 0, "no aggregate in the d33 plan")
+    assert(firstExchange < 0 || firstAgg < firstExchange,
+      s"exchange before the partial agg:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // with AQE the codegen stage markers only exist in the FINAL plan —
     // execute first, then inspect the executed plan
