@@ -268,16 +268,18 @@ object TextAnalysis {
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
+    // One Fingerprint kernel call per row AT THE SCAN — the previous
+    // explode formulation (which the oracle still mirrors) fanned each
+    // doc out to |windows| ≈ len/4 rows and shuffled them into a
+    // per-doc aggregate; at 100 TB that multiplies the dominant
+    // exchange by the window count for a value-identical result.
     "d11_fingerprint" -> { (s, dir) =>
       Corpus.docs(s, dir)
         .filter(length(col("norm")) >= 8)
-        .select(col("doc_id"), col("norm"),
-          explode(expr("sequence(1, length(norm) - 7, 4)")).as("i"))
-        .withColumn("w8", expr("substr(norm, i, 8)"))
-        .groupBy("doc_id")
-        .agg(
-          min(hash32(col("w8"))).as("fp_min"),
-          countDistinct(col("w8")).as("n_uniq_windows"))
+        .withColumn("fpv", Fingerprint(col("norm")))
+        .select(col("doc_id"),
+          element_at(col("fpv"), 1).as("fp_min"),
+          element_at(col("fpv"), 2).as("n_uniq_windows"))
         .orderBy("doc_id")
     },
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, KmvSketchAgg, MinHash16, SimHash32, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, KmvSketchAgg, MinHash16, SimHash32, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       checked("graft_simhash32", 1)(c => SimHash32(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      checked("graft_fingerprint", 1)(c => Fingerprint(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),

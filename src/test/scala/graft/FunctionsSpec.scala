@@ -212,6 +212,31 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_kmv") || e.getCause != null)
   }
 
+  test("Fingerprint kernel equals the explode/min/countDistinct formulation") {
+    // randomized strings incl. multi-byte code points: windows are
+    // code-point indexed, so the kernel must match substr() on é/© too
+    val docs = spark.range(60).selectExpr(
+      "id AS doc_id",
+      "concat(repeat(concat('w', id % 7, ' café© x'), CAST(1 + id % 9 AS INT)), ' tail', id) AS s")
+      .filter("length(s) >= 8")
+    val viaKernel = docs
+      .select(col("doc_id"), graft.functions.Fingerprint(col("s")).as("f"))
+      .selectExpr("doc_id", "f[0] AS fp_min", "f[1] AS n_uniq")
+    val viaExplode = docs
+      .select(col("doc_id"), col("s"),
+        explode(expr("sequence(1, length(s) - 7, 4)")).as("i"))
+      .withColumn("w8", expr("substr(s, i, 8)"))
+      .groupBy("doc_id")
+      .agg(min(graft.functions.hash32(col("w8"))).as("fp_min"),
+        countDistinct(col("w8")).as("n_uniq"))
+    val k = viaKernel.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = viaExplode.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(k == e, s"kernel≠explode: ${k.toSet -- e.toSet}")
+    // short strings: sentinel, no windows
+    val short = spark.sql("SELECT graft_fingerprint('abc') AS f").collect().head
+    assert(short.getSeq[Long](0) == Seq(-1L, 0L))
+  }
+
   test("x07: ZOrder2 kernel equals the per-bit HOF formulation") {
     // randomized 16-bit inputs (deterministic hash spread), plus the
     // corner values; the oracle computes the same per-bit sum in DuckDB
