@@ -300,6 +300,21 @@ object Relational {
         .unionAll(y95.except(y96).withColumn("kind", lit("only_1995")))
         .select("kind", "o_custkey")
         .orderBy("kind", "o_custkey")
+    },
+
+    // Running aggregate over an explicit ROWS frame: cumulative spend
+    // per customer in order-date order (exact DECIMAL accumulation,
+    // cast once at the end). Bounded partition key, single shuffle.
+    "q23_running_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("run_spend", asDouble(sum(dec2(col("o_totalprice"))).over(w)))
+        .withColumn("run_orders", count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "run_spend", "run_orders")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 
@@ -479,6 +494,16 @@ object Relational {
         |UNION ALL
         |SELECT 'only_1995' AS kind, o_custkey
         |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b
-        |ORDER BY kind, o_custkey""".stripMargin
+        |ORDER BY kind, o_custkey""".stripMargin,
+
+    "q23_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend,
+        |  count(1) OVER w AS run_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
