@@ -50,6 +50,14 @@ object Streaming {
         .orderBy("snapshot_day", "node_id")
     },
 
+    // Live upload-progress tracking — the b26 tracker report as the
+    // exact transform the streaming job runs (no NOT_STARTED class:
+    // un-arrived events are not yet units in a live tracker).
+    "s09_stream_progress" -> { (s, dir) =>
+      EventStream.progressMonitor(Tables.events(s, dir))
+        .orderBy("snapshot_day", "node_id")
+    },
+
     // Sliding-window aggregation — the same DataFrame transform the
     // streaming job runs; the oracle expands each event into its two
     // overlapping windows explicitly.
@@ -124,6 +132,22 @@ object Streaming {
         |  user_id AS node_id, COUNT(1) AS n_uploads,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_bytes
         |FROM events GROUP BY 1, 2 ORDER BY snapshot_day, node_id""".stripMargin,
+
+    "s09_stream_progress" ->
+      """WITH st AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS snapshot_day,
+        |    user_id AS node_id,
+        |    CASE WHEN event_id % 41 = 0 THEN 'FAILED'
+        |         WHEN event_id % 37 = 0 THEN 'IGNORED'
+        |         ELSE 'FINISHED' END AS state
+        |  FROM events)
+        |SELECT snapshot_day, node_id, count(1) AS n_units,
+        |  count(CASE WHEN state = 'FAILED' THEN 1 END) AS n_failed,
+        |  count(CASE WHEN state = 'IGNORED' THEN 1 END) AS n_ignored,
+        |  CAST(count(1) - count(CASE WHEN state = 'FAILED' THEN 1 END)
+        |       - count(CASE WHEN state = 'IGNORED' THEN 1 END) AS DOUBLE)
+        |    / count(1) AS ok_ratio
+        |FROM st GROUP BY 1, 2 ORDER BY snapshot_day, node_id""".stripMargin,
 
     "s05_sliding_window" ->
       """SELECT win_start, event_type, COUNT(1) AS n,

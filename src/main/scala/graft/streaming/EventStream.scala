@@ -99,6 +99,31 @@ object EventStream {
       .select(col("window.start").cast("date").as("snapshot_day"),
         col("user_id").as("node_id"), col("n_uploads"), col("total_bytes"))
 
+  /** Live upload-progress tracking — esop's tracker sessions
+    * (`impl/AbstractTracker.java:43,152-158`, b26's batch twin) as a
+    * stream: per-(day window, node) unit-state counts updating as
+    * uploads land. The streaming report has no NOT_STARTED class — an
+    * event that has not arrived is not yet a unit, which is exactly
+    * how the live tracker sees it. Day windows keyed by node with a
+    * 1-day watermark bound the state store; the identical transform
+    * over the batch table is the oracle (`s09_stream_progress`). */
+  def progressMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .withColumn("state",
+        when(col("event_id") % 41 === 0, "FAILED")
+          .when(col("event_id") % 37 === 0, "IGNORED")
+          .otherwise("FINISHED"))
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_units"),
+        count(when(col("state") === "FAILED", 1)).as("n_failed"),
+        count(when(col("state") === "IGNORED", 1)).as("n_ignored"))
+      .select(col("window.start").cast("date").as("snapshot_day"),
+        col("user_id").as("node_id"),
+        col("n_units"), col("n_failed"), col("n_ignored"),
+        ((col("n_units") - col("n_failed") - col("n_ignored")).cast("double")
+          / col("n_units")).as("ok_ratio"))
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * dimension table (static side re-read per micro-batch, never
     * stateful) — the standard pattern for attaching slowly-changing

@@ -52,6 +52,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming progress tracker equals the batch report") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s09_test",
+      EventStream.progressMonitor, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s09_test")
+      .orderBy("snapshot_day", "node_id").collect()
+    val batch = SparkEntry.queries("s09_stream_progress")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming backup monitor equals the batch ledger report") {
     val q = EventStream.runToMemory(spark, sf, "graft_s07_test",
       EventStream.backupMonitor, mode = "complete")
