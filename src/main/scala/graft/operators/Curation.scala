@@ -76,6 +76,110 @@ object Curation {
       |  CASE WHEN doc_id % 11 = 0
       |       THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)""".stripMargin
 
+  /** Connected components over an undirected pair frame
+    * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
+    * is the component's minimum member id. The d24 clustering runs on
+    * this; it is also the reusable primitive for any transitive-closure
+    * grouping (near-dup clusters, entity resolution).
+    *
+    * Min-label propagation (each node takes the min label among itself
+    * and its neighbors) + pointer jumping (then takes its label's
+    * label) to the exact fixpoint. Jumping makes rounds O(log
+    * diameter); near-dup components are shallow (dups of dups), so
+    * this converges in 2–3 rounds. Each round is two hash-partitioned
+    * joins + one sum — no collect of rows ever.
+    *
+    * localCheckpoint (not persist) each round: the round plan
+    * references the previous round's frame multiple times (propagated
+    * on both sides of the jump join), so with lazy lineage the logical
+    * plan grows geometrically and the driver ends up re-analyzing
+    * exponentially many copies of the upstream pipeline — at sf0.1 the
+    * FINAL tiny report alone paid ~1.7s of pure plan analysis before
+    * this cut. Checkpointing pins each round to its materialized
+    * blocks, so every loop plan stays O(1) size. Trade-off (same as
+    * GraphX's iterative cut): checkpoint blocks are executor-local, so
+    * an executor loss mid-loop fails the query instead of recomputing —
+    * acceptable for a seconds-long loop; a long-lived cluster
+    * deployment would set a reliable checkpoint dir and use
+    * Dataset.checkpoint on the same cadence. */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val p2 = pairs.toDF("a_id", "b_id")
+    val sym = p2.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p2.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // self-loops let each round's min-pass see the node's OWN label
+    // through the same neighbor join — no per-round union back to
+    // `labels` (a self-union of a checkpointed frame also trips
+    // Union's constraint rewrite on duplicate attribute ids). No
+    // distinct on the loops: one loop per incident edge is harmless
+    // under the min-aggregate and skips a |sym| shuffle.
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst")))
+      .localCheckpoint()
+    // loop-local tuning: the convergence rounds run over the cached
+    // near-dup minority (KBs–MBs even when the corpus is 100 TB — the
+    // edge set is the candidate-pair output, not the corpus), so each
+    // round's job is pure scheduling overhead. AQE would split every
+    // round into per-stage jobs and re-optimize each; 32 shuffle
+    // partitions would schedule 32 tasks per tiny exchange. Dial both
+    // down for the loop only, restore after.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    // Convergence telemetry: per-node labels are NON-INCREASING, so
+    // the label sum strictly decreases every non-converged round — an
+    // unchanged sum IS the fixpoint proof. Exact decimal keeps that
+    // argument airtight at any node count (no silent long wraparound
+    // to alias two states).
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty frame is NULL — normalize so an empty pair
+      // graph (no near-dups at all) converges on the first check
+      val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    // no baseline sum job: every node comes from an edge, so every
+    // component has >= 2 members and its non-min members MUST change
+    // in round 1 — the first possible fixpoint is round 2, and the
+    // first comparable pair of sums is (round 1, round 2)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var rounds = 0
+    try while (!converged && rounds < 25) {
+      // one min-pass: each node takes min over {its own label} ∪
+      // {neighbor labels} — the self label enters through the
+      // self-loop edge, so the round is a single join + aggregate
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jumping: follow one indirection (label's label).
+      // propagated feeds both sides, but its expensive subtree (the
+      // edge join) sits BELOW the min-agg exchange, which
+      // ReuseExchange dedupes — only the tiny post-shuffle merge
+      // evaluates per side, so no persist is needed here.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
+        .localCheckpoint() // materializes the round; truncates lineage
+      val roundSum = lblSum(next) // second micro-job over the cached blocks
+      labels = next
+      converged = prevSum != null && roundSum.compareTo(prevSum) == 0
+      prevSum = roundSum
+      rounds += 1
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+    // the returned frame reads the FINAL round's checkpoint blocks
+    // (bounded by the clustered minority, not the corpus);
+    // intermediate rounds' and edges' blocks are reclaimed by the
+    // ContextCleaner once their RDDs become unreachable.
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Benchmark decontamination: per training doc, how many of its
@@ -113,110 +217,15 @@ object Curation {
         .orderBy("doc_id")
     },
 
-    // Near-dup clusters: connected components over the d04 LSH pairs.
-    // Min-label propagation (each node takes the min label among
-    // itself and its neighbors) + pointer jumping (then takes its
-    // label's label) to the exact fixpoint: every member ends labeled
-    // with the component's min doc_id. Jumping makes rounds
-    // O(log diameter); near-dup components are shallow (dups of dups),
-    // so this converges in 2–3 rounds. Each round is two
-    // hash-partitioned joins + one count — no collect of rows ever.
+    // Near-dup clusters: connected components over the d04 LSH pairs —
+    // pairwise near-dup hits become transitive KEEP-one groups.
     "d24_dup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.lshPairs(s, dir).select("a_id", "b_id")
-      // localCheckpoint (not persist): every round's plan references the
-      // previous round's frame FOUR times (propagated on both sides of
-      // the jump join, labels in the union), so with lazy lineage the
-      // logical plan grows ~4× per round and the driver ends up
-      // re-analyzing ~4^rounds copies of the whole LSH pipeline — at
-      // sf0.1 the FINAL tiny report alone paid ~1.7s of pure plan
-      // analysis. Checkpointing pins each round to its materialized
-      // blocks, so every loop plan stays O(1) size. Trade-off (same as
-      // GraphX's iterative cut): checkpoint blocks are executor-local,
-      // so an executor loss mid-loop fails the query instead of
-      // recomputing — acceptable for a seconds-long loop; a long-lived
-      // cluster deployment would set a reliable checkpoint dir and use
-      // Dataset.checkpoint on the same cadence.
-      val sym = pairs.toDF("src", "dst")
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      // self-loops let each round's min-pass see the node's OWN label
-      // through the same neighbor join — no per-round union back to
-      // `labels` (a self-union of a checkpointed frame also trips
-      // Union's constraint rewrite on duplicate attribute ids)
-      // no distinct on the loops: one loop per incident edge is
-      // harmless under the min-aggregate and skips a |sym| shuffle
-      val edges = sym
-        .union(sym.select(col("src"), col("src").as("dst")))
-        .localCheckpoint()
-      // loop-local tuning: the convergence rounds run over the cached
-      // near-dup minority (KBs–MBs even when the corpus is 100 TB — the
-      // edge set is the LSH candidate output, not the corpus), so each
-      // round's job is pure scheduling overhead. AQE would split every
-      // round into per-stage jobs and re-optimize each; 32 shuffle
-      // partitions would schedule 32 tasks per tiny exchange. Dial both
-      // down for the loop only, restore after — on a cluster the same
-      // loop-local override applies (the iterative tail of an iterative
-      // job wants small fixed plans, the scan wants AQE).
-      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val partsWas = s.conf.get("spark.sql.shuffle.partitions", "32")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      // Convergence telemetry: per-node labels are NON-INCREASING, so
-      // the label sum strictly decreases every non-converged round —
-      // an unchanged sum IS the fixpoint proof. Exact decimal keeps
-      // that argument airtight at any node count (no silent long
-      // wraparound to alias two states).
-      def lblSum(df: DataFrame): java.math.BigDecimal = {
-        // sum over an empty frame is NULL — normalize so an empty pair
-        // graph (no near-dups at all) converges on the first check
-        val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
-        if (s == null) java.math.BigDecimal.ZERO else s
-      }
-      // no baseline sum job: every node comes from an edge, so every
-      // component has >= 2 members and its non-min members MUST change
-      // in round 1 — the first possible fixpoint is round 2, and the
-      // first comparable pair of sums is (round 1, round 2)
-      var prevSum: java.math.BigDecimal = null
-      var converged = false
-      var rounds = 0
-      try while (!converged && rounds < 25) {
-        // one min-pass: each node takes min over {its own label} ∪
-        // {neighbor labels} — the self label enters through the
-        // self-loop edge, so the round is a single join + aggregate
-        val propagated = edges
-          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("lbl"))
-          .groupBy("id").agg(min("lbl").as("lbl"))
-        // pointer jumping: follow one indirection (label's label).
-        // propagated feeds both sides, but its expensive subtree (the
-        // edge join + union) sits BELOW the min-agg exchange, which
-        // ReuseExchange dedupes — only the tiny post-shuffle merge
-        // evaluates per side, so no persist is needed here.
-        val next = propagated.as("a")
-          .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
-            Seq("lbl"), "left")
-          .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
-          .localCheckpoint() // materializes the round; truncates lineage
-        val s = lblSum(next) // second micro-job over the cached blocks
-        labels = next
-        converged = prevSum != null && s.compareTo(prevSum) == 0
-        prevSum = s
-        rounds += 1
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        s.conf.set("spark.sql.shuffle.partitions", partsWas)
-      }
-      val out = labels
+      val labels =
+        connectedComponents(s, Dedup.lshPairs(s, dir).select("a_id", "b_id"))
+      labels
         .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
-      // the returned frame reads the FINAL round's checkpoint blocks
-      // (bounded by the near-dup member count — the clustered minority,
-      // not the corpus); intermediate rounds' and edges' blocks are
-      // reclaimed by the ContextCleaner once their RDDs are
-      // unreachable, i.e. as soon as this builder returns.
-      out
     },
 
     // PII scrub: count each pattern class, then redact in one

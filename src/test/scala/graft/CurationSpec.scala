@@ -56,6 +56,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: exact labels on chains, cliques, and random forests") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Curation
+        .connectedComponents(spark, pairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 40-node chain: worst-case diameter, forces multiple
+    // propagate+jump rounds before the fixpoint
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val chainLbl = cc(chain)
+    assert(chainLbl.size == 40 && chainLbl.values.forall(_ == 0L), chainLbl)
+    // two disjoint cliques keep separate min labels
+    val cliques =
+      (for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)) ++
+        (for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b))
+    val clLbl = cc(cliques)
+    assert((10L to 13L).forall(clLbl(_) == 10L) && (20L to 24L).forall(clLbl(_) == 20L))
+    // random edge set vs a reference union-find
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    // union-find roots are not necessarily the min member — normalize
+    val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    assert(cc(edges) == wantMin)
+  }
+
   test("d24 cluster sizes are consistent with the labeling") {
     val rows = q("d24_dup_clusters").collect()
     val byCluster = rows.groupBy(_.getLong(1))
