@@ -253,6 +253,36 @@ object Dedup {
         .withColumn("recall",
           col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
         .select("n_exact", "n_candidates", "n_hit", "recall")
+    },
+
+    // Duplicated-SPAN detection (the tile analogue of suffix-array
+    // substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better"): non-overlapping 8-word tiles per
+    // doc, a tile reused by ≥2 distinct docs marks a duplicated span,
+    // and each doc reports what fraction of its tiles is boilerplate
+    // shared with the rest of the corpus. Catches cross-doc REPEATED
+    // PASSAGES that whole-doc hashing (d01) misses and per-doc
+    // shingling (d02) only prices in aggregate. Scale: the explode
+    // fan-out is |words|/8 per doc (8× FEWER rows than the corpus word
+    // stream), the df count is a map-side-partial hash agg keyed by
+    // tile hash, and the join back probes the same hash-partitioned
+    // key — co-partitioned with the agg output, no extra exchange. No
+    // broadcast hint: the tile vocabulary grows with the corpus.
+    "d36_tile_dedup" -> { (s, dir) =>
+      val tiles = Corpus.docs(s, dir)
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
+        ))).as("tile"))
+      val dfreq = tiles.groupBy("tile").agg(count(lit(1)).as("df"))
+      tiles.join(dfreq, Seq("tile"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_tiles"))
+        .withColumn("dup_frac",
+          col("n_dup_tiles").cast("double") / col("n_tiles"))
+        .withColumn("flagged", col("dup_frac") >= 0.5)
+        .orderBy("doc_id")
     }
   )
 
@@ -319,6 +349,22 @@ object Dedup {
         |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS n_hit,
         |  CAST((SELECT count(1) FROM exact e JOIN pairs p
         |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS DOUBLE)
-        |    / greatest((SELECT count(1) FROM exact), 1) AS recall""".stripMargin)
+        |    / greatest((SELECT count(1) FROM exact), 1) AS recall""".stripMargin),
+
+    "d36_tile_dedup" -> (Corpus.docsCte +
+      """, tiles AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(ws[(i * 8 + 1):(i * 8 + 8)], ' ')) AS tile
+        |  FROM docs, UNNEST(range(0, len(ws) // 8)) t(i)
+        |  WHERE len(ws) >= 8
+        |),
+        |dfreq AS (SELECT tile, count(1) AS df FROM tiles GROUP BY tile)
+        |SELECT t.doc_id, count(1) AS n_tiles,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS dup_frac,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) >= 0.5 AS flagged
+        |FROM tiles t JOIN dfreq d ON t.tile = d.tile
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin)
   )
 }

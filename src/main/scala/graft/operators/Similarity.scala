@@ -317,6 +317,40 @@ object Similarity {
           Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
         .select("a_id", "cell", "b_id", "rn", "cos")
         .orderBy("a_id", "rn")
+    },
+
+    // Semantic dedup (SemDeDup-style: Abbas et al. 2023): cluster the
+    // embedding space, pick one representative per cluster (min
+    // vec_id), drop members whose cosine to their representative
+    // clears the redundancy threshold — near-identical SEMANTIC
+    // content collapses to one exemplar without any pairwise
+    // member×member comparison. Cost model at 100 TB: the cell
+    // assignment is the shuffle-free per-row fold (assignTop2), the
+    // representative election is one min(struct) aggregate over
+    // bounded cells, and the member→representative scoring joins
+    // against a ≤|cells|-row broadcast — the n² semantic-similarity
+    // matrix never materializes (cos is evaluated n times total,
+    // once per member against its single representative).
+    "d35_semdedup" -> { (s, dir) =>
+      val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, 8))
+        .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+      // struct min: lexicographic on (vec_id, …) elects the min-id
+      // member carrying its vector — one bounded-key aggregate, no
+      // window, no join back to find the representative's payload
+      val reps = ass
+        .groupBy("cell")
+        .agg(min(struct(col("vec_id"), col("q"), col("norm2"))).as("r"))
+        .select(col("cell"), col("r.vec_id").as("rep_id"),
+          col("r.q").as("qr"), col("r.norm2").as("nr"))
+      ass.join(broadcast(reps), Seq("cell"))
+        .withColumn("cos",
+          DotLong(col("q"), col("qr")).cast("double")
+            / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double"))))
+        .select(col("vec_id"), col("cell"), col("rep_id"), col("cos"),
+          when(col("vec_id") === col("rep_id"), lit("rep"))
+            .when(col("cos") >= 0.25, lit("drop"))
+            .otherwise(lit("keep")).as("action"))
+        .orderBy("vec_id")
     }
   )
 
@@ -428,6 +462,31 @@ object Similarity {
          |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
          |      b.vec_id ASC) AS rn
          |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin)
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
+
+    "d35_semdedup" -> (Corpus.qtabCte + ", " + centroidsSql +
+      s""", asg AS (
+         |  SELECT vec_id, c AS cell, q, norm2 FROM (
+         |    SELECT q.vec_id, ce.c, q.q, q.norm2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1
+         |),
+         |repv AS (
+         |  SELECT a.cell, a.vec_id AS rep_id, a.q AS qr, a.norm2 AS nr
+         |  FROM asg a JOIN (SELECT cell, min(vec_id) AS rep_id FROM asg GROUP BY cell) r
+         |    ON a.vec_id = r.rep_id
+         |)
+         |SELECT vec_id, cell, rep_id, cos,
+         |  CASE WHEN vec_id = rep_id THEN 'rep'
+         |       WHEN cos >= 0.25 THEN 'drop'
+         |       ELSE 'keep' END AS action
+         |FROM (
+         |  SELECT a.vec_id, a.cell, r.rep_id,
+         |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
+         |  FROM asg a JOIN repv r ON a.cell = r.cell) t
+         |ORDER BY vec_id""".stripMargin)
   )
 }

@@ -184,4 +184,33 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getLong(2) <= math.min(frameCounts(r.getLong(0)), frameCounts(r.getLong(1)))))
   }
+
+  test("d35 semdedup: one rep per cell, rep is the min member, every vector decided once") {
+    val out = SparkEntry.queries("d35_semdedup")(spark, sf)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.count() == n, "a vector was dropped or duplicated by the clustering")
+    val perCell = out.groupBy("cell")
+      .agg(sum(when(col("action") === "rep", 1).otherwise(0)).as("n_rep"),
+        min("vec_id").as("min_id"), min("rep_id").as("rep_lo"), max("rep_id").as("rep_hi"))
+      .collect()
+    perCell.foreach { r =>
+      assert(r.getLong(1) == 1, s"cell ${r.get(0)}: ${r.get(1)} reps")
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(3) == r.getLong(4),
+        s"cell ${r.get(0)}: rep is not the unique min member")
+    }
+    // the representative's self-score clears any drop threshold by construction
+    assert(out.filter(col("action") === "rep" && col("vec_id") =!= col("rep_id")).count() == 0)
+    assert(out.filter(!col("action").isin("rep", "keep", "drop")).count() == 0)
+  }
+
+  test("d36 tile stats bounded and flag consistent with the fraction") {
+    val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nt, nd, f, fl) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nd >= 0 && nd <= nt, s"dup tiles $nd outside [0, $nt]")
+      assert(math.abs(f - nd.toDouble / nt) < 1e-15)
+      assert(fl == (f >= 0.5))
+    }
+  }
 }

@@ -167,6 +167,19 @@ class PlanSpec extends SparkSpec {
       s"sort-window on the vector stream:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("d35 scores members against a broadcast representative set (never a shuffled self-join)") {
+    // SemDeDup's whole point is avoiding the member×member matrix: the
+    // only join on the vector stream is against the ≤|cells|-row
+    // representative table, which must broadcast
+    val p = plan("d35_semdedup")
+    assert(p.contains("BroadcastHashJoin"), s"rep join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vector stream shuffled for a join:\n$p")
+    // (the centroid-array attach is a deliberate 1-row broadcast
+    // cross join inside assignTop2 — all-pairs here would be a
+    // CartesianProduct, which must never appear)
+    assert(!p.contains("CartesianProduct"), s"semdedup degenerated to all-pairs:\n$p")
+  }
+
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
     // blast-radius guard: the brute-force baseline's quadratic shape
     // must never silently leak into a scale path through future edits
