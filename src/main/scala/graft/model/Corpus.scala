@@ -47,6 +47,19 @@ object Corpus {
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
       ))).as("gram"))
 
+  /** Distinct non-overlapping 8-word tile hashes per doc (docs with
+    * ≥8 words), keyed with (lang, source) — the duplicated-SPAN unit
+    * shared by d36 (batch boilerplate pricing) and s10 (the streaming
+    * boilerplate gate). Defined over any frame with (doc_id, text,
+    * lang, source) so batch tables and streams share one definition. */
+  def tiles(df: DataFrame): DataFrame =
+    normalized(df)
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
+        ))).as("tile"))
+
   /** Quantized embeddings: vec_id, q (array<long>, round(x*1000)),
     * norm2 (exact Σq², long). The lambda result is coalesced so `q` is
     * typed ArrayType(..., containsNull=false) — the parquet embedding
@@ -67,10 +80,11 @@ object Corpus {
   val normSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  /** CTE prefix: docs(doc_id, text, norm, ws) + grams(doc_id, gram). */
+  /** CTE prefix: docs(doc_id, text, lang, source, norm, ws) +
+    * grams(doc_id, gram). */
   val docsCte: String =
     s"""WITH docs AS (
-       |  SELECT doc_id, text, $normSql AS norm,
+       |  SELECT doc_id, text, lang, source, $normSql AS norm,
        |         string_split($normSql, ' ') AS ws
        |  FROM documents
        |),
@@ -80,6 +94,16 @@ object Corpus {
        |  WHERE len(ws) >= 3
        |)
        |""".stripMargin
+
+  /** CTE suffix after [[docsCte]]: tiles(doc_id, lang, source, tile) —
+    * the DuckDB twin of [[tiles]]. */
+  val tilesCte: String =
+    """, tiles AS (
+      |  SELECT DISTINCT doc_id, lang, source,
+      |    md5(array_to_string(ws[(i * 8 + 1):(i * 8 + 8)], ' ')) AS tile
+      |  FROM docs, UNNEST(range(0, len(ws) // 8)) t(i)
+      |  WHERE len(ws) >= 8
+      |)""".stripMargin
 
   /** CTE prefix: qtab(vec_id, q, norm2) — quantized embeddings. The
     * COALESCE mirrors [[qvecs]] exactly: a NULL embedding element maps

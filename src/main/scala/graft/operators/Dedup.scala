@@ -269,11 +269,8 @@ object Dedup {
     // key — co-partitioned with the agg output, no extra exchange. No
     // broadcast hint: the tile vocabulary grows with the corpus.
     "d36_tile_dedup" -> { (s, dir) =>
-      val tiles = Corpus.docs(s, dir)
-        .filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
-        ))).as("tile"))
+      val tiles = Corpus.tiles(graft.sources.Tables.documents(s, dir))
+        .select("doc_id", "tile")
       val dfreq = tiles.groupBy("tile").agg(count(lit(1)).as("df"))
       tiles.join(dfreq, Seq("tile"))
         .groupBy("doc_id")
@@ -351,14 +348,8 @@ object Dedup {
         |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS DOUBLE)
         |    / greatest((SELECT count(1) FROM exact), 1) AS recall""".stripMargin),
 
-    "d36_tile_dedup" -> (Corpus.docsCte +
-      """, tiles AS (
-        |  SELECT DISTINCT doc_id,
-        |    md5(array_to_string(ws[(i * 8 + 1):(i * 8 + 8)], ' ')) AS tile
-        |  FROM docs, UNNEST(range(0, len(ws) // 8)) t(i)
-        |  WHERE len(ws) >= 8
-        |),
-        |dfreq AS (SELECT tile, count(1) AS df FROM tiles GROUP BY tile)
+    "d36_tile_dedup" -> (Corpus.docsCte + Corpus.tilesCte +
+      """, dfreq AS (SELECT tile, count(1) AS df FROM tiles GROUP BY tile)
         |SELECT t.doc_id, count(1) AS n_tiles,
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS dup_frac,

@@ -74,6 +74,16 @@ object Streaming {
         .orderBy("lang", "source")
     },
 
+    // Streaming boilerplate gate — the same transform the streaming
+    // job runs (stream-static tile-index join, bounded (lang, source)
+    // aggregate), applied to the batch table.
+    "s10_stream_boilerplate" -> { (s, dir) =>
+      graft.streaming.DocStream.boilerplateGate(
+          graft.streaming.DocStream.tileIndex(s, dir))(
+          Tables.documents(s, dir))
+        .orderBy("lang", "source")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -158,6 +168,18 @@ object Streaming {
         |         event_type, value
         |  FROM events, UNNEST(range(0, 2)) t(k)) x
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
+      """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)
+        |SELECT lang, source, n_tiles, n_known,
+        |  CAST(n_known AS DOUBLE) / n_tiles AS known_frac
+        |FROM (
+        |  SELECT t.lang, t.source, count(1) AS n_tiles,
+        |    CAST(sum(CASE WHEN i.tile IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+        |  FROM tiles t LEFT JOIN idx i ON t.tile = i.tile
+        |  WHERE t.doc_id % 3 <> 0
+        |  GROUP BY t.lang, t.source) r
+        |ORDER BY lang, source""".stripMargin),
 
     "s08_corpus_curate" ->
       s"""WITH d AS (

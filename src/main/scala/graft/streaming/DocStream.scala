@@ -49,6 +49,31 @@ object DocStream {
         sum(when(col("quality") >= 0.1, 1L).otherwise(0L)).as("n_keep"),
         sum(col("n_words")).as("total_words"))
 
+  /** s10's static side — the known-boilerplate index: distinct tile
+    * hashes of the already-ingested partition (every 3rd doc plays
+    * that role). At 100 TB this is the materialized dedup index the
+    * ingestion fleet shares; here it is a batch frame joined
+    * stream-static. */
+  def tileIndex(s: SparkSession, dir: String): DataFrame =
+    Corpus.tiles(graft.sources.Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0))
+      .select("tile").distinct()
+
+  /** s10 — the streaming BOILERPLATE gate: as documents arrive, how
+    * much of their span volume is already known to the corpus index?
+    * Per-row tile explode (stateless), one stream-static left join
+    * against the index, one bounded (lang, source) aggregation —
+    * exactly the d36 pricing question asked live. The join is
+    * stream-static (static right side), so no join state accumulates;
+    * the only state is the complete-mode (lang, source) aggregate. */
+  def boilerplateGate(index: DataFrame)(docs: DataFrame): DataFrame =
+    Corpus.tiles(docs.filter(col("doc_id") % 3 =!= 0))
+      .join(index.withColumn("known", lit(1)), Seq("tile"), "left_outer")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("known").isNotNull, 1L).otherwise(0L)).as("n_known"))
+      .withColumn("known_frac", col("n_known").cast("double") / col("n_tiles"))
+
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
   def runToMemory(s: SparkSession, dir: String, name: String,

@@ -86,6 +86,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming boilerplate gate equals the batch tile-index report") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s10_test",
+      DocStream.boilerplateGate(DocStream.tileIndex(spark, sf)), mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s10_test")
+      .orderBy("lang", "source").collect()
+    val batch = SparkEntry.queries("s10_stream_boilerplate")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the gate must actually catch known boilerplate on this corpus
+    assert(batch.map(_.getLong(3)).sum > 0, "no known tiles — gate untested")
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
       df => EventStream.clickErrorJoin(df, df))
