@@ -251,6 +251,25 @@ object Curation {
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           col("has_pii"), md5(col("redacted")).as("redacted_hash"))
         .orderBy("doc_id")
+    },
+
+    // Consistent stratified sampling: the per-stratum QA sample every
+    // corpus pipeline pulls (spot checks, eval carve-outs, vendor
+    // audits), chosen by HASH RANK — md5(doc_id) order is stable
+    // across runs, partitionings and corpus GROWTH (a doc stays
+    // sampled until k better-ranked hashes arrive), unlike rand()
+    // which resamples the world every run and can't be mirrored by an
+    // oracle at all. Runs on the x04 TopKPerGroup operator in
+    // production: map-side bounded heaps mean the exchange carries ≤k
+    // rows per language, not the corpus.
+    "d38_corpus_sample" -> { (s, dir) =>
+      val keyed = graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("smp"), col("doc_id").cast("string"))).as("h"))
+      graft.plans.TopK.perGroup(keyed,
+          Seq("lang"), Seq(("h", false), ("doc_id", false)), k = 5, rankName = "rank")
+        .select("lang", "rank", "doc_id", "h")
+        .orderBy("lang", "rank")
     }
   )
 
@@ -306,6 +325,14 @@ object Curation {
          |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
          |    '$phoneRe', '<PHONE>', 'g')) AS redacted_hash
          |FROM raws ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "d38_corpus_sample" ->
+      """SELECT lang, rank, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5('smp' || CAST(doc_id AS VARCHAR)) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -335,6 +335,39 @@ object TextAnalysis {
           max(col("zkey")).as("max_z"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("zrange")
+    },
+
+    // Bigram LM novelty filter — the CCNet/KenLM quality-filter shape
+    // with bit-stable arithmetic: the corpus bigram model scores each
+    // transition p(w2|w1) = c(w1w2)/c(w1·), and each doc reports its
+    // rarest and commonest transition plus the fraction of transitions
+    // it ALONE contributes to the corpus (c2 = 1 — pure novel text vs
+    // formulaic recombination). All model statistics are integer
+    // counts; the only float ops are per-row IEEE divides of those
+    // integers (no float SUM anywhere — min/max/count aggregate the
+    // divides order-independently), so scores are bit-identical
+    // cross-engine: d19's rational-idf determinism trick applied to
+    // LM scoring. Scale: the bigram stream feeds two map-side-partial
+    // count aggregates and joins back on their own keys (the c2 probe
+    // is co-partitioned with its agg output); everything is linear in
+    // corpus size — the model is never collected anywhere.
+    "d37_lm_novelty" -> { (s, dir) =>
+      val docs = Corpus.docs(s, dir).filter(size(col("ws")) >= 2)
+      val bg = docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws)-2),
+          |  i -> named_struct('w1', ws[i], 'bg', concat_ws(' ', ws[i], ws[i+1])))""".stripMargin
+      )).as("b")).select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+        .withColumn("p", col("c2").cast("double") / col("c1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n_novel"),
+          min(col("p")).as("min_p"),
+          max(col("p")).as("max_p"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
     }
   )
 
@@ -520,6 +553,22 @@ object TextAnalysis {
          |SELECT zkey >> 28 AS zrange, count(1) AS n_docs,
          |  min(zkey) AS min_z, max(zkey) AS max_z,
          |  count(DISTINCT source) AS n_sources
-         |FROM zk GROUP BY 1 ORDER BY zrange""".stripMargin
+         |FROM zk GROUP BY 1 ORDER BY zrange""".stripMargin,
+
+    "d37_lm_novelty" -> (Corpus.docsCte +
+      """, bgs AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM docs, UNNEST(range(1, len(ws))) t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT bg, count(1) AS c2 FROM bgs GROUP BY 1),
+        |c1 AS (SELECT w1, count(1) AS c1 FROM bgs GROUP BY 1)
+        |SELECT b.doc_id, count(1) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  min(CAST(c2.c2 AS DOUBLE) / c1.c1) AS min_p,
+        |  max(CAST(c2.c2 AS DOUBLE) / c1.c1) AS max_p,
+        |  CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS novelty
+        |FROM bgs b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.w1
+        |GROUP BY b.doc_id
+        |ORDER BY doc_id""".stripMargin)
   )
 }

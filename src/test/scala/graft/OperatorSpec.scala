@@ -203,6 +203,42 @@ class OperatorSpec extends SparkSpec {
     assert(out.filter(!col("action").isin("rep", "keep", "drop")).count() == 0)
   }
 
+  test("d37 LM scores are valid probabilities and novelty is consistent") {
+    val out = SparkEntry.queries("d37_lm_novelty")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nb, nn, lo, hi, nov) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nn >= 0 && nn <= nb)
+      assert(lo > 0.0 && lo <= hi && hi <= 1.0, s"p out of range: [$lo, $hi]")
+      assert(math.abs(nov - nn.toDouble / nb) < 1e-15)
+    }
+  }
+
+  test("d38 sample is k-per-stratum and CONSISTENT under corpus growth") {
+    val full = SparkEntry.queries("d38_corpus_sample")(spark, sf).collect()
+    val perLang = full.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 5 && rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length),
+        s"$lang: ranks not contiguous 1..k")
+    }
+    // hash-rank consistency: a doc sampled from the grown corpus that
+    // already existed in the smaller corpus must have been sampled
+    // there too (its hash rank can only improve when others leave)
+    import org.apache.spark.sql.functions._
+    val halfDocs = graft.sources.Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val keyed = halfDocs.select(col("doc_id"), col("lang"),
+      md5(concat(lit("smp"), col("doc_id").cast("string"))).as("h"))
+    val half = graft.plans.TopK.perGroup(keyed,
+        Seq("lang"), Seq(("h", false), ("doc_id", false)), k = 5, rankName = "rank")
+      .select("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    full.filter(_.getLong(2) % 2 == 0).foreach { r =>
+      assert(half.contains((r.getString(0), r.getLong(2))),
+        s"doc ${r.getLong(2)} sampled in full corpus but not in its subset")
+    }
+  }
+
   test("d36 tile stats bounded and flag consistent with the fraction") {
     val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
     // exchanges at k rows per group — a silent fallback to
     // row_number().over(...) would reintroduce a full shuffle+sort of
     // the pair stream
-    for (q <- Seq("d06_cosine_topk", "d07_ann_lsh", "d15_ann_ivf", "d19_tfidf")) {
+    for (q <- Seq("d06_cosine_topk", "d07_ann_lsh", "d15_ann_ivf", "d19_tfidf",
+        "d38_corpus_sample")) {
       val p = plan(q)
       assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
         s"$q fell off the custom top-k operator:\n$p")
