@@ -622,6 +622,44 @@ object Backup {
           col("n_failed") === 0
             && col("n_finished") + col("n_ignored") === col("n_units"))
         .orderBy("node_id", "snapshot_day")
+    },
+
+    // esop's ManifestEnricher (`ManifestEnricher.java:59-102`): before a
+    // restore, every manifest entry must resolve to a LOCAL file path —
+    // and the local table id can differ from the manifest's when the
+    // table was dropped and recreated since the backup (the exact
+    // hard-link hazard the enricher exists for). Secondary-index files
+    // resolve one directory deeper (`SSTableUtils.isSecondaryIndexManifest`,
+    // the subPathEndIndex 3 vs 4 branch). Here the id remap is a pure
+    // per-row derivation (recreated tables marked by a deterministic
+    // hash so the oracle mirrors it; in production this joins the
+    // ≤|tables|-row local-schema dim — broadcast either way), applied to
+    // each node's LATEST manifest (b25's broadcast latest-day idiom):
+    // zero shuffles beyond that broadcast join at any manifest size.
+    "b27_local_resolve" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val latest = m.groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+      m.join(broadcast(latest), Seq("node_id", "snapshot_day"))
+        .withColumn("k", regexp_extract(col("object_key"), "sst_([0-9]+)$", 1).cast("long"))
+        .withColumn("filename", regexp_extract(col("object_key"), "([^/]+)$", 1))
+        .withColumn("is_index", col("k") % 11 === 0)
+        .withColumn("recreated",
+          hash32(concat(col("keyspace"), lit("."), col("table_name"))) % 3 === 0)
+        .withColumn("manifest_tid",
+          substring(md5(concat(col("keyspace"), lit("."), col("table_name"), lit("#gen0"))), 1, 8))
+        .withColumn("local_tid",
+          when(col("recreated"),
+            substring(md5(concat(col("keyspace"), lit("."), col("table_name"), lit("#gen1"))), 1, 8))
+            .otherwise(col("manifest_tid")))
+        .withColumn("local_file", concat(
+          col("keyspace"), lit("/"), col("table_name"), lit("-"), col("local_tid"), lit("/"),
+          when(col("is_index"),
+            concat(lit(".idx"), (col("k") % 2).cast("string"), lit("/"))).otherwise(""),
+          col("filename")))
+        .select(col("node_id"), col("object_key"), col("keyspace"), col("table_name"),
+          col("manifest_tid"), col("local_tid"),
+          col("recreated").as("id_changed"), col("is_index"), col("local_file"))
+        .orderBy("node_id", "object_key")
     }
   )
 
@@ -920,6 +958,27 @@ object Backup {
         |  count(CASE WHEN state = 'FAILED' THEN 1 END) = 0
         |    AND count(CASE WHEN state = 'FINISHED' THEN 1 END)
         |      + count(CASE WHEN state = 'IGNORED' THEN 1 END) = count(1) AS complete
-        |FROM st GROUP BY 1, 2 ORDER BY node_id, snapshot_day""".stripMargin)
+        |FROM st GROUP BY 1, 2 ORDER BY node_id, snapshot_day""".stripMargin),
+
+    "b27_local_resolve" -> (cte +
+      s""", latest AS (
+         |  SELECT node_id, max(snapshot_day) AS snapshot_day FROM manifest GROUP BY 1),
+         |target AS (
+         |  SELECT m.*,
+         |    CAST(regexp_extract(m.object_key, 'sst_([0-9]+)$$', 1) AS BIGINT) AS k,
+         |    regexp_extract(m.object_key, '([^/]+)$$', 1) AS filename,
+         |    ${graft.model.Corpus.hash32Sql("concat(m.keyspace, '.', m.table_name)")} % 3 = 0 AS recreated,
+         |    substr(md5(concat(m.keyspace, '.', m.table_name, '#gen0')), 1, 8) AS manifest_tid,
+         |    substr(md5(concat(m.keyspace, '.', m.table_name, '#gen1')), 1, 8) AS tid1
+         |  FROM manifest m JOIN latest USING (node_id, snapshot_day))
+         |SELECT node_id, object_key, keyspace, table_name, manifest_tid,
+         |  CASE WHEN recreated THEN tid1 ELSE manifest_tid END AS local_tid,
+         |  recreated AS id_changed,
+         |  k % 11 = 0 AS is_index,
+         |  concat(keyspace, '/', table_name, '-',
+         |    CASE WHEN recreated THEN tid1 ELSE manifest_tid END, '/',
+         |    CASE WHEN k % 11 = 0 THEN concat('.idx', CAST(k % 2 AS VARCHAR), '/') ELSE '' END,
+         |    filename) AS local_file
+         |FROM target ORDER BY node_id, object_key""".stripMargin)
   )
 }

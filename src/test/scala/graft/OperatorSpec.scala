@@ -66,6 +66,22 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() >= 2) // fleet spans multiple (proto, bucket) locations
   }
 
+  test("b27 local paths embed the LOCAL id and flag every remap") {
+    val out = SparkEntry.queries("b27_local_resolve")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ks, tab, mTid, lTid, changed, isIdx, path) =
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getBoolean(6), r.getBoolean(7), r.getString(8))
+      assert(path.startsWith(s"$ks/$tab-$lTid/"), s"path not under local table dir: $path")
+      assert(changed == (mTid != lTid), "id_changed inconsistent with the tids")
+      assert(isIdx == path.contains("/.idx"), s"index nesting wrong: $path")
+    }
+    // both the remap and the index branch must actually fire on this ledger
+    assert(out.exists(_.getBoolean(6)) && out.exists(!_.getBoolean(6)))
+    assert(out.exists(_.getBoolean(7)))
+  }
+
   test("d01 exact-dedup group sizes sum to doc count") {
     val total = SparkEntry.queries("d01_dedup_exact")(spark, sf)
       .agg(sum("n_docs")).head().getLong(0)
