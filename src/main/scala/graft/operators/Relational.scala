@@ -315,6 +315,26 @@ object Relational {
         .withColumn("run_orders", count(lit(1)).over(w))
         .select("o_custkey", "o_orderkey", "run_spend", "run_orders")
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // NOT IN subquery — deliberately DIFFERENT machinery from q05's
+    // left-anti: NOT IN is null-aware (one NULL in the subquery empties
+    // the result; a NULL probe never qualifies), so Catalyst must plan
+    // the single-column case as a null-aware anti join (NAAJ broadcast
+    // hash join) instead of a naive anti — the plan shape is
+    // spec-asserted. esop analogue: nodes restorable only from
+    // locations NOT on any deny list.
+    "q24_not_in" -> { (s, dir) =>
+      s.sql(s"""
+        SELECT c_nationkey, count(1) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM parquet.`$dir/customer.parquet`
+        WHERE c_nationkey NOT IN (
+          SELECT s_nationkey FROM parquet.`$dir/supplier.parquet`
+          WHERE CAST(s_acctbal AS DOUBLE) < 0)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """)
     }
   )
 
@@ -504,6 +524,15 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q24_not_in" ->
+      """SELECT c_nationkey, count(1) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_nationkey NOT IN (
+        |  SELECT s_nationkey FROM supplier WHERE CAST(s_acctbal AS DOUBLE) < 0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -168,6 +168,22 @@ class PlanSpec extends SparkSpec {
       s"sort-window on the vector stream:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("q24 NOT IN plans as a null-aware anti join (not a nested loop)") {
+    // the single-column NOT IN must hit Catalyst's NAAJ rewrite: a
+    // broadcast hash LeftAnti with isNullAware=true — the fallback for
+    // non-rewritable NOT IN is a BroadcastNestedLoopJoin evaluating
+    // the null-semantics predicate per pair, quadratic at scale
+    // FormattedMode elides the isNullAware flag — read the raw
+    // physical plan string, where BroadcastHashJoinExec prints
+    // "LeftAnti, BuildRight, true"
+    val p = SparkEntry.queries("q24_not_in")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan as a null-aware anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN degenerated to a nested loop:\n$p")
+  }
+
   test("d35 scores members against a broadcast representative set (never a shuffled self-join)") {
     // SemDeDup's whole point is avoiding the member×member matrix: the
     // only join on the vector stream is against the ≤|cells|-row
