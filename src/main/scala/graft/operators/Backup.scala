@@ -660,6 +660,37 @@ object Backup {
           col("manifest_tid"), col("local_tid"),
           col("recreated").as("id_changed"), col("is_index"), col("local_file"))
         .orderBy("node_id", "object_key")
+    },
+
+    // esop's commit-log restore download plan
+    // (`RestoreCommitLogsOperation.java:109-148`): segment object keys
+    // embed the close mtime (`BackupCommitLogsOperation.java:84`
+    // appends lastModified to the bucket key), the PIT window selects
+    // segments with mtime ∈ [start, end], PLUS the first segment past
+    // the end — the "overhanging" segment (`:130-145`) whose tail may
+    // hold mutations stamped before the cut. Selection is one scan
+    // filter plus a per-node min(struct) aggregate (map-side partials
+    // over bounded node keys) joined back broadcast — never a sort.
+    "b28_commitlog_fetch" -> { (s, dir) =>
+      val lo = expr("unix_micros(TIMESTAMP '2024-01-10 00:00:00')")
+      val hi = expr("unix_micros(TIMESTAMP '2024-01-20 00:00:00')")
+      val segs = ledger(s, dir).filter(col("ftype") === "COMMIT_LOG")
+        .select(col("node_id"), col("event_id"),
+          unix_micros(col("ts")).as("mtime"))
+        .withColumn("seg_key", concat(
+          lit("commitlog/CommitLog-7-"), col("event_id").cast("string"),
+          lit(".log."), col("mtime").cast("string")))
+      val windowed = segs.filter(col("mtime") >= lo && col("mtime") <= hi)
+        .withColumn("reason", lit("window"))
+      val firstOver = segs.filter(col("mtime") > hi)
+        .groupBy("node_id")
+        .agg(min(struct(col("mtime"), col("event_id"))).as("m"))
+        .select(col("node_id"), col("m.event_id").as("event_id"))
+      val over = segs.join(broadcast(firstOver), Seq("node_id", "event_id"))
+        .withColumn("reason", lit("overhang"))
+      windowed.unionByName(over)
+        .select("node_id", "seg_key", "mtime", "reason")
+        .orderBy("node_id", "mtime", "seg_key")
     }
   )
 
@@ -979,6 +1010,27 @@ object Backup {
          |    CASE WHEN recreated THEN tid1 ELSE manifest_tid END, '/',
          |    CASE WHEN k % 11 = 0 THEN concat('.idx', CAST(k % 2 AS VARCHAR), '/') ELSE '' END,
          |    filename) AS local_file
-         |FROM target ORDER BY node_id, object_key""".stripMargin)
+         |FROM target ORDER BY node_id, object_key""".stripMargin),
+
+    "b28_commitlog_fetch" -> (cte +
+      """, segs AS (
+        |  SELECT node_id, event_id, epoch_us(ts) AS mtime,
+        |    concat('commitlog/CommitLog-7-', CAST(event_id AS VARCHAR),
+        |           '.log.', CAST(epoch_us(ts) AS VARCHAR)) AS seg_key
+        |  FROM ledger WHERE ftype = 'COMMIT_LOG'),
+        |w AS (
+        |  SELECT node_id, seg_key, mtime, 'window' AS reason FROM segs
+        |  WHERE mtime >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |    AND mtime <= epoch_us(TIMESTAMP '2024-01-20 00:00:00')),
+        |o AS (
+        |  SELECT node_id, seg_key, mtime, 'overhang' AS reason FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node_id
+        |      ORDER BY mtime, event_id) AS rn
+        |    FROM segs
+        |    WHERE mtime > epoch_us(TIMESTAMP '2024-01-20 00:00:00')) t
+        |  WHERE rn = 1)
+        |SELECT node_id, seg_key, mtime, reason
+        |FROM (SELECT * FROM w UNION ALL SELECT * FROM o) u
+        |ORDER BY node_id, mtime, seg_key""".stripMargin)
   )
 }

@@ -82,6 +82,26 @@ class OperatorSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(7)))
   }
 
+  test("b28 fetch plan: window rows inside the cut, exactly one overhang per node past it") {
+    val out = SparkEntry.queries("b28_commitlog_fetch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val lo = spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-10 00:00:00')").head().getLong(0)
+    val hi = spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-20 00:00:00')").head().getLong(0)
+    val (win, over) = out.partition(_.getString(3) == "window")
+    win.foreach(r => assert(r.getLong(2) >= lo && r.getLong(2) <= hi))
+    over.foreach(r => assert(r.getLong(2) > hi))
+    over.groupBy(_.getLong(0)).foreach { case (node, rows) =>
+      assert(rows.length == 1, s"node $node: ${rows.length} overhang segments")
+    }
+    // the overhang is the FIRST segment past the cut: nothing between
+    // the cut and it may exist for that node
+    val minOver = over.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      if (r.getLong(2) > hi)
+        assert(r.getLong(2) >= minOver(r.getLong(0)), "segment between cut and overhang")
+    }
+  }
+
   test("d01 exact-dedup group sizes sum to doc count") {
     val total = SparkEntry.queries("d01_dedup_exact")(spark, sf)
       .agg(sum("n_docs")).head().getLong(0)
