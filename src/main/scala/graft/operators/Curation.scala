@@ -270,6 +270,33 @@ object Curation {
           Seq("lang"), Seq(("h", false), ("doc_id", false)), k = 5, rankName = "rank")
         .select("lang", "rank", "doc_id", "h")
         .orderBy("lang", "rank")
+    },
+
+    // Training-sequence packing — the last step before tokens hit the
+    // trainer: documents are concatenated in order and chunked into
+    // fixed-budget sequences (greedy concat-then-chunk, the standard
+    // GPT-style pretraining layout); a doc belongs to the sequence
+    // where its FIRST token lands. Packing is SHARD-LOCAL (shard =
+    // doc_id div 500), exactly how a distributed pipeline packs within
+    // each input split: the running-sum window partitions by shard, so
+    // every partition is bounded by construction (≤500 docs) and the
+    // whole pass is embarrassingly parallel at any corpus size — no
+    // global sort, no unbounded window partition.
+    "d39_seq_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Corpus.docs(s, dir).select(col("doc_id"),
+        expr("doc_id div 500").as("shard"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard", "seq_id")
     }
   )
 
@@ -333,6 +360,23 @@ object Curation {
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
         |  FROM documents) t
-        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "d39_seq_pack" -> (Corpus.docsCte +
+      """, toks AS (
+        |  SELECT doc_id, doc_id // 500 AS shard,
+        |         CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM docs),
+        |cums AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cums GROUP BY 1, 2
+        |ORDER BY shard, seq_id""".stripMargin)
   )
 }

@@ -335,6 +335,27 @@ object Relational {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
       """)
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer
+    // top-3 orders written the way an analyst writes it. Catalyst must
+    // DECORRELATE it (no per-row re-execution): the rewrite produces a
+    // rank window whose LIMIT is pushed as WindowGroupLimit
+    // partial/final — each map task prunes to ≤3 rows per customer
+    // BEFORE the exchange, then one equi-join back to customers. The
+    // plan shape (decorrelated + partial group-limit, no nested loop)
+    // is spec-asserted.
+    "q25_lateral" -> { (s, dir) =>
+      s.sql(s"""
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM parquet.`$dir/customer.parquet` c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+                 FROM parquet.`$dir/orders.parquet` o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY price DESC, o_orderkey LIMIT 3) t
+        ORDER BY c_custkey, price DESC, o_orderkey
+      """)
     }
   )
 
@@ -533,6 +554,15 @@ object Relational {
         |WHERE c_nationkey NOT IN (
         |  SELECT s_nationkey FROM supplier WHERE CAST(s_acctbal AS DOUBLE) < 0)
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q25_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY price DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
   )
 }

@@ -275,6 +275,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d39 packed sequences partition each shard in doc order") {
+    val out = SparkEntry.queries("d39_seq_pack")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count(),
+      "packing dropped or duplicated docs")
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      // seq ids increase with doc ranges and ranges never overlap
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(1), s"shard $shard: seq ids not increasing")
+          assert(a.getLong(5) < b.getLong(4), s"shard $shard: doc ranges overlap")
+        case _ =>
+      }
+      ordered.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+    }
+  }
+
   test("d36 tile stats bounded and flag consistent with the fraction") {
     val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpec {
       s"NOT IN degenerated to a nested loop:\n$p")
   }
 
+  test("q25 LATERAL decorrelates with a partial window group limit") {
+    // the correlated per-customer LIMIT must become a rank window with
+    // WindowGroupLimit pushed to the map side — each task prunes to ≤3
+    // rows per key before the exchange; re-executing the subquery per
+    // outer row (nested loop / cartesian) would be quadratic
+    val p = SparkEntry.queries("q25_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+    assert(p.contains("Partial"), s"group limit not pushed to the map side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral did not decorrelate:\n$p")
+  }
+
   test("d35 scores members against a broadcast representative set (never a shuffled self-join)") {
     // SemDeDup's whole point is avoiding the member×member matrix: the
     // only join on the vector stream is against the ≤|cells|-row
