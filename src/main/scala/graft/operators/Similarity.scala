@@ -331,8 +331,15 @@ object Similarity {
     // against a ≤|cells|-row broadcast — the n² semantic-similarity
     // matrix never materializes (cos is evaluated n times total,
     // once per member against its single representative).
+    // The cluster space SCALES WITH THE DATA (nlist = ⌈√n⌉, the same
+    // law as d15's IVF): cluster populations grow as √n, so "close to
+    // the representative" keeps meaning semantic proximity at any
+    // corpus size — a fixed cell count would dilute every cluster to
+    // n/k members and the rep comparison would stop being semantic.
+    // The representative table stays broadcastable (√n rows).
     "d35_semdedup" -> { (s, dir) =>
-      val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, 8))
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, ivfCells(n)))
         .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
       // struct min: lexicographic on (vec_id, …) elects the min-id
       // member carrying its vector — one bounded-key aggregate, no
@@ -464,7 +471,8 @@ object Similarity {
          |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
 
-    "d35_semdedup" -> (Corpus.qtabCte + ", " + centroidsSql +
+    "d35_semdedup" -> (Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
       s""", asg AS (
          |  SELECT vec_id, c AS cell, q, norm2 FROM (
          |    SELECT q.vec_id, ce.c, q.q, q.norm2,
