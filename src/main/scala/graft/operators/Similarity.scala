@@ -358,6 +358,33 @@ object Similarity {
             .when(col("cos") >= 0.25, lit("drop"))
             .otherwise(lit("keep")).as("action"))
         .orderBy("vec_id")
+    },
+
+    // Cell-balance audit — measure, don't guess (the d34 companion for
+    // the VECTOR side): before trusting the √n cell space that d15 and
+    // d35 shard their work by, measure how evenly it actually loads.
+    // Hot cells are the skew that would stall a 1000-executor
+    // intra-cell pass; this report (used cells, min/median/max
+    // population, the max/mean skew factor) is the go/no-go gate for
+    // the partitioning. One shuffle-free assignment fold + one
+    // bounded-key count + one global agg; the exact-percentile partial
+    // is the same mergeable value→count map d28 relies on.
+    "d40_cell_balance" -> { (s, dir) =>
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val nc = ivfCells(n)
+      assignTop2(Corpus.qvecs(s, dir), centroids(s, nc))
+        .groupBy("cell1").agg(count(lit(1)).as("n_vecs"))
+        .agg(count(lit(1)).as("n_cells_used"),
+          min(col("n_vecs")).as("cell_min"),
+          expr("CAST(percentile(n_vecs, 0.5D) AS DOUBLE)").as("cell_p50"),
+          max(col("n_vecs")).as("cell_max"),
+          sum(col("n_vecs")).as("n_vecs_total"))
+        .withColumn("n_cells", lit(nc))
+        .withColumn("skew",
+          col("cell_max").cast("double")
+            / (col("n_vecs_total").cast("double") / col("n_cells_used")))
+        .select("n_cells", "n_cells_used", "cell_min", "cell_p50",
+          "cell_max", "n_vecs_total", "skew")
     }
   )
 
@@ -495,6 +522,27 @@ object Similarity {
          |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
          |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
          |  FROM asg a JOIN repv r ON a.cell = r.cell) t
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin),
+
+    "d40_cell_balance" -> (Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+      s""", asg AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT q.vec_id, ce.c,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1),
+         |sizes AS (SELECT cell, count(1) AS n_vecs FROM asg GROUP BY 1)
+         |SELECT
+         |  (SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab) AS n_cells,
+         |  count(1) AS n_cells_used,
+         |  min(n_vecs) AS cell_min,
+         |  CAST(quantile_cont(n_vecs, 0.5) AS DOUBLE) AS cell_p50,
+         |  max(n_vecs) AS cell_max,
+         |  CAST(sum(n_vecs) AS BIGINT) AS n_vecs_total,
+         |  CAST(max(n_vecs) AS DOUBLE)
+         |    / (CAST(sum(n_vecs) AS DOUBLE) / count(1)) AS skew
+         |FROM sizes""".stripMargin)
   )
 }

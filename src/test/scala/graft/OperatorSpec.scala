@@ -294,6 +294,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d40 cell-balance stats are internally consistent") {
+    val r = SparkEntry.queries("d40_cell_balance")(spark, sf).head()
+    val (cells, used, lo, p50, hi, total, skew) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(used >= 1 && used <= cells)
+    assert(lo >= 1 && lo <= p50 && p50 <= hi)
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count(),
+      "assignment lost vectors")
+    assert(skew >= 1.0, s"max cell below the mean: $skew")
+  }
+
   test("d36 tile stats bounded and flag consistent with the fraction") {
     val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
     assert(out.nonEmpty)
