@@ -110,14 +110,23 @@ final class SynthScanBuilder(rows: Long, splits: Int, wordsPerDoc: Int)
 
   /** Accept doc_id range/equality predicates; everything else is a
     * residual Spark keeps. IsNotNull(doc_id) is vacuous (non-nullable)
-    * and accepted as handled. */
+    * and accepted as handled. Accepted filters are applied EXACTLY by
+    * the reader, so the boundary arithmetic must saturate: `v + 1` at
+    * Long.MaxValue would wrap to Long.MinValue and silently undo
+    * (GreaterThan) or empty (LessThanOrEqual) the clamp. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating successor: ids live in [0, rows) with rows <=
+    // MaxValue, so a lower bound saturated AT MaxValue already empties
+    // every split, and an upper bound at MaxValue excludes nothing
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val (acc, residual) = filters.partition {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("doc_id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case IsNotNull("doc_id") => true
       case _ => false
     }
@@ -174,24 +183,35 @@ final class SynthReaderFactory(wordsPerDoc: Int, cols: Array[String])
 }
 
 /** Generates the pruned projection only: with `text`/`n_chars` pruned
-  * away the word-salad synthesis never runs. */
+  * away the word-salad synthesis never runs. Column dispatch is
+  * resolved ONCE here (an array of per-column generators) — get() is
+  * the per-row hot path of the load-generation source, so it must do
+  * no name matching and no fresh collection allocation per row. */
 final class SynthReader(start: Long, end: Long, wordsPerDoc: Int, cols: Array[String])
     extends PartitionReader[InternalRow] {
   private var id = start - 1
   private val needText = cols.contains("text") || cols.contains("n_chars")
+  private var text: String = _
 
+  private val gens: Array[() => Any] = cols.map {
+    case "doc_id" => () => id
+    case "text" => () => UTF8String.fromString(text)
+    case "lang" => () =>
+      UTF8String.fromString(SynthSource.langs(((SynthSource.mix(id) >>> 8) % SynthSource.langs.length).toInt))
+    case "source" => () => UTF8String.fromString("src" + (id % 5))
+    case "n_chars" => () => text.length.toLong
+  }
   override def next(): Boolean = { id += 1; id < end }
 
   override def get(): InternalRow = {
-    val text = if (needText) SynthSource.textFor(id, wordsPerDoc) else null
-    InternalRow.fromSeq(cols.toSeq.map {
-      case "doc_id" => id
-      case "text" => UTF8String.fromString(text)
-      case "lang" =>
-        UTF8String.fromString(SynthSource.langs(((SynthSource.mix(id) >>> 8) % SynthSource.langs.length).toInt))
-      case "source" => UTF8String.fromString("src" + (id % 5))
-      case "n_chars" => text.length.toLong
-    })
+    if (needText) text = SynthSource.textFor(id, wordsPerDoc)
+    // fresh backing array per row — InternalRow.fromSeq wraps without
+    // copying, so a reused buffer would retroactively mutate rows a
+    // downstream operator may still hold
+    val row = new Array[Any](gens.length)
+    var i = 0
+    while (i < gens.length) { row(i) = gens(i)(); i += 1 }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(row))
   }
 
   override def close(): Unit = ()

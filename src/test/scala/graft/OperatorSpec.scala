@@ -93,12 +93,20 @@ class OperatorSpec extends SparkSpec {
     over.groupBy(_.getLong(0)).foreach { case (node, rows) =>
       assert(rows.length == 1, s"node $node: ${rows.length} overhang segments")
     }
-    // the overhang is the FIRST segment past the cut: nothing between
-    // the cut and it may exist for that node
+    // the overhang is the FIRST segment past the cut: check against the
+    // FULL commit-log segment set (the plan's own rows are exactly the
+    // selected ones, so comparing within them would be vacuous)
+    import org.apache.spark.sql.functions._
     val minOver = over.map(r => r.getLong(0) -> r.getLong(2)).toMap
-    out.foreach { r =>
-      if (r.getLong(2) > hi)
-        assert(r.getLong(2) >= minOver(r.getLong(0)), "segment between cut and overhang")
+    val allPast = graft.model.BackupLedger.ledger(spark, sf)
+      .filter(col("ftype") === "COMMIT_LOG")
+      .select(col("node_id"), unix_micros(col("ts")).as("mtime"))
+      .filter(col("mtime") > hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(allPast.nonEmpty)
+    allPast.foreach { case (node, mtime) =>
+      assert(mtime >= minOver(node),
+        s"node $node has segment $mtime between the cut and the chosen overhang ${minOver(node)}")
     }
   }
 
