@@ -691,6 +691,34 @@ object Backup {
       windowed.unionByName(over)
         .select("node_id", "seg_key", "mtime", "reason")
         .orderBy("node_id", "mtime", "seg_key")
+    },
+
+    // Capacity planning: per-node backup growth as a least-squares
+    // trend over the daily upload volume — when does this fleet's
+    // bucket budget run out (the question every retention policy and
+    // `--bandwidth` setting answers to). Determinism discipline: bytes
+    // become integer CENTS and day offsets integers, so all five
+    // regression sums are EXACT longs with map-side partial combine;
+    // slope and mean perform the only float ops — identical one-shot
+    // IEEE divides in both engines. Two bounded-key aggregates
+    // ((node, day) then node), linear at any ledger size.
+    "b29_growth_trend" -> { (s, dir) =>
+      val daily = ledger(s, dir)
+        .groupBy("node_id", "snapshot_day")
+        .agg(sum((col("size") * 100).cast("long")).as("cents"))
+        .withColumn("x", datediff(col("snapshot_day"), lit("2024-01-01").cast("date")).cast("long"))
+      daily.groupBy("node_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"),
+          sum(col("cents")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("cents")).as("sxy"))
+        .select(col("node_id"), col("n_days"),
+          (col("sy").cast("double") / 100 / col("n_days")).as("mean_daily_bytes"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / 100).as("slope_bytes_per_day"))
+        .orderBy("node_id")
     }
   )
 
@@ -1031,6 +1059,25 @@ object Backup {
         |  WHERE rn = 1)
         |SELECT node_id, seg_key, mtime, reason
         |FROM (SELECT * FROM w UNION ALL SELECT * FROM o) u
-        |ORDER BY node_id, mtime, seg_key""".stripMargin)
+        |ORDER BY node_id, mtime, seg_key""".stripMargin),
+
+    "b29_growth_trend" -> (cte +
+      """, daily AS (
+        |  SELECT node_id, snapshot_day,
+        |    CAST(sum(CAST(size * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '2024-01-01', snapshot_day) AS BIGINT) AS x
+        |  FROM ledger GROUP BY node_id, snapshot_day),
+        |sums AS (
+        |  SELECT node_id, count(1) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(cents) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * cents) AS BIGINT) AS sxy
+        |  FROM daily GROUP BY node_id)
+        |SELECT node_id, n_days,
+        |  CAST(sy AS DOUBLE) / 100 / n_days AS mean_daily_bytes,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100 AS slope_bytes_per_day
+        |FROM sums ORDER BY node_id""".stripMargin)
   )
 }

@@ -74,6 +74,15 @@ object Streaming {
         .orderBy("lang", "source")
     },
 
+    // Streaming PIT tracker — the same running-max transform the
+    // streaming job runs (complete-mode state bounded by node×key),
+    // applied to the batch table. Value-equal to b07's window
+    // formulation (same oracle; equality also spec-proven).
+    "s11_stream_pit" -> { (s, dir) =>
+      graft.streaming.EventStream.pitTracker(Tables.events(s, dir))
+        .orderBy("node_id", "k")
+    },
+
     // Streaming boilerplate gate — the same transform the streaming
     // job runs (stream-static tile-index join, bounded (lang, source)
     // aggregate), applied to the batch table.
@@ -168,6 +177,10 @@ object Streaming {
         |         event_type, value
         |  FROM events, UNNEST(range(0, 2)) t(k)) x
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // identical output contract to b07 — the PIT question asked of the
+    // stream must get the batch answer, so it shares the oracle text
+    "s11_stream_pit" -> Backup.oracle("b07_pit_state"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

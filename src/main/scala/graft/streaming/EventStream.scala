@@ -228,6 +228,25 @@ object EventStream {
 
   /** Run `transform` over the event stream into an in-memory sink,
     * processing all available input (test/CI harness). */
+  /** Live point-in-time state tracking — b07's PIT question asked of
+    * the stream: as ledger events arrive, keep the LAST event ≤ the
+    * cut per (node, key). Spark-first custom state: the "last event
+    * wins" register IS a running max(struct(ts, event_id, …))
+    * aggregate — complete-mode state bounded by the (node × key-space)
+    * domain, with map-side partial maxes, no custom state function
+    * needed. The spec proves this running-max formulation equals
+    * b07's batch row_number window. */
+  def pitTracker(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts") <= lit("2024-01-15 12:00:00").cast("timestamp"))
+      .select(col("user_id").as("node_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("k"),
+        col("ts"), col("event_id"), dec2(col("value")).as("size"))
+      .groupBy("node_id", "k")
+      .agg(max(struct(col("ts"), col("event_id"), col("size"))).as("m"))
+      .select(col("node_id"), col("k"), col("m.event_id").as("event_id"),
+        asDouble(col("m.size")).as("size"))
+
   def runToMemory(s: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame, mode: String = "append"): StreamingQuery =
     transform(readEventsStream(s, dir))

@@ -86,6 +86,19 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming PIT tracker equals the batch b07 window formulation") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
+      EventStream.pitTracker, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s11_test")
+      .orderBy("node_id", "k").collect()
+    // compare against b07 ITSELF (row_number window), not just the s11
+    // batch twin — the running-max register must reproduce the window
+    val batch = SparkEntry.queries("b07_pit_state")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming boilerplate gate equals the batch tile-index report") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s10_test",
