@@ -280,6 +280,32 @@ object Dedup {
           col("n_dup_tiles").cast("double") / col("n_tiles"))
         .withColumn("flagged", col("dup_frac") >= 0.5)
         .orderBy("doc_id")
+    },
+
+    // Text↔embedding dedup CONSENSUS — do the two independent near-dup
+    // signals (d04's MinHash-LSH over shingles, d17's cosine-LSH over
+    // embeddings) agree? A production pipeline runs this before
+    // trusting either alone: high agreement validates both, divergence
+    // localizes which modality's threshold drifted. Text pairs are
+    // restricted to ids that HAVE embeddings (at full scale the
+    // embedded subset is a projection of the corpus), then the
+    // comparison is one pair-key join over two already-bucketed pair
+    // sets — nothing quadratic is introduced by the comparison itself.
+    "d41_dedup_consensus" -> { (s, dir) =>
+      val vecIds = graft.sources.Tables.embeddings(s, dir).select(col("vec_id"))
+      val tp = lshPairs(s, dir).select("a_id", "b_id")
+        .join(vecIds.toDF("a_id"), Seq("a_id"), "left_semi")
+        .join(vecIds.toDF("b_id"), Seq("b_id"), "left_semi")
+      val ep = Similarity.embedDupPairs(s, dir).select("a_id", "b_id")
+      val nBoth = tp.join(ep, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_both"))
+      val nT = tp.agg(count(lit(1)).as("n_text_pairs"))
+      val nE = ep.agg(count(lit(1)).as("n_embed_pairs"))
+      nT.crossJoin(broadcast(nE)).crossJoin(broadcast(nBoth))
+        .withColumn("agreement",
+          col("n_both").cast("double")
+            / greatest(col("n_text_pairs") + col("n_embed_pairs") - col("n_both"), lit(1L)))
+        .select("n_text_pairs", "n_embed_pairs", "n_both", "agreement")
     }
   )
 
@@ -356,6 +382,24 @@ object Dedup {
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) >= 0.5 AS flagged
         |FROM tiles t JOIN dfreq d ON t.tile = d.tile
         |GROUP BY t.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    "d41_dedup_consensus" -> (lshPairsCte + Similarity.embedDupPairsCte +
+      """, tpairs AS (
+        |  SELECT p.a_id, p.b_id FROM pairs p
+        |  WHERE p.a_id IN (SELECT vec_id FROM qtab)
+        |    AND p.b_id IN (SELECT vec_id FROM qtab))
+        |SELECT
+        |  (SELECT count(1) FROM tpairs) AS n_text_pairs,
+        |  (SELECT count(1) FROM epairs) AS n_embed_pairs,
+        |  (SELECT count(1) FROM tpairs t JOIN epairs e
+        |     ON t.a_id = e.a_id AND t.b_id = e.b_id) AS n_both,
+        |  CAST((SELECT count(1) FROM tpairs t JOIN epairs e
+        |     ON t.a_id = e.a_id AND t.b_id = e.b_id) AS DOUBLE)
+        |    / greatest((SELECT count(1) FROM tpairs)
+        |        + (SELECT count(1) FROM epairs)
+        |        - (SELECT count(1) FROM tpairs t JOIN epairs e
+        |             ON t.a_id = e.a_id AND t.b_id = e.b_id), 1) AS agreement
+        |FROM (SELECT 1) one""".stripMargin)
   )
 }

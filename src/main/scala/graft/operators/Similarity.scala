@@ -129,6 +129,43 @@ object Similarity {
       .agg(sum(expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS LONG), bit) ELSE CAST(0 AS LONG) END")).as("bucket"))
   }
 
+  /** Embedding-cosine near-dup pairs (a_id < b_id, cos ≥ 0.35) — the
+    * d17 pair set without the presentation columns, shared with d41's
+    * text↔embedding consensus report. */
+  private[operators] def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val q = Corpus.qvecs(s, dir)
+    val bucketed = lshBuckets(s, dir)
+    val cand = bucketed.select(col("vec_id").as("a_id"), col("t"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("b_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")), Seq("a_id"))
+      .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("norm2").as("nb")), Seq("b_id"))
+      .withColumn("cos",
+        DotLong(col("qa"), col("qb")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.35)
+  }
+
+  /** DuckDB CTE chain appendable AFTER an existing WITH block: qtab +
+    * LSH buckets + `epairs(a_id, b_id)` — the oracle twin of
+    * [[embedDupPairs]] (pair keys only), shared with d41. */
+  private[operators] def embedDupPairsCte: String =
+    Corpus.qtabCte.replaceFirst("WITH ", ", ") + lshBucketsSql +
+      s""",
+         |ecand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |epairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM ecand c JOIN qtab qa ON qa.vec_id = c.a_id JOIN qtab qb ON qb.vec_id = c.b_id
+         |  WHERE CAST(${duckDot.format("qa.q", "qb.q")} AS DOUBLE)
+         |    / (sqrt(CAST(qa.norm2 AS DOUBLE)) * sqrt(CAST(qb.norm2 AS DOUBLE))) >= 0.35
+         |)""".stripMargin
+
   /** DuckDB twin of [[lshBuckets]]: prm/planes/dots/buckets CTE block. */
   private val lshBucketsSql: String =
     s""", prm AS (SELECT greatest(4, CAST(length(to_base(count(1), 2)) AS BIGINT) - 4) AS bbits FROM qtab),
@@ -204,20 +241,7 @@ object Similarity {
     // shape is identical to d07 — candidates never leave their
     // (table, bucket) equi-join partitions.
     "d17_dedup_embed" -> { (s, dir) =>
-      val q = Corpus.qvecs(s, dir)
-      val bucketed = lshBuckets(s, dir)
-      val cand = bucketed.select(col("vec_id").as("a_id"), col("t"), col("bucket"))
-        .join(bucketed.select(col("vec_id").as("b_id"), col("t"), col("bucket")),
-          Seq("t", "bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      cand
-        .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")), Seq("a_id"))
-        .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("norm2").as("nb")), Seq("b_id"))
-        .withColumn("cos",
-          DotLong(col("qa"), col("qb")).cast("double")
-            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .filter(col("cos") >= 0.35)
+      embedDupPairs(s, dir)
         .select(col("a_id"), col("b_id"), col("cos"),
           least(col("a_id"), col("b_id")).as("keep_id"),
           greatest(col("a_id"), col("b_id")).as("drop_id"))

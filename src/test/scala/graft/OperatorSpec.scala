@@ -302,6 +302,17 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d41 consensus counts are a valid intersection") {
+    val r = SparkEntry.queries("d41_dedup_consensus")(spark, sf).head()
+    val (t, e, both, agr) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(both >= 0 && both <= math.min(t, e))
+    assert(agr >= 0.0 && agr <= 1.0)
+    // text pairs were restricted to embedded ids, so both sides draw
+    // from the same universe and the intersection is meaningful
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(t <= n * (n - 1) / 2 && e <= n * (n - 1) / 2)
+  }
+
   test("d40 cell-balance stats are internally consistent") {
     val r = SparkEntry.queries("d40_cell_balance")(spark, sf).head()
     val (cells, used, lo, p50, hi, total, skew) =
