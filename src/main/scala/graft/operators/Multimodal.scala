@@ -43,6 +43,23 @@ object Multimodal {
     }
   }
 
+  /** The d18 frame-sampling transform over ANY documents-shaped frame
+    * (batch table or stream — defined once, shared with s12): every
+    * 4th frame of an n_frames clip, one row per sampled frame with a
+    * timestamp and the stubbed perceptual hash. Pure per-row bounded
+    * explode inside codegen — stateless, so it streams as-is. */
+  def frameSample(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .withColumn("n_frames",
+        least(greatest(expr("len div 50"), lit(1L)), lit(40L)))
+      .select(col("doc_id"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")).as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * 40)
+      .withColumn("phash", graft.functions.hash32(
+        concat(col("doc_id").cast("string"), lit("#"), col("frame_idx").cast("string"))))
+      .select("doc_id", "frame_idx", "ts_ms", "phash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Frame sampling over video-shaped media: every 4th frame of an
@@ -53,16 +70,7 @@ object Multimodal {
     // (≤ 10 rows/clip) inside codegen, per-row hashing, no shuffle —
     // the decode stub (md5) is where an FFmpeg frame grab would slot.
     "d18_frame_sample" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-        .withColumn("n_frames",
-          least(greatest(expr("len div 50"), lit(1L)), lit(40L)))
-        .select(col("doc_id"),
-          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")).as("frame_idx"))
-        .withColumn("ts_ms", col("frame_idx") * 40)
-        .withColumn("phash", graft.functions.hash32(
-          concat(col("doc_id").cast("string"), lit("#"), col("frame_idx").cast("string"))))
-        .select("doc_id", "frame_idx", "ts_ms", "phash")
+      frameSample(Tables.documents(s, dir))
         .orderBy("doc_id", "frame_idx")
     },
 

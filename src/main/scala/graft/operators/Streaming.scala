@@ -74,6 +74,14 @@ object Streaming {
         .orderBy("lang", "source")
     },
 
+    // Streaming frame sampler — the d18 media transform as clips land:
+    // stateless per-row bounded explode, no watermark, no state at
+    // all. The batch twin is d18 itself (shared transform + oracle).
+    "s12_stream_frames" -> { (s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Streaming PIT tracker — the same running-max transform the
     // streaming job runs (complete-mode state bounded by node×key),
     // applied to the batch table. Value-equal to b07's window
@@ -181,6 +189,10 @@ object Streaming {
     // identical output contract to b07 — the PIT question asked of the
     // stream must get the batch answer, so it shares the oracle text
     "s11_stream_pit" -> Backup.oracle("b07_pit_state"),
+
+    // the streaming frame sampler is the d18 transform verbatim — the
+    // oracle is shared the same way s11 shares b07's
+    "s12_stream_frames" -> Multimodal.oracle("d18_frame_sample"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

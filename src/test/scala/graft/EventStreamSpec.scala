@@ -99,6 +99,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming frame sampler equals the batch d18 output") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s12_test",
+      graft.operators.Multimodal.frameSample, mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s12_test")
+      .orderBy("doc_id", "frame_idx").collect()
+    val batch = SparkEntry.queries("d18_frame_sample")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming boilerplate gate equals the batch tile-index report") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s10_test",
