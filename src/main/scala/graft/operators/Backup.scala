@@ -697,26 +697,30 @@ object Backup {
     // trend over the daily upload volume — when does this fleet's
     // bucket budget run out (the question every retention policy and
     // `--bandwidth` setting answers to). Determinism discipline: bytes
-    // become integer CENTS and day offsets integers, so all five
-    // regression sums are EXACT longs with map-side partial combine;
-    // slope and mean perform the only float ops — identical one-shot
-    // IEEE divides in both engines. Two bounded-key aggregates
-    // ((node, day) then node), linear at any ledger size.
+    // become integer CENTS and day offsets integers, and the five
+    // regression sums run in EXACT 128-bit integer arithmetic —
+    // decimal(38,0) here (map-side partial combine), native HUGEINT in
+    // the oracle — because long sums genuinely overflow at fleet
+    // scale (1 TB/day × 2 years puts Σx·cents past 2⁶³); slope and
+    // mean perform the only float ops, identical one-shot IEEE
+    // divides of identical integers in both engines. Two bounded-key
+    // aggregates ((node, day) then node), linear at any ledger size.
     "b29_growth_trend" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
       val daily = ledger(s, dir)
         .groupBy("node_id", "snapshot_day")
         .agg(sum((col("size") * 100).cast("long")).as("cents"))
         .withColumn("x", datediff(col("snapshot_day"), lit("2024-01-01").cast("date")).cast("long"))
       daily.groupBy("node_id")
         .agg(count(lit(1)).as("n_days"),
-          sum(col("x")).as("sx"),
-          sum(col("cents")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("cents")).as("sxy"))
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("cents").cast(d38)).as("sy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum(col("x").cast(d38) * col("cents").cast(d38)).as("sxy"))
         .select(col("node_id"), col("n_days"),
           (col("sy").cast("double") / 100 / col("n_days")).as("mean_daily_bytes"),
-          ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          ((col("n_days").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_days").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double")
             / 100).as("slope_bytes_per_day"))
         .orderBy("node_id")
     }
@@ -1068,11 +1072,13 @@ object Backup {
         |    CAST(datediff('day', DATE '2024-01-01', snapshot_day) AS BIGINT) AS x
         |  FROM ledger GROUP BY node_id, snapshot_day),
         |sums AS (
+        |  -- sums stay HUGEINT (exact int128) — the twin of Spark's
+        |  -- decimal(38,0); BIGINT would overflow at fleet scale
         |  SELECT node_id, count(1) AS n_days,
-        |    CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(cents) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(x * cents) AS BIGINT) AS sxy
+        |    sum(x) AS sx,
+        |    sum(cents) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * cents) AS sxy
         |  FROM daily GROUP BY node_id)
         |SELECT node_id, n_days,
         |  CAST(sy AS DOUBLE) / 100 / n_days AS mean_daily_bytes,

@@ -296,12 +296,17 @@ object Dedup {
       val tp = lshPairs(s, dir).select("a_id", "b_id")
         .join(vecIds.toDF("a_id"), Seq("a_id"), "left_semi")
         .join(vecIds.toDF("b_id"), Seq("b_id"), "left_semi")
+        .withColumn("t", lit(1))
       val ep = Similarity.embedDupPairs(s, dir).select("a_id", "b_id")
-      val nBoth = tp.join(ep, Seq("a_id", "b_id"))
-        .agg(count(lit(1)).as("n_both"))
-      val nT = tp.agg(count(lit(1)).as("n_text_pairs"))
-      val nE = ep.agg(count(lit(1)).as("n_embed_pairs"))
-      nT.crossJoin(broadcast(nE)).crossJoin(broadcast(nBoth))
+        .withColumn("e", lit(1))
+      // ONE full-outer pass computes all three counts — separate
+      // count branches cross-joined together would re-evaluate the
+      // expensive LSH subtrees once per branch (Spark has no
+      // cross-branch subtree sharing)
+      tp.join(ep, Seq("a_id", "b_id"), "full_outer")
+        .agg(count(col("t")).as("n_text_pairs"),
+          count(col("e")).as("n_embed_pairs"),
+          count(when(col("t").isNotNull && col("e").isNotNull, 1)).as("n_both"))
         .withColumn("agreement",
           col("n_both").cast("double")
             / greatest(col("n_text_pairs") + col("n_embed_pairs") - col("n_both"), lit(1L)))

@@ -226,8 +226,6 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Run `transform` over the event stream into an in-memory sink,
-    * processing all available input (test/CI harness). */
   /** Live point-in-time state tracking — b07's PIT question asked of
     * the stream: as ledger events arrive, keep the LAST event ≤ the
     * cut per (node, key). Spark-first custom state: the "last event
@@ -247,6 +245,8 @@ object EventStream {
       .select(col("node_id"), col("k"), col("m.event_id").as("event_id"),
         asDouble(col("m.size")).as("size"))
 
+  /** Run `transform` over the event stream into an in-memory sink,
+    * processing all available input (test/CI harness). */
   def runToMemory(s: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame, mode: String = "append"): StreamingQuery =
     transform(readEventsStream(s, dir))
