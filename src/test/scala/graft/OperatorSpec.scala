@@ -8,7 +8,10 @@ class OperatorSpec extends SparkSpec {
 
   test("every query runs and every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 47)
+    // the round-6 inventory: a module falling out of SparkEntry's
+    // concatenation must fail loudly, not shrink the gate silently
+    assert(SparkEntry.queries.size >= 107, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 107, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {
