@@ -384,6 +384,36 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Semantic DECONTAMINATION — d22's eval-leak guard in embedding
+    // space: a training vector too close (cosine) to ANY held-out
+    // benchmark vector is flagged, catching paraphrased/translated
+    // leakage the exact-gram probe can't see. Same scale shape as
+    // d22: the benchmark set is tiny next to the corpus, so it
+    // collapses to ONE broadcast array row and each training vector
+    // FOLDS over it keeping its best (cos, bench_id) — a per-row
+    // projection, zero exchanges on the corpus stream (the assignTop2
+    // pattern applied to a similarity probe).
+    "d42_semantic_decon" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+      val bench = q.filter(col("vec_id") % 10 === 0)
+        .agg(expr("array_sort(collect_list(struct(vec_id AS c, q AS cv, norm2 AS n2)))").as("bv"))
+      q.filter(col("vec_id") % 10 =!= 0)
+        .crossJoin(broadcast(bench))
+        .withColumn("best", expr(
+          """aggregate(
+            |  transform(bv, e -> named_struct(
+            |    'cos', CAST(graft_dot_long(q, e.cv) AS DOUBLE)
+            |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))),
+            |    'c', e.c)),
+            |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
+            |  (acc, e) -> CASE WHEN e.cos > acc.cos THEN e ELSE acc END)""".stripMargin))
+        .select(col("vec_id"),
+          col("best.c").as("nearest_bench"),
+          col("best.cos").as("max_cos"),
+          (col("best.cos") >= 0.35).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     // Cell-balance audit — measure, don't guess (the d34 companion for
     // the VECTOR side): before trusting the √n cell space that d15 and
     // d35 shard their work by, measure how evenly it actually loads.
@@ -547,6 +577,21 @@ object Similarity {
          |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
          |  FROM asg a JOIN repv r ON a.cell = r.cell) t
          |ORDER BY vec_id""".stripMargin),
+
+    "d42_semantic_decon" -> (Corpus.qtabCte +
+      s""", bench AS (SELECT vec_id AS c, q AS cv, norm2 AS n2 FROM qtab WHERE vec_id % 10 = 0),
+         |train AS (SELECT vec_id, q, norm2 FROM qtab WHERE vec_id % 10 <> 0),
+         |scored AS (
+         |  SELECT t.vec_id, b.c,
+         |    CAST(${duckDot.format("t.q", "b.cv")} AS DOUBLE)
+         |      / (sqrt(CAST(t.norm2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM train t CROSS JOIN bench b)
+         |SELECT vec_id, c AS nearest_bench, cos AS max_cos, cos >= 0.35 AS contaminated
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, c ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
 
     "d40_cell_balance" -> (Corpus.qtabCte + ", " +
       centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +

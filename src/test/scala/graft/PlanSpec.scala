@@ -210,6 +210,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"semdedup degenerated to all-pairs:\n$p")
   }
 
+  test("d42 probes the broadcast benchmark per-row (single presentation exchange)") {
+    // the corpus stream must fold over the broadcast benchmark array —
+    // no shuffle, no window, no join keyed on the corpus; the ONLY
+    // exchange allowed is the final ORDER BY range partition
+    val p = SparkEntry.queries("d42_semantic_decon")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window "),
+      s"corpus stream shuffled for the probe:\n$p")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")) && exchanges.size <= 1,
+      s"non-presentation exchange on the corpus stream: $exchanges\n$p")
+  }
+
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
     // blast-radius guard: the brute-force baseline's quadratic shape
     // must never silently leak into a scale path through future edits
