@@ -102,6 +102,54 @@ object Similarity {
         col("top2.d1").as("dist1"))
   }
 
+  /** Held-out fixture bound for d42's benchmark slice: vec_id <
+    * [[BenchIdCap]] ∧ vec_id % 10 = 0 selects AT MOST 100 vectors no
+    * matter how large the corpus grows — the fixture stands in for the
+    * external benchmark suite a production run would pass in. */
+  val BenchIdCap = 1000L
+
+  /** Hard ceiling on the benchmark side of [[semanticDecon]]: the
+    * zero-exchange fold collapses the benchmark into ONE broadcast
+    * array row, which is only sound while that row is comfortably
+    * under the single-row/broadcast limits. 4096 vectors × 64 dims ×
+    * 8 B ≈ 2 MB — far below either bound. */
+  val MaxBenchVectors = 4096
+
+  /** Semantic decontamination of `train` against an EXTERNAL `bench`
+    * frame (both shaped like [[Corpus.qvecs]]: vec_id, q, norm2).
+    *
+    * The benchmark collapses to ONE broadcast array row and each
+    * training vector FOLDS over it keeping its best (cos, bench_id) —
+    * a per-row projection, zero exchanges on the corpus stream (the
+    * assignTop2 pattern applied to a similarity probe). That contract
+    * requires a BOUNDED benchmark: a runtime `assert_true` fails the
+    * query fast if |bench| exceeds [[MaxBenchVectors]], instead of
+    * silently building an OOM-sized row. An EMPTY benchmark yields
+    * zero rows (the sentinel accumulator is filtered out), matching
+    * the relational cross-join formulation. */
+    private[graft] def semanticDecon(train: DataFrame, bench: DataFrame): DataFrame = {
+      val bv = bench
+        .agg(expr("array_sort(collect_list(struct(vec_id AS c, q AS cv, norm2 AS n2)))").as("bv"))
+        .filter(expr(
+          s"assert_true(size(bv) <= $MaxBenchVectors, 'semanticDecon: benchmark side exceeds the broadcastable bound') IS NULL"))
+      train
+        .crossJoin(broadcast(bv))
+        .withColumn("best", expr(
+          """aggregate(
+            |  transform(bv, e -> named_struct(
+            |    'cos', CAST(graft_dot_long(q, e.cv) AS DOUBLE)
+            |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))),
+            |    'c', e.c)),
+            |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
+            |  (acc, e) -> CASE WHEN e.cos > acc.cos THEN e ELSE acc END)""".stripMargin))
+        .filter(col("best.c") >= 0)
+        .select(col("vec_id"),
+          col("best.c").as("nearest_bench"),
+          col("best.cos").as("max_cos"),
+          (col("best.cos") >= 0.35).as("contaminated"))
+        .orderBy("vec_id")
+    }
+
   private def centsSqlFrom(ncExpr: String): String =
     s"""cents AS (
        |  SELECT c, list_transform(range(0, 64), i ->
@@ -322,7 +370,12 @@ object Similarity {
         // losing an executor on a real cluster recomputes the cached
         // partitions instead of failing the query.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same materialize-once reasoning one level up: the refined
+      // assignment feeds BOTH sides of the cell equi-join below (the
+      // probe explode and the data side), whose exchanges differ in
+      // shape — without this the embeddings scan + fold run twice.
       val ass = assignTop2(q, cents1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = ass
         .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
           explode(array(col("cell1"), col("cell2"))).as("cell"))
@@ -365,6 +418,13 @@ object Similarity {
       val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
       val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, ivfCells(n)))
         .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+        // materialize-once: `ass` feeds BOTH the representative
+        // election aggregate and the probe side of the broadcast rep
+        // join — the probe side has no exchange, so nothing reuses and
+        // without this the corpus is scanned + folded TWICE (the same
+        // reasoning as d15's cents1 persist). Cache lifecycle is
+        // harness-owned (Bench/Verify clearCache between queries).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // struct min: lexicographic on (vec_id, …) elects the min-id
       // member carrying its vector — one bounded-key aggregate, no
       // window, no join back to find the representative's payload
@@ -387,31 +447,14 @@ object Similarity {
     // Semantic DECONTAMINATION — d22's eval-leak guard in embedding
     // space: a training vector too close (cosine) to ANY held-out
     // benchmark vector is flagged, catching paraphrased/translated
-    // leakage the exact-gram probe can't see. Same scale shape as
-    // d22: the benchmark set is tiny next to the corpus, so it
-    // collapses to ONE broadcast array row and each training vector
-    // FOLDS over it keeping its best (cos, bench_id) — a per-row
-    // projection, zero exchanges on the corpus stream (the assignTop2
-    // pattern applied to a similarity probe).
+    // leakage the exact-gram probe can't see. The benchmark is an
+    // EXTERNAL INPUT to [[semanticDecon]] (here a BOUNDED fixture
+    // slice — vec_id < [[BenchIdCap]] caps it at ≤100 vectors at ANY
+    // corpus size); the operator size-asserts it before folding.
     "d42_semantic_decon" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
-      val bench = q.filter(col("vec_id") % 10 === 0)
-        .agg(expr("array_sort(collect_list(struct(vec_id AS c, q AS cv, norm2 AS n2)))").as("bv"))
-      q.filter(col("vec_id") % 10 =!= 0)
-        .crossJoin(broadcast(bench))
-        .withColumn("best", expr(
-          """aggregate(
-            |  transform(bv, e -> named_struct(
-            |    'cos', CAST(graft_dot_long(q, e.cv) AS DOUBLE)
-            |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))),
-            |    'c', e.c)),
-            |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
-            |  (acc, e) -> CASE WHEN e.cos > acc.cos THEN e ELSE acc END)""".stripMargin))
-        .select(col("vec_id"),
-          col("best.c").as("nearest_bench"),
-          col("best.cos").as("max_cos"),
-          (col("best.cos") >= 0.35).as("contaminated"))
-        .orderBy("vec_id")
+      val isBench = col("vec_id") % 10 === 0 && col("vec_id") < BenchIdCap
+      semanticDecon(q.filter(!isBench), q.filter(isBench))
     },
 
     // Cell-balance audit — measure, don't guess (the d34 companion for
@@ -579,8 +622,10 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin),
 
     "d42_semantic_decon" -> (Corpus.qtabCte +
-      s""", bench AS (SELECT vec_id AS c, q AS cv, norm2 AS n2 FROM qtab WHERE vec_id % 10 = 0),
-         |train AS (SELECT vec_id, q, norm2 FROM qtab WHERE vec_id % 10 <> 0),
+      s""", bench AS (SELECT vec_id AS c, q AS cv, norm2 AS n2 FROM qtab
+         |             WHERE vec_id % 10 = 0 AND vec_id < $BenchIdCap),
+         |train AS (SELECT vec_id, q, norm2 FROM qtab
+         |          WHERE NOT (vec_id % 10 = 0 AND vec_id < $BenchIdCap)),
          |scored AS (
          |  SELECT t.vec_id, b.c,
          |    CAST(${duckDot.format("t.q", "b.cv")} AS DOUBLE)
