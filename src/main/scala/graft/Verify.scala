@@ -21,6 +21,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // Caller-owned cache lifecycle: operators may persist() internal
+      // multi-consumer subtrees (d15/d35); release them between queries so
+      // corpus-sized blocks don't accumulate across the ~100-query run.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

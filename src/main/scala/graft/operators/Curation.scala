@@ -145,7 +145,11 @@ object Curation {
     // Union's constraint rewrite on duplicate attribute ids). No
     // distinct on the loops: one loop per incident edge is harmless
     // under the min-aggregate and skips a |sym| shuffle.
-    val edges = sym
+    // materialized UNDER THE CALLER'S CONF: the edge pipeline includes
+    // the corpus-side candidate generation (LSH joins), which needs the
+    // caller's AQE/partitioning — only the loop below wants them dialed
+    // down
+    val edges0 = sym
       .union(sym.select(col("src"), col("src").as("dst")))
       .localCheckpoint()
     // loop-local tuning: the convergence rounds run over the cached
@@ -153,12 +157,18 @@ object Curation {
     // edge set is the candidate-pair output, not the corpus), so each
     // round's job is pure scheduling overhead. AQE would split every
     // round into per-stage jobs and re-optimize each; 32 shuffle
-    // partitions would schedule 32 tasks per tiny exchange. Dial both
-    // down for the loop only, restore after.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = s.conf.get("spark.sql.shuffle.partitions", "32")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // partitions would schedule 32 tasks per tiny exchange. The loop
+    // runs on an ISOLATED session (newSession: own SQLConf, shared
+    // SparkContext and cache) so the overrides cannot leak into
+    // queries concurrently planned on the caller's session — AQE
+    // skew-splitting is the 100×-scale protection a co-tenant query
+    // must never silently lose. The pinned edge blocks cross sessions
+    // through the public Row-RDD bridge: one conversion pass over the
+    // bounded edge minority, re-pinned so loop plans stay O(1).
+    val loop = s.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions", "8")
+    val edges = loop.createDataFrame(edges0.rdd, edges0.schema).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     // Convergence telemetry: per-node labels are NON-INCREASING, so
@@ -179,7 +189,7 @@ object Curation {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
-    try while (!converged && rounds < 25) {
+    while (!converged && rounds < 25) {
       // one min-pass: each node takes min over {its own label} ∪
       // {neighbor labels} — the self label enters through the
       // self-loop edge, so the round is a single join + aggregate
@@ -202,9 +212,6 @@ object Curation {
       converged = prevSum != null && roundSum.compareTo(prevSum) == 0
       prevSum = roundSum
       rounds += 1
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      s.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
     // the returned frame reads the FINAL round's checkpoint blocks
     // (bounded by the clustered minority, not the corpus);

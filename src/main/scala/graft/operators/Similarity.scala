@@ -122,33 +122,41 @@ object Similarity {
     * training vector FOLDS over it keeping its best (cos, bench_id) —
     * a per-row projection, zero exchanges on the corpus stream (the
     * assignTop2 pattern applied to a similarity probe). That contract
-    * requires a BOUNDED benchmark: a runtime `assert_true` fails the
-    * query fast if |bench| exceeds [[MaxBenchVectors]], instead of
-    * silently building an OOM-sized row. An EMPTY benchmark yields
-    * zero rows (the sentinel accumulator is filtered out), matching
-    * the relational cross-join formulation. */
-    private[graft] def semanticDecon(train: DataFrame, bench: DataFrame): DataFrame = {
-      val bv = bench
-        .agg(expr("array_sort(collect_list(struct(vec_id AS c, q AS cv, norm2 AS n2)))").as("bv"))
-        .filter(expr(
-          s"assert_true(size(bv) <= $MaxBenchVectors, 'semanticDecon: benchmark side exceeds the broadcastable bound') IS NULL"))
-      train
-        .crossJoin(broadcast(bv))
-        .withColumn("best", expr(
-          """aggregate(
-            |  transform(bv, e -> named_struct(
-            |    'cos', CAST(graft_dot_long(q, e.cv) AS DOUBLE)
-            |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))),
-            |    'c', e.c)),
-            |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
-            |  (acc, e) -> CASE WHEN e.cos > acc.cos THEN e ELSE acc END)""".stripMargin))
-        .filter(col("best.c") >= 0)
-        .select(col("vec_id"),
-          col("best.c").as("nearest_bench"),
-          col("best.cos").as("max_cos"),
-          (col("best.cos") >= 0.35).as("contaminated"))
-        .orderBy("vec_id")
-    }
+    * requires a BOUNDED benchmark, enforced in two layers: a
+    * construction-time `require` counts the bench side (via
+    * `limit(cap+1).count()` — a bench-only scan, never the corpus)
+    * and fails BEFORE the collecting aggregate is ever built, so even
+    * a grossly oversized benchmark can't OOM the agg; a runtime
+    * `assert_true` on the folded array remains as defense-in-depth
+    * against a bench frame whose contents change between the check
+    * and execution. An EMPTY benchmark yields zero rows (the sentinel
+    * accumulator is filtered out), matching the relational cross-join
+    * formulation. */
+  private[graft] def semanticDecon(train: DataFrame, bench: DataFrame): DataFrame = {
+    val benchCount = bench.limit(MaxBenchVectors + 1).count()
+    require(benchCount <= MaxBenchVectors,
+      s"semanticDecon: benchmark side has > $MaxBenchVectors vectors — exceeds the broadcastable bound")
+    val bv = bench
+      .agg(expr("array_sort(collect_list(struct(vec_id AS c, q AS cv, norm2 AS n2)))").as("bv"))
+      .filter(expr(
+        s"assert_true(size(bv) <= $MaxBenchVectors, 'semanticDecon: benchmark side exceeds the broadcastable bound') IS NULL"))
+    train
+      .crossJoin(broadcast(bv))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(bv, e -> named_struct(
+          |    'cos', CAST(graft_dot_long(q, e.cv) AS DOUBLE)
+          |      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))),
+          |    'c', e.c)),
+          |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
+          |  (acc, e) -> CASE WHEN e.cos > acc.cos THEN e ELSE acc END)""".stripMargin))
+      .filter(col("best.c") >= 0)
+      .select(col("vec_id"),
+        col("best.c").as("nearest_bench"),
+        col("best.cos").as("max_cos"),
+        (col("best.cos") >= 0.35).as("contaminated"))
+      .orderBy("vec_id")
+  }
 
   private def centsSqlFrom(ncExpr: String): String =
     s"""cents AS (
@@ -423,7 +431,10 @@ object Similarity {
         // join — the probe side has no exchange, so nothing reuses and
         // without this the corpus is scanned + folded TWICE (the same
         // reasoning as d15's cents1 persist). Cache lifecycle is
-        // harness-owned (Bench/Verify clearCache between queries).
+        // CALLER-owned: Bench and Verify call spark.catalog.clearCache()
+        // between queries (and between timing passes); any long-lived
+        // session embedding this operator must do the same after
+        // consuming the result, or the corpus-sized blocks accumulate.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // struct min: lexicographic on (vec_id, …) elects the min-id
       // member carrying its vector — one bounded-key aggregate, no

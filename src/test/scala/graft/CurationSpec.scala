@@ -91,6 +91,24 @@ class CurationSpec extends SparkSpec {
     assert(cc(edges) == wantMin)
   }
 
+  test("d24 loop tuning never touches the caller's session conf (isolated session)") {
+    import spark.implicits._
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val labels = graft.operators.Curation.connectedComponents(
+      spark, Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the caller's conf was never mutated — a query planned on `spark`
+    // at ANY point during the loop keeps AQE (and its skew-splitting)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    // the dialed-down tuning lives on the isolated loop session only
+    assert(labels.sparkSession ne spark)
+    assert(labels.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(labels.sparkSession.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+
   test("d24 cluster sizes are consistent with the labeling") {
     val rows = q("d24_dup_clusters").collect()
     val byCluster = rows.groupBy(_.getLong(1))

@@ -223,6 +223,20 @@ class PlanSpec extends SparkSpec {
       s"non-presentation exchange on the corpus stream: $exchanges\n$p")
   }
 
+  test("d42 semanticDecon rejects an oversized benchmark before building the fold array") {
+    // the zero-exchange contract holds only for a bounded benchmark:
+    // past MaxBenchVectors the operator must fail at CONSTRUCTION
+    // (bench-side count, no corpus scan, no collecting aggregate) —
+    // not OOM inside collect_list
+    import graft.operators.Similarity
+    def vecs(n: Long) = spark.range(n).selectExpr(
+      "id AS vec_id", "array_repeat(CAST(1 AS LONG), 64) AS q", "CAST(64 AS LONG) AS norm2")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDecon(vecs(5), vecs(Similarity.MaxBenchVectors + 1L))
+    }
+    assert(ex.getMessage.contains("exceeds the broadcastable bound"), ex.getMessage)
+  }
+
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
     // blast-radius guard: the brute-force baseline's quadratic shape
     // must never silently leak into a scale path through future edits
