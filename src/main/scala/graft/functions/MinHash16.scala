@@ -52,6 +52,46 @@ object MinHash16 {
     GraftBridge.column(MinHash16(GraftBridge.expression(c)))
 }
 
+/** Per-row MinHash SIGNATURE of a whole shingle array: the
+  * elementwise minimum of [[MinHash16]] over every element, folded in
+  * one kernel loop (init Long.MaxValue, so an empty array yields the
+  * neutral signature). Value-identical to
+  * `aggregate(transform(garr, g -> graft_minhash16(g)), init,
+  * zip_with(least))` but with no per-gram array allocation, no boxed
+  * lambda evaluation, and the call stays inside whole-stage codegen —
+  * the d43 fused pipeline computes d03's per-doc signature with this
+  * in a single pass over the row's gram array. */
+case class MinHashFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_fold expects array<string>, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_minhash_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHash16Kernel.fold(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      |  graft.functions.MinHash16Kernel.fold($c));
+    """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFold =
+    copy(child = newChild)
+}
+
+object MinHashFold {
+  def apply(c: Column): Column =
+    GraftBridge.column(MinHashFold(GraftBridge.expression(c)))
+}
+
 object MinHash16Kernel {
   private val salts: Array[Array[Byte]] =
     Array("s0#", "s1#", "s2#", "s3#").map(_.getBytes("UTF-8"))
@@ -80,6 +120,24 @@ object MinHash16Kernel {
         j += 1
       }
       d += 1
+    }
+    out
+  }
+
+  /** Elementwise min of [[compute]] over every element of `grams`
+    * (Long.MaxValue init — empty array → neutral signature). */
+  def fold(grams: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val out = Array.fill(16)(Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val h = compute(grams.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < 16) {
+        if (h(k) < out(k)) out(k) = h(k)
+        k += 1
+      }
+      i += 1
     }
     out
   }

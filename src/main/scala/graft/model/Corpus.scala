@@ -39,13 +39,22 @@ object Corpus {
   def docs(s: SparkSession, dir: String): DataFrame =
     normalized(Tables.documents(s, dir))
 
+  private val gram3Sql =
+    "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+
   /** Distinct word-3-gram shingles per doc (docs with ≥3 words). */
   def grams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-      ))).as("gram"))
+      .select(col("doc_id"), explode(array_distinct(expr(gram3Sql))).as("gram"))
+
+  /** Per-row distinct word-3-gram ARRAY — the row-local form of
+    * [[grams]] (same shingle family, same distinct) for single-pass
+    * fused consumers (d43): one scan can feed the MinHash signature
+    * AND the contamination probe without ever exploding the gram
+    * stream. Empty (never null) below 3 words. */
+  def gramsArr: org.apache.spark.sql.Column = expr(
+    s"IF(size(ws) >= 3, array_distinct($gram3Sql), CAST(array() AS ARRAY<STRING>))")
 
   /** Distinct non-overlapping 8-word tile hashes per doc (docs with
     * ≥8 words), keyed with (lang, source) — the duplicated-SPAN unit

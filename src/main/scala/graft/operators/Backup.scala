@@ -723,6 +723,63 @@ object Backup {
             / (col("n_days").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double")
             / 100).as("slope_bytes_per_day"))
         .orderBy("node_id")
+    },
+
+    // esop restore-into-a-DIFFERENT-cluster topology remap
+    // (topology/CassandraClusterTopology.java:191-199
+    // `translateToNodeTopology` resolves which target node a source
+    // node's snapshot lands on; impl/restore/coordination/
+    // BaseRestoreOperationCoordinator.java drives the per-node restore;
+    // InPlaceRestorationStrategy.java:82-88 resolves the node from the
+    // uploaded topology and :143-150 carries the source tokens onto the
+    // target): every SOURCE node of the backed-up cluster (b15's 8-vnode
+    // md5 token lists) is assigned to the TARGET-cluster node that owns
+    // the PLURALITY of its token ring. Ownership is Cassandra's ring
+    // rule — token t belongs to the target with the smallest ring token
+    // ≥ t, wrapping past the ring's end to the globally smallest target
+    // token. The target ring (7 nodes — deliberately a different shape
+    // than the source fleet) stands in for the externally-supplied
+    // destination cluster, exactly as d42's benchmark stands in for an
+    // external eval suite.
+    // Spark-first: union the target ring with the source vnodes and let
+    // ONE descending-token running-`last` window stamp the owning
+    // target onto every source vnode — b12's as-of machinery with the
+    // order flipped for successor semantics — then a plurality argmax
+    // per source node via max(struct). The whole stream is
+    // TOPOLOGY-sized ((n_src + n_tgt) × 8 rows — thousands of rows for
+    // a thousands-node fleet), so the global (unpartitioned) window is
+    // bounded by construction: data volume never enters this query, it
+    // scales with cluster size only.
+    "b30_topology_remap" -> { (s, dir) =>
+      val src = snapshots(s, dir).select("node_id").distinct()
+        .withColumn("toks", expr(tokenArraySpark))
+        .select(col("node_id"), explode(col("toks")).as("token"))
+      val tgt = s.range(7).select(col("id").as("t_node"))
+        .withColumn("t_token", explode(expr(
+          "transform(sequence(0, 7), i -> CAST(conv(substr(md5(concat('ttok', CAST(t_node AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG))")))
+      val stream = tgt.select(col("t_token").as("token"), lit(1).as("is_tgt"),
+          col("t_node"), lit(null).cast("long").as("src_node"))
+        .unionAll(src.select(col("token"), lit(0).as("is_tgt"),
+          lit(null).cast("long").as("t_node"), col("node_id").as("src_node")))
+      val w = Window.orderBy(col("token").desc, col("is_tgt").desc, col("t_node").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wrap = tgt.orderBy(col("t_token").asc, col("t_node").asc).limit(1)
+        .select(col("t_node").as("wrap_node"))
+      stream
+        .withColumn("owner", last(col("t_node"), ignoreNulls = true).over(w))
+        .filter(col("is_tgt") === 0)
+        .crossJoin(broadcast(wrap))
+        .withColumn("owner", coalesce(col("owner"), col("wrap_node")))
+        .groupBy(col("src_node"), col("owner"))
+        .agg(count(lit(1)).as("n_owned"))
+        .groupBy("src_node")
+        .agg(max(struct(col("n_owned"), (-col("owner")).as("neg"))).as("m"),
+          sum(col("n_owned")).as("n_vnodes"))
+        .select(col("src_node").as("node_id"),
+          (-col("m.neg")).as("target_node"),
+          col("m.n_owned").as("n_owned_vnodes"),
+          col("n_vnodes"))
+        .orderBy("node_id")
     }
   )
 
@@ -1084,6 +1141,41 @@ object Backup {
         |  CAST(sy AS DOUBLE) / 100 / n_days AS mean_daily_bytes,
         |  CAST(n_days * sxy - sx * sy AS DOUBLE)
         |    / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100 AS slope_bytes_per_day
-        |FROM sums ORDER BY node_id""".stripMargin)
+        |FROM sums ORDER BY node_id""".stripMargin),
+
+    "b30_topology_remap" -> (cte + {
+      val srcTok = graft.model.Corpus.hash32Sql(
+        "concat('tok', CAST(node_id AS VARCHAR), '_', CAST(i AS VARCHAR))")
+      val tgtTok = graft.model.Corpus.hash32Sql(
+        "concat('ttok', CAST(t_node AS VARCHAR), '_', CAST(i AS VARCHAR))")
+      s""", src AS (SELECT DISTINCT node_id FROM snapshots),
+         |srctok AS (
+         |  SELECT node_id, $srcTok AS token
+         |  FROM src, UNNEST(range(0, 8)) t(i)),
+         |tgt AS (
+         |  SELECT t_node, $tgtTok AS t_token
+         |  FROM (SELECT unnest(range(0, 7)) AS t_node), UNNEST(range(0, 8)) t(i)),
+         |stream AS (
+         |  SELECT t_token AS token, 1 AS is_tgt, t_node, CAST(NULL AS BIGINT) AS src_node FROM tgt
+         |  UNION ALL
+         |  SELECT token, 0, CAST(NULL AS BIGINT), node_id FROM srctok),
+         |owned AS (
+         |  SELECT *, last_value(t_node IGNORE NULLS) OVER (
+         |      ORDER BY token DESC, is_tgt DESC, t_node DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS owner0
+         |  FROM stream),
+         |wrap AS (SELECT t_node AS wrap_node FROM tgt ORDER BY t_token ASC, t_node ASC LIMIT 1),
+         |counts AS (
+         |  SELECT src_node, COALESCE(owner0, (SELECT wrap_node FROM wrap)) AS owner,
+         |         count(1) AS n_owned
+         |  FROM owned WHERE is_tgt = 0 GROUP BY 1, 2)
+         |SELECT node_id, target_node, n_owned_vnodes, n_vnodes FROM (
+         |  SELECT src_node AS node_id, owner AS target_node,
+         |    CAST(n_owned AS BIGINT) AS n_owned_vnodes,
+         |    CAST(sum(n_owned) OVER (PARTITION BY src_node) AS BIGINT) AS n_vnodes,
+         |    ROW_NUMBER() OVER (PARTITION BY src_node ORDER BY n_owned DESC, owner ASC) AS rn
+         |  FROM counts) t
+         |WHERE rn = 1 ORDER BY node_id""".stripMargin
+    })
   )
 }

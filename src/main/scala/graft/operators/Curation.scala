@@ -306,6 +306,90 @@ object Curation {
         .orderBy("lang", "rank")
     },
 
+    // END-TO-END curation composition — the production path a corpus
+    // actually ships through (quality gate → exact dedup → LSH
+    // near-dup drop → benchmark decontamination), fused into ONE
+    // linear plan over ONE corpus scan. This is the proof the catalog
+    // operators compose as a system: run separately (d21 + d01 + d04 +
+    // d22) the corpus is scanned four times and the gram stream
+    // exploded twice; here every stage's inputs are computed as
+    // columns of a single pass —
+    //   per-row: d09's qualityCols, d01's content hash, the distinct
+    //     gram array ([[Corpus.gramsArr]] — d02/d04's shingle family
+    //     kept row-local), d03's MinHash16 signature folded per-row
+    //     over that array, and d22's benchmark hits via one broadcast
+    //     bench-gram array row (the d42 bounded-benchmark pattern);
+    //   exact dedup: keeper = min quality-passing doc_id per content
+    //     hash — a conditional window, not a groupBy + join-back;
+    //   near-dup drop: a doc drops iff some LSH band bucket holds a
+    //     LOWER-id exact-survivor — provably the pairwise keep-min
+    //     rule over d04's candidate pairs, computed as a bucket-min
+    //     window over the exploded 4-band stream (gramless docs get
+    //     singleton '!'-prefixed buckets, so no skew partition and no
+    //     false pairing) — the band SELF-JOIN never happens;
+    //   decontamination: n_hit_grams > 0, already per-row.
+    // Stage semantics are SEQUENTIAL (each stage sees the previous
+    // stage's survivors — the conditional mins restrict to them) and
+    // every train doc gets a verdict attributing its first failing
+    // stage. Shuffles at any corpus size: content-hash window + band
+    // window + per-doc regroup + presentation sort — four narrow
+    // exchanges for a four-stage pipeline, zero self-joins, corpus
+    // text read ONCE (the second documents scan is the ≤100-doc bench
+    // fixture slice, filter-pruned at the scan).
+    "d43_curation_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val train = Corpus.docs(s, dir).filter(not(expr(benchCond)))
+      // sorted for SortedHitCount's binary search (array_sort = the
+      // UTF8String binary ordering the kernel searches with)
+      val benchGrams = Corpus.grams(s, dir).filter(expr(benchCond))
+        .agg(array_sort(collect_set(col("gram"))).as("bg"))
+      val base = TextAnalysis.qualityCols(train)
+        .withColumn("content_hash", md5(col("norm")))
+        .withColumn("quality_ok",
+          col("stop_ratio") >= 0.05 && col("n_words").between(5L, 500L))
+        .withColumn("garr", Corpus.gramsArr)
+        .crossJoin(broadcast(benchGrams))
+        .withColumn("n_hit_grams", SortedHitCount(col("garr"), col("bg")))
+        .withColumn("sig16", MinHashFold(col("garr")))
+        .withColumn("keeper", min(when(col("quality_ok"), col("doc_id")))
+          .over(Window.partitionBy("content_hash")))
+        .withColumn("survives_exact",
+          col("quality_ok") && col("doc_id") === col("keeper"))
+      val banded = base.select(
+          col("doc_id"), col("n_words"), col("stop_ratio"), col("quality_ok"),
+          col("keeper"), col("survives_exact"), col("n_hit_grams"),
+          explode(expr(
+            """IF(size(garr) > 0,
+              |   transform(sequence(0, 3), b -> named_struct(
+              |     'band', b,
+              |     'sig', concat_ws(',', element_at(sig16, b*4+1), element_at(sig16, b*4+2),
+              |                           element_at(sig16, b*4+3), element_at(sig16, b*4+4)))),
+              |   array(named_struct('band', -1, 'sig', concat('!', CAST(doc_id AS STRING)))))""".stripMargin)).as("b"))
+        .withColumn("band", col("b.band")).withColumn("sig", col("b.sig")).drop("b")
+      banded
+        .withColumn("bmin", min(when(col("survives_exact"), col("doc_id")))
+          .over(Window.partitionBy("band", "sig")))
+        .groupBy("doc_id")
+        .agg(max("n_words").as("n_words"),
+          max("stop_ratio").as("stop_ratio"),
+          max("quality_ok").as("quality_ok"),
+          max("keeper").as("keeper"),
+          max("survives_exact").as("survives_exact"),
+          max("n_hit_grams").as("n_hit_grams"),
+          coalesce(max(when(col("bmin") < col("doc_id"), lit(true))), lit(false)).as("nd_hit"))
+        .withColumn("near_dup", col("survives_exact") && col("nd_hit"))
+        .withColumn("verdict",
+          when(!col("quality_ok"), "drop_quality")
+            .when(col("doc_id") =!= col("keeper"), "drop_exact_dup")
+            .when(col("near_dup"), "drop_near_dup")
+            .when(col("n_hit_grams") > 0, "drop_contaminated")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("n_words"), col("stop_ratio"), col("quality_ok"),
+          coalesce(col("keeper"), lit(-1L)).as("keeper"),
+          col("near_dup"), col("n_hit_grams"), col("verdict"))
+        .orderBy("doc_id")
+    },
+
     // Training-sequence packing — the last step before tokens hit the
     // trainer: documents are concatenated in order and chunked into
     // fixed-budget sequences (greedy concat-then-chunk, the standard
@@ -387,6 +471,49 @@ object Curation {
          |    '$phoneRe', '<PHONE>', 'g')) AS redacted_hash
          |FROM raws ORDER BY doc_id""".stripMargin
     },
+
+    "d43_curation_pipeline" -> (Corpus.docsCte +
+      s""", bench AS (SELECT DISTINCT gram FROM grams WHERE $benchCond),
+         |grams_t AS (SELECT doc_id, gram FROM grams WHERE NOT ($benchCond)),
+         |hits AS (
+         |  SELECT g.doc_id, count(1) AS n FROM grams_t g JOIN bench USING (gram)
+         |  GROUP BY 1),
+         |${Dedup.minhashSqlOver("grams_t")},
+         |sig AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |  FROM mh GROUP BY doc_id, band),
+         |q AS (
+         |  SELECT d.doc_id, md5(d.norm) AS content_hash,
+         |    CAST(len(d.ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(d.ws, w -> list_contains(${TextAnalysis.enStopSqlList}, w))) AS DOUBLE)
+         |      / greatest(len(d.ws), 1) AS stop_ratio,
+         |    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams
+         |  FROM docs d LEFT JOIN hits h USING (doc_id)
+         |  WHERE NOT (${benchCondOn("d")})),
+         |q2 AS (SELECT *, (stop_ratio >= 0.05 AND n_words BETWEEN 5 AND 500) AS quality_ok FROM q),
+         |w1 AS (SELECT *, min(CASE WHEN quality_ok THEN doc_id END)
+         |         OVER (PARTITION BY content_hash) AS keeper FROM q2),
+         |w1b AS (SELECT *, (quality_ok AND doc_id = keeper) AS survives_exact FROM w1),
+         |sb AS (
+         |  SELECT s.doc_id,
+         |    min(CASE WHEN w.survives_exact THEN s.doc_id END)
+         |      OVER (PARTITION BY s.band, s.sig) AS bmin
+         |  FROM sig s JOIN w1b w USING (doc_id)),
+         |ndup AS (
+         |  SELECT doc_id, bool_or(bmin IS NOT NULL AND bmin < doc_id) AS hit
+         |  FROM sb GROUP BY doc_id)
+         |SELECT w.doc_id, w.n_words, w.stop_ratio, w.quality_ok,
+         |  COALESCE(w.keeper, -1) AS keeper,
+         |  (w.survives_exact AND COALESCE(n.hit, false)) AS near_dup,
+         |  w.n_hit_grams,
+         |  CASE WHEN NOT w.quality_ok THEN 'drop_quality'
+         |       WHEN w.doc_id <> w.keeper THEN 'drop_exact_dup'
+         |       WHEN w.survives_exact AND COALESCE(n.hit, false) THEN 'drop_near_dup'
+         |       WHEN w.n_hit_grams > 0 THEN 'drop_contaminated'
+         |       ELSE 'keep' END AS verdict
+         |FROM w1b w LEFT JOIN ndup n USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
 
     "d38_corpus_sample" ->
       """SELECT lang, rank, doc_id, h FROM (

@@ -50,13 +50,18 @@ object Dedup {
       .withColumn("seed", col("seed").cast("int"))
   }
 
-  private val minhashSql: String =
+  /** DuckDB minhash CTE over any (doc_id, gram) relation — the oracle
+    * twin of the MinHash16 hash family, parameterized so d43's
+    * train-only gram stream can reuse it verbatim. */
+  private[operators] def minhashSqlOver(gramsRel: String): String =
     s"""mh AS (
        |  SELECT doc_id, seed,
        |    min(CAST(concat('0x', substr(md5(concat('s', CAST(seed // 4 AS VARCHAR), '#', gram)), (seed % 4) * 8 + 1, 8)) AS BIGINT)) AS minh
-       |  FROM grams CROSS JOIN $seedsSql
+       |  FROM $gramsRel CROSS JOIN $seedsSql
        |  GROUP BY doc_id, seed
        |)""".stripMargin
+
+  private val minhashSql: String = minhashSqlOver("grams")
 
   /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
     * without the presentation sort, shared with d24's clustering. */

@@ -119,6 +119,52 @@ class CurationSpec extends SparkSpec {
     assert(byCluster.values.exists(_.length >= 2))
   }
 
+  test("d43 verdicts agree with the standalone operators it composes") {
+    val rows = q("d43_curation_pipeline").collect()
+    assert(rows.nonEmpty)
+    val verdicts = rows.map(r => r.getLong(0) -> r.getString(7)).toMap
+    // no bench doc in the output; the quality gate is exactly d21's rule
+    rows.foreach { r =>
+      val (id, nWords, stopRatio, qOk) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(id % 10 != 0 || id >= 1000, s"bench doc $id leaked")
+      assert(qOk == (stopRatio >= 0.05 && nWords >= 5 && nWords <= 500))
+      assert((r.getString(7) == "drop_quality") == !qOk)
+    }
+    // decontamination stage: n_hit_grams must equal d22's count per doc
+    // (d43 probes via the SortedHitCount kernel, d22 via a broadcast
+    // join — value equality proves the fused probe)
+    val d22 = q("d22_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(6) == d22(r.getLong(0)),
+        s"doc ${r.getLong(0)}: d43 n_hit=${r.getLong(6)} vs d22=${d22(r.getLong(0))}")
+    }
+    // near-dup stage: every drop is backed by a d04 candidate pair
+    // whose lower side survived the exact stage (the pairwise keep-min
+    // rule over d04's pair set, restricted to train docs)
+    val exactSurvivor = rows.filter(r =>
+      !Set("drop_quality", "drop_exact_dup")(r.getString(7)))
+      .map(_.getLong(0)).toSet
+    val d04 = graft.operators.Dedup.queries("d04_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedNear = rows.filter(_.getString(7) == "drop_near_dup").map(_.getLong(0)).toSet
+    assert(droppedNear.nonEmpty, "near-dup stage never fired — fixture lost its dup structure")
+    droppedNear.foreach { b =>
+      assert(d04.exists { case (a, bb) => bb == b && a < b && exactSurvivor(a) },
+        s"doc $b dropped as near-dup without a surviving d04 partner")
+    }
+    // and every kept doc is clean on all four gates
+    val kept = rows.filter(_.getString(7) == "keep")
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      assert(r.getBoolean(3) && !r.getBoolean(5) && r.getLong(6) == 0L
+        && r.getLong(4) == r.getLong(0)) // keeper == itself
+    }
+    assert(verdicts.size == rows.length)
+  }
+
   test("d25 finds exactly the injected PII and nothing in clean docs") {
     val rows = q("d25_pii_scrub")
       .select("doc_id", "n_emails", "n_ips", "n_phones", "has_pii").collect()

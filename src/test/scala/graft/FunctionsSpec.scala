@@ -271,6 +271,45 @@ class FunctionsSpec extends SparkSpec {
     assert(zs.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("MinHashFold equals the per-gram MinHash16 fold (and empty → neutral signature)") {
+    import graft.functions.{MinHash16, MinHashFold}
+    val docs = spark.range(0, 50).selectExpr(
+      "id",
+      """IF(id % 7 = 0, CAST(array() AS ARRAY<STRING>),
+        |   transform(sequence(0, CAST(id % 9 AS INT)), i ->
+        |     concat('g', CAST((id * 31 + i) % 40 AS STRING)))) AS garr""".stripMargin)
+    val both = docs.select(col("id"),
+        MinHashFold(col("garr")).as("fast"),
+        expr(s"aggregate(transform(garr, g -> graft_minhash16(g)), " +
+          s"array_repeat(CAST(${Long.MaxValue} AS LONG), 16), " +
+          "(acc, h) -> zip_with(acc, h, (x, y) -> least(x, y)))").as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+      if (r.getLong(0) % 7 == 0)
+        assert(r.getSeq[Long](1).forall(_ == Long.MaxValue))
+    }
+  }
+
+  test("SortedHitCount equals size(array_intersect) for a distinct probe") {
+    import graft.functions.SortedHitCount
+    val df = spark.range(0, 60).selectExpr(
+      "id",
+      // distinct probe of variable size (incl. empty), values g0..g29
+      """array_distinct(transform(sequence(0, CAST(id % 11 AS INT)), i ->
+        |  concat('g', CAST((id * 13 + i * 7) % 30 AS STRING)))) AS probe""".stripMargin,
+      // sorted lookup set of a different stride (empty when id%5=0)
+      """IF(id % 5 = 0, CAST(array() AS ARRAY<STRING>),
+        |   array_sort(array_distinct(transform(sequence(0, 19), i ->
+        |     concat('g', CAST((i * 3) % 30 AS STRING)))))) AS bg""".stripMargin)
+    val both = df.select(col("id"),
+        SortedHitCount(col("probe"), col("bg")).as("fast"),
+        size(array_intersect(col("probe"), col("bg"))).cast("long").as("slow"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    assert(both.exists(_.getLong(1) > 0L), "fixture never hits — test is vacuous")
+  }
+
   test("IO: partitioned write enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
     val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")

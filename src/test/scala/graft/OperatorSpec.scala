@@ -328,6 +328,33 @@ class OperatorSpec extends SparkSpec {
     assert(skew >= 1.0, s"max cell below the mean: $skew")
   }
 
+  test("b30 remap matches an independent brute-force ring computation") {
+    // third implementation (after the Spark window form and the DuckDB
+    // oracle): hand-rolled successor-ring ownership over the same
+    // md5-derived token families
+    def h32(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ring = (for (t <- 0L until 7L; i <- 0 until 8)
+      yield (h32(s"ttok${t}_$i"), t)).sortBy(p => (p._1, p._2))
+    def owner(tok: Long): Long =
+      ring.find(_._1 >= tok).getOrElse(ring.head)._2
+    val rows = SparkEntry.queries("b30_topology_remap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (node, tgt, nOwned, nVn) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nVn == 8L)
+      val owned = (0 until 8).map(i => owner(h32(s"tok${node}_$i")))
+        .groupBy(identity).map { case (t, v) => t -> v.size }
+      val best = owned.toSeq.sortBy { case (t, n) => (-n, t) }.head
+      assert((tgt, nOwned) == (best._1, best._2.toLong),
+        s"node $node: query says ($tgt, $nOwned), brute force says $best")
+    }
+  }
+
   test("d36 tile stats bounded and flag consistent with the fraction") {
     val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -237,6 +237,29 @@ class PlanSpec extends SparkSpec {
     assert(ex.getMessage.contains("exceeds the broadcastable bound"), ex.getMessage)
   }
 
+  test("d43 composes four curation stages over ONE corpus scan (plus the bounded bench slice)") {
+    // the whole point of the composition: run separately, d21+d01+d04+
+    // d22 scan the corpus 4+ times; fused, the executed plan may read
+    // documents exactly TWICE — the train pass and the ≤100-doc bench
+    // fixture slice (which must carry the doc_id pushdown) — and the
+    // LSH near-dup drop must happen via bucket-min windows, never a
+    // band self-join (no join keyed on the corpus at all)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("d43_curation_pipeline")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.toString.contains("documents") => f
+    }
+    assert(scans.size == 2, s"expected train + bench scans, got ${scans.size}:\n${df.queryExecution.sparkPlan}")
+    assert(scans.count(_.toString.contains("LessThan(doc_id,")) == 1,
+      s"bench slice not filter-pruned at the scan:\n${scans.map(_.toString).mkString("\n")}")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"),
+      s"corpus stream joined — stages did not fuse:\n$p")
+    // the only join is the single-row broadcast bench-array attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
     // blast-radius guard: the brute-force baseline's quadratic shape
     // must never silently leak into a scale path through future edits
