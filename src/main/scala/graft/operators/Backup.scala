@@ -780,6 +780,66 @@ object Backup {
           col("m.n_owned").as("n_owned_vnodes"),
           col("n_vnodes"))
         .orderBy("node_id")
+    },
+
+    // esop restore-over-an-existing-node data synchronization plan
+    // (impl/restore/strategy/DataSynchronizator.java:40-93 — round 1:
+    // manifest entries absent locally are downloaded, CQL_SCHEMA
+    // skipped; round 2: local files not in the manifest, or whose
+    // hash disagrees, are deleted — a hash-mismatched file is deleted
+    // but NOT re-downloaded, esop's exact quirk, mirrored here;
+    // impl/Snapshots.java:47-200 / impl/CassandraData.java:52-77 feed
+    // the local listing): the per-node reconciliation of the LATEST
+    // manifest against the node's current disk state. The disk state
+    // is an EXTERNAL input (CassandraData lists real data dirs) — here
+    // the disk state a node ACCUMULATES: the last-seen version of every
+    // file from all snapshots before the latest (the ledger's
+    // corrupt-download model supplies the hash mismatches) plus
+    // deterministic orphans, materialized through the Scratch
+    // external-fixture layer like b18's remote inventory. One
+    // full-outer equi-join on (node, object_key) classifies every file
+    // into download / keep / delete_mismatch / delete_untracked; at
+    // 100 TB it shuffles only the join keys + hashes, and the
+    // per-(node, action) rollup is a bounded-key aggregate.
+    "b31_sync_plan" -> { (s, dir) =>
+      val m = manifest(s, dir).filter(col("ftype") =!= "CQL_SCHEMA")
+      val latestDay = m.groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+      val target = m.join(broadcast(latestDay), Seq("node_id", "snapshot_day"))
+        .select("node_id", "object_key", "upload_hash", "size")
+      val w = Window.partitionBy("node_id", "object_key")
+        .orderBy(col("snapshot_day").desc)
+      val localState = m
+        .join(broadcast(latestDay.toDF("node_id", "latest_day")), Seq("node_id"))
+        .filter(col("snapshot_day") < col("latest_day"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // 1-in-13 of the local files are LOCALLY MODIFIED (stale-hash
+      // model keyed on the object, so the mismatch path is exercised
+      // at every sf) — on top of the ledger's 1-in-53 corrupt
+      // downloads; both fail DataSynchronizator's hash check
+      // (SSTableUtils.isExistingSStable) and classify delete_mismatch
+      val localHash = when(
+        pmod(hash32(concat(lit("stale#"), col("object_key"))), lit(13L)) === 0,
+        md5(concat(lit("stale#"), col("object_key"))))
+        .otherwise(col("download_hash"))
+      val localListing = localState
+        .select(col("node_id"), col("object_key"), localHash.as("local_hash"))
+        .unionAll(localState
+          .filter(pmod(hash32(concat(lit("o#"), col("object_key"))), lit(7L)) === 0)
+          .select(col("node_id"), concat(col("object_key"), lit(".orphan")).as("object_key"),
+            col("download_hash").as("local_hash")))
+      val localPath = graft.sources.Scratch.materialize(
+        s, "graft_local_datafiles", dir)(localListing)
+      val localFs = graft.sources.IO.readParquet(s, localPath)
+      target.join(localFs, Seq("node_id", "object_key"), "full_outer")
+        .withColumn("action",
+          when(col("local_hash").isNull, "download")
+            .when(col("upload_hash").isNull, "delete_untracked")
+            .when(col("upload_hash") =!= col("local_hash"), "delete_mismatch")
+            .otherwise("keep"))
+        .groupBy("node_id", "action")
+        .agg(count(lit(1)).as("n_files"),
+          asDouble(sum(coalesce(col("size"), dec2(lit(0))))).as("bytes"))
+        .orderBy("node_id", "action")
     }
   )
 
@@ -1176,6 +1236,42 @@ object Backup {
          |    ROW_NUMBER() OVER (PARTITION BY src_node ORDER BY n_owned DESC, owner ASC) AS rn
          |  FROM counts) t
          |WHERE rn = 1 ORDER BY node_id""".stripMargin
+    }),
+
+    "b31_sync_plan" -> (cte + {
+      val orphanSel = graft.model.Corpus.hash32Sql("concat('o#', object_key)")
+      val staleSel = graft.model.Corpus.hash32Sql("concat('stale#', object_key)")
+      s""", m AS (SELECT * FROM manifest WHERE ftype <> 'CQL_SCHEMA'),
+         |latest AS (SELECT node_id, max(snapshot_day) AS d FROM m GROUP BY 1),
+         |target AS (
+         |  SELECT m.node_id, m.object_key, m.upload_hash, m.size
+         |  FROM m JOIN latest l ON m.node_id = l.node_id AND m.snapshot_day = l.d),
+         |prevrows AS (
+         |  SELECT m.*, ROW_NUMBER() OVER (
+         |      PARTITION BY m.node_id, m.object_key
+         |      ORDER BY m.snapshot_day DESC) AS rn
+         |  FROM m JOIN latest l ON m.node_id = l.node_id AND m.snapshot_day < l.d),
+         |pm AS (SELECT * FROM prevrows WHERE rn = 1),
+         |localfs AS (
+         |  SELECT node_id, object_key,
+         |    CASE WHEN ${staleSel} % 13 = 0 THEN md5(concat('stale#', object_key))
+         |         ELSE download_hash END AS local_hash
+         |  FROM pm
+         |  UNION ALL
+         |  SELECT node_id, object_key || '.orphan', download_hash FROM pm
+         |  WHERE $orphanSel % 7 = 0),
+         |sync AS (
+         |  SELECT COALESCE(t.node_id, lf.node_id) AS node_id,
+         |    CASE WHEN lf.local_hash IS NULL THEN 'download'
+         |         WHEN t.upload_hash IS NULL THEN 'delete_untracked'
+         |         WHEN t.upload_hash <> lf.local_hash THEN 'delete_mismatch'
+         |         ELSE 'keep' END AS action,
+         |    t.size
+         |  FROM target t FULL OUTER JOIN localfs lf
+         |    ON t.node_id = lf.node_id AND t.object_key = lf.object_key)
+         |SELECT node_id, action, count(1) AS n_files,
+         |  CAST(sum(COALESCE(size, 0)) AS DOUBLE) AS bytes
+         |FROM sync GROUP BY 1, 2 ORDER BY node_id, action""".stripMargin
     })
   )
 }

@@ -355,6 +355,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("b31 sync actions exactly partition the latest manifest per node") {
+    val rows = SparkEntry.queries("b31_sync_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(
+      Set("download", "keep", "delete_mismatch", "delete_untracked")))
+    // every latest-manifest file gets exactly one of download / keep /
+    // delete_mismatch — so those three sum to the manifest size per node
+    val manifestSide = rows
+      .filter(r => Set("download", "keep", "delete_mismatch")(r.getString(1)))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    import graft.model.BackupLedger
+    val m = BackupLedger.manifest(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("ftype") =!= "CQL_SCHEMA")
+    val latest = m.groupBy("node_id")
+      .agg(org.apache.spark.sql.functions.max("snapshot_day").as("snapshot_day"))
+    val want = m.join(latest, Seq("node_id", "snapshot_day"))
+      .groupBy("node_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifestSide == want,
+      s"latest-manifest partition broken: ${manifestSide.toSeq.diff(want.toSeq).take(5)}")
+  }
+
   test("d36 tile stats bounded and flag consistent with the fraction") {
     val out = SparkEntry.queries("d36_tile_dedup")(spark, sf).collect()
     assert(out.nonEmpty)
