@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, KmvSketchAgg, MinHash16, SimHash32, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, KmvSketchAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -47,6 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
       checked("graft_minhash16", 1)(c => MinHash16(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_fold"),
+      new ExpressionInfo(classOf[MinHashFold].getName, "graft_minhash_fold"),
+      checked("graft_minhash_fold", 1)(c => MinHashFold(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_hit_count"),
+      new ExpressionInfo(classOf[SortedHitCount].getName, "graft_sorted_hit_count"),
+      checked("graft_sorted_hit_count", 2)(c => SortedHitCount(c(0), c(1)))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_char_counts"),

@@ -310,6 +310,15 @@ class FunctionsSpec extends SparkSpec {
     assert(both.exists(_.getLong(1) > 0L), "fixture never hits — test is vacuous")
   }
 
+  test("graft_minhash_fold and graft_sorted_hit_count registered via extensions") {
+    val out = spark.sql(
+      """SELECT graft_minhash_fold(array('a b c')) = graft_minhash16('a b c') AS same_sig,
+        |  graft_sorted_hit_count(array('b', 'x'), array_sort(array('a', 'b', 'c'))) AS hits
+        |""".stripMargin).collect().head
+    assert(out.getBoolean(0), "fold of a 1-gram array must equal the gram's signature")
+    assert(out.getLong(1) == 1L)
+  }
+
   test("IO: partitioned write enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
     val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")
