@@ -53,6 +53,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortedHitCountKernel counts exactly the set intersection (UTF8 binary ordering)") {
+    // d43's bench probe: the binary search is only correct if the
+    // sorted side really is ascending under UTF8String.compareTo — the
+    // same ordering array_sort produces — including mixed-script and
+    // surrogate-heavy strings where Java String ordering differs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.SortedHitCountKernel
+    (1 to 300).foreach { _ =>
+      val pool = (1 to rnd.nextInt(40)).map(_ => randomString()).distinct
+      val probe = ((1 to rnd.nextInt(20)).map(_ => randomString()) ++
+        rnd.shuffle(pool).take(rnd.nextInt(pool.length + 1))).distinct
+      val sorted = pool.map(UTF8String.fromString)
+        .sortWith(_.compareTo(_) < 0)
+      val got = SortedHitCountKernel.count(
+        new GenericArrayData(probe.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(sorted.toArray[Any]))
+      val want = probe.count(pool.contains)
+      assert(got == want.toLong, s"probe=$probe pool=$pool")
+    }
+  }
+
   test("lshBits/ivfCells are monotone and bounded") {
     import graft.operators.Similarity
     (1 to 2000).foreach { _ =>
