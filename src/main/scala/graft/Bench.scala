@@ -76,7 +76,10 @@ object Bench {
     // noisiest (spread > 0.5) individually — enough for the driver to tag
     // a round-over-round mover as noise without blowing the line budget.
     val spreads = results.map(_._2._2).filter(_ >= 0).sorted
-    val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    val spreadMed =
+      if (spreads.isEmpty) 0.0
+      else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
+      else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2
     val noisy = shortIds.zip(results.map(_._2._2))
       .filter(_._2 > 0.5).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }

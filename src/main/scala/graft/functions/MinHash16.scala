@@ -124,13 +124,18 @@ object MinHash16Kernel {
     out
   }
 
-  /** Elementwise min of [[compute]] over every element of `grams`
-    * (Long.MaxValue init — empty array → neutral signature). */
+  /** Elementwise min of [[compute]] over every NON-NULL element of
+    * `grams` (Long.MaxValue init — empty array → neutral signature;
+    * null elements are skipped, the defined semantics for the
+    * registered SQL form — graft-internal gram arrays never hold
+    * nulls). */
   def fold(grams: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
     val out = Array.fill(16)(Long.MaxValue)
     val n = grams.numElements()
     var i = 0
     while (i < n) {
+      if (grams.isNullAt(i)) { i += 1 }
+      else {
       val h = compute(grams.getUTF8String(i).getBytes)
       var k = 0
       while (k < 16) {
@@ -138,6 +143,7 @@ object MinHash16Kernel {
         k += 1
       }
       i += 1
+      }
     }
     out
   }

@@ -60,13 +60,21 @@ object SortedHitCount {
 }
 
 object SortedHitCountKernel {
-  /** Elements of `probe` found in ascending-sorted `sorted`. */
+  /** NON-NULL elements of `probe` found in ascending-sorted `sorted`
+    * (null probe elements never match, null sorted elements never
+    * matched against — defined semantics for the registered SQL form;
+    * graft-internal gram arrays never hold nulls, and array_sort puts
+    * nulls LAST so the non-null prefix the search runs over stays
+    * sorted). */
   def count(probe: ArrayData, sorted: ArrayData): Long = {
+    var m = sorted.numElements()
+    while (m > 0 && sorted.isNullAt(m - 1)) m -= 1 // drop array_sort's null tail
     val n = probe.numElements()
-    val m = sorted.numElements()
     var hits = 0L
     var i = 0
     while (i < n) {
+      if (probe.isNullAt(i)) { i += 1 }
+      else {
       val g = probe.getUTF8String(i)
       var lo = 0
       var hi = m - 1
@@ -78,6 +86,7 @@ object SortedHitCountKernel {
         else hi = mid - 1
       }
       i += 1
+      }
     }
     hits
   }

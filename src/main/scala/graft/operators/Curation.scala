@@ -165,9 +165,7 @@ object Curation {
     // must never silently lose. The pinned edge blocks cross sessions
     // through the public Row-RDD bridge: one conversion pass over the
     // bounded edge minority, re-pinned so loop plans stay O(1).
-    val loop = s.newSession()
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    loop.conf.set("spark.sql.shuffle.partitions", "8")
+    val loop = loopSession(s)
     val edges = loop.createDataFrame(edges0.rdd, edges0.schema).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
@@ -216,9 +214,28 @@ object Curation {
     // the returned frame reads the FINAL round's checkpoint blocks
     // (bounded by the clustered minority, not the corpus);
     // intermediate rounds' and edges' blocks are reclaimed by the
-    // ContextCleaner once their RDDs become unreachable.
-    labels
+    // ContextCleaner once their RDDs become unreachable. Bridge the
+    // result BACK to the caller's session: a frame left bound to the
+    // loop session would silently plan every downstream consumer (the
+    // d24 report, any corpus-sized join rooted here) with AQE off and
+    // 8 partitions — the exact leak the isolation exists to prevent,
+    // in the other direction.
+    s.createDataFrame(labels.rdd, labels.schema)
   }
+
+  /** One dialed-down loop session per SparkContext, created lazily and
+    * REUSED — newSession per invocation would register a fresh
+    * ExecutionListenerBus on the shared LiveListenerBus every call and
+    * never release it (Bench alone runs the d24 loop three times). */
+  private val loopSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
+  private[graft] def loopSession(s: SparkSession): SparkSession =
+    loopSessions.computeIfAbsent(s.sparkContext, _ => {
+      val loop = s.newSession()
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
+      loop.conf.set("spark.sql.shuffle.partitions", "8")
+      loop
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -343,6 +360,12 @@ object Curation {
       // UTF8String binary ordering the kernel searches with)
       val benchGrams = Corpus.grams(s, dir).filter(expr(benchCond))
         .agg(array_sort(collect_set(col("gram"))).as("bg"))
+      // the band structs fold from sig16 PER-ROW, BEFORE the keeper
+      // window: garr (the full distinct gram array, ~3-4× the corpus
+      // text) must never reach the content-hash exchange — the
+      // explicit narrow select makes that structural (spec-pinned:
+      // no window input carries garr), so exchange #1 serializes 4
+      // short band sigs + scalars per doc, not the shingle set
       val base = TextAnalysis.qualityCols(train)
         .withColumn("content_hash", md5(col("norm")))
         .withColumn("quality_ok",
@@ -351,6 +374,15 @@ object Curation {
         .crossJoin(broadcast(benchGrams))
         .withColumn("n_hit_grams", SortedHitCount(col("garr"), col("bg")))
         .withColumn("sig16", MinHashFold(col("garr")))
+        .withColumn("bands", expr(
+          """IF(size(garr) > 0,
+            |   transform(sequence(0, 3), b -> named_struct(
+            |     'band', b,
+            |     'sig', concat_ws(',', element_at(sig16, b*4+1), element_at(sig16, b*4+2),
+            |                           element_at(sig16, b*4+3), element_at(sig16, b*4+4)))),
+            |   array(named_struct('band', -1, 'sig', concat('!', CAST(doc_id AS STRING)))))""".stripMargin))
+        .select("doc_id", "n_words", "stop_ratio", "quality_ok",
+          "content_hash", "n_hit_grams", "bands")
         .withColumn("keeper", min(when(col("quality_ok"), col("doc_id")))
           .over(Window.partitionBy("content_hash")))
         .withColumn("survives_exact",
@@ -358,13 +390,7 @@ object Curation {
       val banded = base.select(
           col("doc_id"), col("n_words"), col("stop_ratio"), col("quality_ok"),
           col("keeper"), col("survives_exact"), col("n_hit_grams"),
-          explode(expr(
-            """IF(size(garr) > 0,
-              |   transform(sequence(0, 3), b -> named_struct(
-              |     'band', b,
-              |     'sig', concat_ws(',', element_at(sig16, b*4+1), element_at(sig16, b*4+2),
-              |                           element_at(sig16, b*4+3), element_at(sig16, b*4+4)))),
-              |   array(named_struct('band', -1, 'sig', concat('!', CAST(doc_id AS STRING)))))""".stripMargin)).as("b"))
+          explode(col("bands")).as("b"))
         .withColumn("band", col("b.band")).withColumn("sig", col("b.sig")).drop("b")
       banded
         .withColumn("bmin", min(when(col("survives_exact"), col("doc_id")))

@@ -103,10 +103,16 @@ class CurationSpec extends SparkSpec {
     // at ANY point during the loop keeps AQE (and its skew-splitting)
     assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
-    // the dialed-down tuning lives on the isolated loop session only
-    assert(labels.sparkSession ne spark)
-    assert(labels.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
-    assert(labels.sparkSession.conf.get("spark.sql.shuffle.partitions") == "8")
+    // the returned frame is bridged BACK to the caller's session, so
+    // downstream consumers plan with the caller's AQE — the
+    // dialed-down tuning lives only on the cached loop session
+    assert(labels.sparkSession eq spark)
+    val loop = graft.operators.Curation.loopSession(spark)
+    assert(loop ne spark)
+    assert(loop.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(loop.conf.get("spark.sql.shuffle.partitions") == "8")
+    // and the loop session is REUSED, not re-created per invocation
+    assert(graft.operators.Curation.loopSession(spark) eq loop)
   }
 
   test("d24 cluster sizes are consistent with the labeling") {

@@ -319,6 +319,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out.getLong(1) == 1L)
   }
 
+  test("the array kernels define null-element semantics (skip), never NPE") {
+    // registered SQL functions accept arbitrary array<string>; a null
+    // element is ignored on either side (array_sort puts nulls last,
+    // so the searched prefix stays sorted)
+    val out = spark.sql(
+      """SELECT
+        |  graft_minhash_fold(array('a b c', CAST(NULL AS STRING)))
+        |    = graft_minhash16('a b c') AS fold_skips,
+        |  graft_sorted_hit_count(array('b', CAST(NULL AS STRING)),
+        |    array_sort(array('a', CAST(NULL AS STRING), 'b'))) AS hits
+        |""".stripMargin).collect().head
+    assert(out.getBoolean(0), "null gram changed the fold signature")
+    assert(out.getLong(1) == 1L, "null elements miscounted")
+  }
+
   test("IO: partitioned write enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
     val df = spark.range(1000).selectExpr("id", "CAST(id % 10 AS STRING) AS k")

@@ -258,6 +258,17 @@ class PlanSpec extends SparkSpec {
       s"corpus stream joined — stages did not fuse:\n$p")
     // the only join is the single-row broadcast bench-array attach
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    // the gram array must never cross an exchange: both window inputs
+    // (the content-hash keeper and the band bucket-min) carry only the
+    // folded signature bands + scalars
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows:\n$p")
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("garr"),
+        s"gram array reaches a window exchange:\n${w.child.output.map(_.name)}")
+    }
   }
 
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
