@@ -43,7 +43,7 @@ object Curation {
   private[graft] val benchIdCap = 1000L
   private def benchCondOn(q: String): String =
     s"$q.doc_id % 10 = 0 AND $q.doc_id < $benchIdCap"
-  private val benchCond = s"doc_id % 10 = 0 AND doc_id < $benchIdCap"
+  private[graft] val benchCond = s"doc_id % 10 = 0 AND doc_id < $benchIdCap"
 
   /** Benchmark decontamination of a training corpus against an
     * EXTERNAL held-out gram frame: per training doc, how many of its

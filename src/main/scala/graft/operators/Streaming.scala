@@ -101,6 +101,18 @@ object Streaming {
         .orderBy("lang", "source")
     },
 
+    // Streaming decontamination — the d22 question asked at INGESTION:
+    // the same stateless per-row transform the streaming job runs
+    // (d43's sorted-probe kernel against the broadcast bench array),
+    // applied to the batch table. Output contract ≡ d22 (shared
+    // oracle); stream ≡ batch proven in EventStreamSpec.
+    "s13_stream_decon" -> { (s, dir) =>
+      graft.streaming.DocStream.deconGate(
+          graft.streaming.DocStream.benchGramIndex(s, dir))(
+          Tables.documents(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -193,6 +205,11 @@ object Streaming {
     // the streaming frame sampler is the d18 transform verbatim — the
     // oracle is shared the same way s11 shares b07's
     "s12_stream_frames" -> Multimodal.oracle("d18_frame_sample"),
+
+    // the streaming decon gate answers d22's question with d43's
+    // kernel — value-identical to the batch join formulation, so it
+    // shares d22's oracle text
+    "s13_stream_decon" -> Curation.oracle("d22_decontaminate"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

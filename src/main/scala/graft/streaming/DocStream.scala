@@ -74,6 +74,32 @@ object DocStream {
         sum(when(col("known").isNotNull, 1L).otherwise(0L)).as("n_known"))
       .withColumn("known_frac", col("n_known").cast("double") / col("n_tiles"))
 
+  /** s13's static side — the held-out benchmark gram set as ONE sorted
+    * array row (the d43 probe shape): the eval suite a production
+    * ingestion job loads once at startup. Bounded by construction
+    * (d22's ≤100-doc fixture stands in for the external benchmark). */
+  def benchGramIndex(s: SparkSession, dir: String): DataFrame =
+    Corpus.grams(s, dir)
+      .filter(expr(graft.operators.Curation.benchCond))
+      .agg(array_sort(collect_set(col("gram"))).as("bg"))
+
+  /** s13 — streaming benchmark DECONTAMINATION: every arriving
+    * training doc is probed against the held-out benchmark gram set AS
+    * IT LANDS (a real pipeline flags eval leakage at ingestion, not in
+    * a nightly sweep). Entirely STATELESS — the per-row gram array
+    * folds through the SortedHitCount kernel against the broadcast
+    * single-row bench array (d43's probe verbatim), so the stream runs
+    * append-mode with no state store, no watermark, and no shuffle at
+    * any corpus rate. Output contract ≡ d22 (same oracle). */
+  def deconGate(benchGrams: DataFrame)(docs: DataFrame): DataFrame =
+    Corpus.normalized(docs)
+      .filter(not(expr(graft.operators.Curation.benchCond)))
+      .withColumn("garr", Corpus.gramsArr)
+      .crossJoin(broadcast(benchGrams))
+      .withColumn("n_hit_grams", graft.functions.SortedHitCount(col("garr"), col("bg")))
+      .select(col("doc_id"), col("n_hit_grams"),
+        (col("n_hit_grams") > 0).as("contaminated"))
+
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
   def runToMemory(s: SparkSession, dir: String, name: String,

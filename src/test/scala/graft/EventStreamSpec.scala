@@ -86,6 +86,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming decon gate equals the batch d22 join formulation (stateless append)") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s13_test",
+      DocStream.deconGate(DocStream.benchGramIndex(spark, sf)), mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s13_test").orderBy("doc_id").collect()
+    // compare against d22 ITSELF (broadcast gram join + groupBy), not
+    // just the s13 batch twin — the per-row kernel probe must
+    // reproduce the join's counts exactly
+    val batch = SparkEntry.queries("d22_decontaminate")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    assert(batch.exists(_.getBoolean(2)) && batch.exists(!_.getBoolean(2)))
+  }
+
   test("streaming PIT tracker equals the batch b07 window formulation") {
     val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
       EventStream.pitTracker, mode = "complete")
