@@ -51,11 +51,17 @@ object Bench {
     }
     // (min, relative spread (max-min)/min) per query — the spread is the
     // co-tenant-noise signal: unchanged code with a big spread is a noisy
-    // window, not a plan regression.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val passes = Iterator.continually(timeOnce(name, fn))
-        .take(3).takeWhile(_ >= 0).toSeq
-      if (passes.size < 3) name -> (-1.0, -1.0)
+    // window, not a plan regression. Passes are interleaved QUERY-MAJOR
+    // (pass 1 over every query, then pass 2, then pass 3): back-to-back
+    // passes of one query all sit inside the same co-tenant spike, so the
+    // spike survives the min; spreading a query's passes ~minutes apart
+    // makes a spike land in the spread instead.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passMatrix: Seq[Seq[Double]] =
+      (1 to 3).map(_ => named.map { case (name, fn) => timeOnce(name, fn) })
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val passes = passMatrix.map(_(i))
+      if (passes.exists(_ < 0)) name -> (-1.0, -1.0)
       else name -> (passes.min, (passes.max - passes.min) / math.max(passes.min, 1e-9))
     }
     // The harness captures only the LAST ~2000 chars of stdout, and sbt

@@ -230,7 +230,15 @@ object Curation {
   private val loopSessions =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
   private[graft] def loopSession(s: SparkSession): SparkSession =
-    loopSessions.computeIfAbsent(s.sparkContext, _ => {
+    loopSessions.computeIfAbsent(s.sparkContext, sc => {
+      // evict on context stop — without this, a JVM that creates and
+      // stops multiple contexts (test suites) would pin every stopped
+      // context and its session state here forever
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          loopSessions.remove(sc)
+      })
       val loop = s.newSession()
       loop.conf.set("spark.sql.adaptive.enabled", "false")
       loop.conf.set("spark.sql.shuffle.partitions", "8")

@@ -55,7 +55,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_hit_count"),
-      new ExpressionInfo(classOf[SortedHitCount].getName, "graft_sorted_hit_count"),
+      // the usage string carries the two caller-owned contracts: the
+      // search side must be ascending-sorted, and the probe side must
+      // be distinct for the result to read as an intersection size —
+      // duplicate probe elements count once PER OCCURRENCE (multiset
+      // semantics), unlike size(array_intersect(...))
+      new ExpressionInfo(classOf[SortedHitCount].getName, null,
+        "graft_sorted_hit_count",
+        "_FUNC_(probe, sorted) - Number of non-null elements of array<string> `probe` " +
+          "found in `sorted`, which MUST be ascending under the binary string ordering " +
+          "(what array_sort produces). Duplicate probe elements are counted once per " +
+          "occurrence: pass an array_distinct probe to read the result as " +
+          "size(array_intersect(probe, sorted)).", ""),
       checked("graft_sorted_hit_count", 2)(c => SortedHitCount(c(0), c(1)))
     ))
     ext.injectFunction((

@@ -52,9 +52,11 @@ class PlanAuditSpec extends SparkSpec {
     //   3+ = the declared exact baselines' gram-join sides (d02/d30),
     //        d22's three input roles, d34's exact+sketch QA pair.
     // A count BELOW the pin is progress: tighten the pin.
-    // d24 reads 0 because its corpus work happens inside localCheckpoint
-    // materialization, opaque to the final plan — its single-dedupe
-    // guard is the b05-style test above.
+    // d24's corpus work happens inside localCheckpoint materialization,
+    // opaque to the final plan — it is counted with the listener-based
+    // [[ScanCount.countsDuring]] (every execution the query triggers,
+    // caller AND loop session), which sees the real materialization:
+    // ONE documents scan for the whole iterative clustering.
     val expected: Map[String, (Int, Int)] = Map( // name -> (documents, embeddings)
       "d01_dedup_exact" -> (1, 0), "d02_dedup_ngram" -> (3, 0),
       "d03_minhash" -> (1, 0), "d04_minhash_lsh" -> (1, 0),
@@ -67,7 +69,7 @@ class PlanAuditSpec extends SparkSpec {
       "d17_dedup_embed" -> (0, 2), "d18_frame_sample" -> (1, 0),
       "d19_tfidf" -> (2, 0), "d20_kmv_sketch" -> (1, 0),
       "d21_corpus_select" -> (1, 0), "d22_decontaminate" -> (3, 0),
-      "d23_corpus_mix" -> (1, 0), "d24_dup_clusters" -> (0, 0),
+      "d23_corpus_mix" -> (1, 0), "d24_dup_clusters" -> (1, 0),
       "d25_pii_scrub" -> (1, 0), "d26_kmv_by_source" -> (1, 0),
       "d27_clip_dedup" -> (2, 0), "d28_corpus_stats" -> (1, 0),
       "d29_repetition" -> (2, 0), "d30_containment" -> (3, 0),
@@ -82,12 +84,102 @@ class PlanAuditSpec extends SparkSpec {
     assert(dQueries.toSet == expected.keySet,
       s"§2.C inventory drifted — update the pins: ${dQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(dQueries.toSet)}")
     val over = dQueries.flatMap { name =>
-      val c = ScanCount.counts(spark, name, sf)
+      val c =
+        if (name == "d24_dup_clusters") ScanCount.countsDuring(spark, name, sf)
+        else ScanCount.counts(spark, name, sf)
       val (d, e) = (c.getOrElse("documents", 0), c.getOrElse("embeddings", 0))
       val (ed, ee) = expected(name)
       if (d > ed || e > ee)
         Some(s"$name: documents=$d (pin $ed), embeddings=$e (pin $ee)")
       else None
+    }
+    assert(over.isEmpty,
+      s"big-table scan count regressed:\n${over.mkString("\n")}")
+  }
+
+  test("§2.A/§2.B scan-count ratchet: every relational/backup query reads its big tables at most the pinned number of times") {
+    // the q/b twin of the §2.C ratchet: pins the MATERIALIZED scan
+    // count of every non-tiny table ([[ScanCount.bigTables]] — region/
+    // nation stay uncounted, they broadcast everywhere) per query.
+    // Structural guards this encodes: q17's five-table join reads each
+    // table once; b05/b13's "one-pass window" claims really are one
+    // events pass; the 2s are legitimate second passes (b04's
+    // snapshot-pair diff, b12's as-of build+probe, b31's manifest
+    // target+local roles, q15's scalar-subquery probe); the 3s are
+    // three-branch set ops (q22) and three-role plans (b25 fetch
+    // waves, b28 log+anchor+replay). b22 pins empty because its events
+    // read happens inside the eager Scratch JSON-fixture write at
+    // construction time — the measured plan reads the fixture back.
+    // A count BELOW a pin is progress: tighten the pin.
+    val expected: Map[String, Map[String, Int]] = Map(
+      "b01_manifest_list" -> Map("events" -> 1),
+      "b02_list_lastn" -> Map("events" -> 1),
+      "b03_list_from_ts" -> Map("events" -> 1),
+      "b04_snapshot_diff" -> Map("events" -> 2),
+      "b05_reclaimable" -> Map("events" -> 1),
+      "b06_retention" -> Map("events" -> 1),
+      "b07_pit_state" -> Map("events" -> 1),
+      "b08_hash_verify" -> Map("events" -> 1),
+      "b09_chunking" -> Map("events" -> 1),
+      "b10_topology" -> Map("events" -> 1),
+      "b11_table_rename" -> Map("events" -> 1),
+      "b12_asof_join" -> Map("events" -> 2),
+      "b13_remove_oldest" -> Map("events" -> 2),
+      "b14_entities_filter" -> Map("events" -> 1),
+      "b15_token_check" -> Map("events" -> 1),
+      "b16_schema_versions" -> Map("events" -> 1),
+      "b17_topology_full" -> Map("events" -> 1),
+      "b18_remote_inventory" -> Map("events" -> 1),
+      "b19_sstable_gen" -> Map("events" -> 1),
+      "b20_restore_readiness" -> Map("events" -> 2),
+      "b21_bandwidth_plan" -> Map("events" -> 1),
+      "b22_manifest_ingest" -> Map(),
+      "b23_pit_diff" -> Map("events" -> 1),
+      "b24_storage_locations" -> Map("events" -> 1),
+      "b25_fetch_plan" -> Map("events" -> 3),
+      "b26_progress" -> Map("events" -> 1),
+      "b27_local_resolve" -> Map("events" -> 2),
+      "b28_commitlog_fetch" -> Map("events" -> 3),
+      "b29_growth_trend" -> Map("events" -> 1),
+      "b30_topology_remap" -> Map("events" -> 1),
+      "b31_sync_plan" -> Map("events" -> 2),
+      "q01_agg" -> Map("lineitem" -> 1),
+      "q02_filter_project" -> Map("lineitem" -> 1),
+      "q03_join_agg" -> Map("customer" -> 1, "orders" -> 1, "lineitem" -> 1),
+      "q04_semi_join" -> Map("orders" -> 1, "lineitem" -> 1),
+      "q05_anti_join" -> Map("customer" -> 1, "orders" -> 1),
+      "q06_topk" -> Map("orders" -> 1),
+      "q07_window_rank" -> Map("orders" -> 1),
+      "q08_distinct" -> Map("orders" -> 1),
+      "q09_union_all" -> Map("customer" -> 1, "supplier" -> 1),
+      "q10_rollup" -> Map("customer" -> 1),
+      "q11_having" -> Map("lineitem" -> 1),
+      "q12_case_when" -> Map("orders" -> 1),
+      "q13_time_bucket" -> Map("events" -> 1),
+      "q14_string_funcs" -> Map("part" -> 1),
+      "q15_scalar_subquery" -> Map("part" -> 2),
+      "q16_broadcast_join" -> Map("customer" -> 1),
+      "q17_multi_join" -> Map("customer" -> 1, "supplier" -> 1, "orders" -> 1, "lineitem" -> 1),
+      "q18_exists_corr" -> Map("customer" -> 1, "orders" -> 1),
+      "q19_grouping_sets" -> Map("orders" -> 1),
+      "q20_pivot" -> Map("orders" -> 1),
+      "q21_lead_lag" -> Map("orders" -> 1),
+      "q22_setops" -> Map("orders" -> 3),
+      "q23_running_sum" -> Map("orders" -> 1),
+      "q24_not_in" -> Map("customer" -> 1),
+      "q25_lateral" -> Map("customer" -> 1, "orders" -> 1))
+    val qbQueries = SparkEntry.queries.keys
+      .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted
+    assert(qbQueries.toSet == expected.keySet,
+      s"§2.A/§2.B inventory drifted — update the pins: ${qbQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(qbQueries.toSet)}")
+    val over = qbQueries.flatMap { name =>
+      val c = ScanCount.counts(spark, name, sf, ScanCount.bigTables)
+      val bad = ScanCount.bigTables.flatMap { t =>
+        val n = c.getOrElse(t, 0)
+        val pin = expected(name).getOrElse(t, 0)
+        if (n > pin) Some(s"$t=$n (pin $pin)") else None
+      }
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
     }
     assert(over.isEmpty,
       s"big-table scan count regressed:\n${over.mkString("\n")}")

@@ -395,6 +395,27 @@ class PlanSpec extends SparkSpec {
       s"exchange before the partial agg:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("b30's global window consumes only the topology-sized token stream") {
+    // the repo's ONE deliberately unpartitioned window: its bound is
+    // structural, not statistical — the input is the union of the two
+    // rings' vnode tokens ((n_src + n_tgt) × 8 rows; cluster-sized,
+    // never data-sized). Pin (a) that it stays the only window here and
+    // stays global (a partition key appearing would silently change the
+    // ring semantics), and (b) the exact token-stream schema below it,
+    // so a future edit can't route a data-volume column (object keys,
+    // sizes, manifest rows) through the single-partition sort.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("b30_topology_remap")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.size == 1,
+      s"expected exactly the ring-ownership window:\n${df.queryExecution.sparkPlan}")
+    val w = windows.head
+    assert(w.partitionSpec.isEmpty,
+      s"the ring window grew a partition key — ownership would no longer be global:\n$w")
+    assert(w.child.output.map(_.name).toSet == Set("token", "is_tgt", "t_node", "src_node"),
+      s"non-token-stream columns reach the global window:\n${w.child.output.map(_.name)}")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // with AQE the codegen stage markers only exist in the FINAL plan —
     // execute first, then inspect the executed plan
