@@ -12,34 +12,60 @@ import graft.sources.Tables
   *
   * Media (image/audio/video) are opaque `binary` columns with typed
   * metadata; the decode/feature-extract step runs per partition over
-  * the raw bytes. The decode itself is STUBBED deterministically
-  * (this container has no image/audio codecs) — what is real and
-  * tested is the Spark-side plumbing a 100 TB media pipeline needs:
-  * binary encoding at the scan, a typed `Dataset` boundary, batched
-  * per-partition processing (the shape a JNI/FFmpeg/Pillow worker
-  * would slot into, one library init per partition instead of per
-  * row), and a relational feature output that joins back on doc_id.
+  * the raw bytes. The container is the synthetic pure-JVM
+  * [[graft.sources.MediaContainer GRFT]] format (this environment
+  * ships no image/audio codecs), so the decode is a REAL binary parse
+  * — magic/version validation, header metadata, length-prefixed frame
+  * reassembly, per-frame CRC-32 integrity — end to end, on top of the
+  * Spark-side plumbing a 100 TB media pipeline needs: binary columns
+  * at the scan, a typed `Dataset` boundary, batched per-partition
+  * processing (the shape a JNI/FFmpeg/Pillow worker would slot into,
+  * one library init per partition instead of per row), and a
+  * relational feature output that joins back on doc_id.
   */
 object Multimodal {
 
-  /** Typed media record: id + raw bytes + mime. */
+  /** Typed media record: id + raw container bytes + mime. */
   case class MediaBlob(doc_id: Long, blob: Array[Byte], mime: String)
 
-  /** Extracted features (deterministic stub of the decoder). */
+  /** Features extracted by the decoder: header dims read from the
+    * container, content digest over the reassembled payload. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
       width: Long, height: Long)
 
-  /** STUB decoder: where a real pipeline would decode pixels/samples,
-    * we derive deterministic pseudo-features from the bytes (md5-based,
-    * identical to the SQL oracle's md5 math). One digest instance per
-    * partition — the real-decoder initialization pattern. */
+  private def md5Head(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Ingest stand-in: packs each doc's payload into a GRFT container
+    * (real media arrives packed; the synthetic corpus has to be). The
+    * header dims are derived from the payload digest — the synthetic
+    * twin of a generator emitting an image of those dimensions — and
+    * from here on only the DECODER ever looks at them. */
+  private def packPartition(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaBlob] = {
+    val md = MessageDigest.getInstance("MD5")
+    rows.map { case (id, payload) =>
+      val h = md5Head(md, payload)
+      MediaBlob(id,
+        graft.sources.MediaContainer.pack(payload, (h % 640).toInt, (h % 480).toInt),
+        "media/x-graft-frames")
+    }
+  }
+
+  /** REAL decoder over the container bytes: validates and parses the
+    * GRFT layout (any corruption throws — a demuxer's contract),
+    * reassembles the payload from its CRC-checked frames, reads the
+    * dims out of the header, and digests the decoded payload. One
+    * digest instance per partition — the real-decoder initialization
+    * pattern. */
   private def decodePartition(rows: Iterator[MediaBlob]): Iterator[MediaFeatures] = {
     val md = MessageDigest.getInstance("MD5")
     rows.map { m =>
-      md.reset()
-      val hex = md.digest(m.blob).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      MediaFeatures(m.doc_id, m.blob.length.toLong, h, h % 640, h % 480)
+      val dec = graft.sources.MediaContainer.unpack(m.blob)
+      MediaFeatures(m.doc_id, dec.payload.length.toLong,
+        md5Head(md, dec.payload), dec.width.toLong, dec.height.toLong)
     }
   }
 
@@ -74,14 +100,17 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // pack → decode pipelines in ONE stage (both are mapPartitions over
+    // the scan, no shuffle between them); the oracle recomputes the
+    // same features straight from the payload, so a decoder that
+    // misparses any header field, frame boundary or checksum diverges
     "d14_multimodal" -> { (s, dir) =>
       import s.implicits._
-      val blobs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          encode(col("text"), "utf-8").as("blob"),
-          lit("text/plain").as("mime"))
-        .as[MediaBlob]
-      blobs.mapPartitions(decodePartition)
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions(packPartition)
+        .mapPartitions(decodePartition)
         .toDF()
         .select("doc_id", "n_bytes", "checksum", "width", "height")
         .orderBy("doc_id")

@@ -206,6 +206,53 @@ class OperatorSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("GRFT container decodes a known golden blob") {
+    // hand-assembled container, byte by byte — pins the wire format
+    // itself (magic, big-endian header, length-prefixed CRC-32 frames)
+    // independently of pack(), so an encoder/decoder pair that drifts
+    // together still fails here
+    import graft.sources.MediaContainer
+    val payload = "hello media".getBytes("UTF-8") // 11 bytes, one frame
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val buf = java.nio.ByteBuffer.allocate(17 + 4 + payload.length + 4)
+    buf.put("GRFT".getBytes("US-ASCII")).put(1: Byte)
+      .putInt(320).putInt(240).putInt(1)
+      .putInt(payload.length).put(payload).putInt(crc.getValue.toInt)
+    val dec = MediaContainer.unpack(buf.array())
+    assert(dec.width == 320 && dec.height == 240)
+    assert(new String(dec.payload, "UTF-8") == "hello media")
+    assert(java.util.Arrays.equals(MediaContainer.pack(payload, 320, 240), buf.array()),
+      "pack() no longer produces the pinned wire format")
+  }
+
+  test("GRFT container round-trips multi-frame and empty payloads") {
+    import graft.sources.MediaContainer
+    for (n <- Seq(0, 1, 63, 64, 65, 300)) {
+      val payload = Array.tabulate(n)(i => (i * 31 + 7).toByte)
+      val dec = MediaContainer.unpack(MediaContainer.pack(payload, 640, 480))
+      assert(java.util.Arrays.equals(dec.payload, payload), s"payload lost at n=$n")
+      assert(dec.width == 640 && dec.height == 480)
+    }
+  }
+
+  test("GRFT container rejects corruption the way a demuxer must") {
+    import graft.sources.MediaContainer
+    val good = MediaContainer.pack("0123456789" * 20 getBytes "UTF-8", 64, 64)
+    def corrupt(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mut(b); b
+    }
+    // wrong magic, wrong version, payload bit-flip (CRC), truncation
+    intercept[IllegalArgumentException](
+      MediaContainer.unpack(corrupt(b => b(0) = 'X')))
+    intercept[IllegalArgumentException](
+      MediaContainer.unpack(corrupt(b => b(4) = 9)))
+    intercept[IllegalArgumentException](
+      MediaContainer.unpack(corrupt(b => b(30) = (b(30) ^ 1).toByte)))
+    intercept[IllegalArgumentException](
+      MediaContainer.unpack(good.take(good.length - 3)))
+  }
+
   test("d29 top-bigram fraction is a valid maximum share") {
     val rows = SparkEntry.queries("d29_repetition")(spark, sf)
       .select("c", "n_bigrams", "top_frac").collect()
