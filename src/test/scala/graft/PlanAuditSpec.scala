@@ -185,6 +185,45 @@ class PlanAuditSpec extends SparkSpec {
       s"big-table scan count regressed:\n${over.mkString("\n")}")
   }
 
+  test("§2.D scan-count ratchet: every streaming batch-equivalent reads its big tables at most the pinned number of times") {
+    // completes ratchet coverage: with this, EVERY oracle-gated query
+    // (q/b/d/s) carries a structural scan-count pin. The s queries'
+    // batch equivalents share their transforms with the streaming
+    // runtime by construction, so a regression here means the shared
+    // transform grew a redundant pass. The 2s: s04 joins two event
+    // roles, s10's boilerplate df needs a doc-frequency pass over the
+    // corpus it then probes, s13 probes the corpus against the bounded
+    // bench slice (d22's roles minus the gram explode).
+    val expected: Map[String, Map[String, Int]] = Map(
+      "s01_stream_window" -> Map("events" -> 1),
+      "s02_stream_dedup" -> Map("events" -> 1),
+      "s03_sessionize" -> Map("events" -> 1),
+      "s04_stream_join" -> Map("events" -> 2),
+      "s05_sliding_window" -> Map("events" -> 1),
+      "s06_stream_enrich" -> Map("events" -> 1),
+      "s07_backup_monitor" -> Map("events" -> 1),
+      "s08_corpus_curate" -> Map("documents" -> 1),
+      "s09_stream_progress" -> Map("events" -> 1),
+      "s10_stream_boilerplate" -> Map("documents" -> 2),
+      "s11_stream_pit" -> Map("events" -> 1),
+      "s12_stream_frames" -> Map("documents" -> 1),
+      "s13_stream_decon" -> Map("documents" -> 2))
+    val sQueries = SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted
+    assert(sQueries.toSet == expected.keySet,
+      s"§2.D inventory drifted — update the pins: ${sQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(sQueries.toSet)}")
+    val over = sQueries.flatMap { name =>
+      val c = ScanCount.counts(spark, name, sf, ScanCount.bigTables)
+      val bad = ScanCount.bigTables.flatMap { t =>
+        val n = c.getOrElse(t, 0)
+        val pin = expected(name).getOrElse(t, 0)
+        if (n > pin) Some(s"$t=$n (pin $pin)") else None
+      }
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(over.isEmpty,
+      s"big-table scan count regressed:\n${over.mkString("\n")}")
+  }
+
   test("b18 incremental plan prunes to an anti-join against the external inventory") {
     // x04: the remote listing is a REAL external source (parquet round-
     // trip through IO), and the incremental diff is a left-anti join —
