@@ -39,13 +39,19 @@ object Bench {
     // cleared cache so operator-internal persists (d15/d35) can't be
     // silently substituted by the CacheManager — min-of-N times cold
     // plans, not cached reads.
+    // a query that failed once reports -1 regardless of later passes —
+    // skip its remaining passes instead of re-running a broken (and
+    // possibly slow) plan twice more
+    val failed = scala.collection.mutable.Set[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      if (failed(name)) return -1.0
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
       } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name; false
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }

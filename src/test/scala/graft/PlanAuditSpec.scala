@@ -10,6 +10,28 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Shared ratchet check: the inventory must match the pin set
+    * exactly (a new query needs a pin, a removed one must drop its
+    * pin), and no query may scan a `tables` member more often than
+    * pinned — a count BELOW its pin is progress: tighten the pin. */
+  private def assertScanPins(section: String,
+      expected: Map[String, Map[String, Int]], inventory: Seq[String],
+      tables: Seq[String], countsFor: String => Map[String, Int]): Unit = {
+    assert(inventory.toSet == expected.keySet,
+      s"$section inventory drifted — update the pins: ${inventory.toSet.diff(expected.keySet)} / ${expected.keySet.diff(inventory.toSet)}")
+    val over = inventory.flatMap { name =>
+      val c = countsFor(name)
+      val bad = tables.flatMap { t =>
+        val n = c.getOrElse(t, 0)
+        val pin = expected(name).getOrElse(t, 0)
+        if (n > pin) Some(s"$t=$n (pin $pin)") else None
+      }
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(over.isEmpty,
+      s"big-table scan count regressed:\n${over.mkString("\n")}")
+  }
+
   test("b05 computes the manifest dedupe exactly once") {
     // one events scan in the final plan (toString includes the AQE
     // initial plan too, so ≤2 across both)
@@ -80,21 +102,14 @@ class PlanAuditSpec extends SparkSpec {
       "d39_seq_pack" -> (1, 0), "d40_cell_balance" -> (0, 1),
       "d41_dedup_consensus" -> (1, 3), "d42_semantic_decon" -> (0, 2),
       "d43_curation_pipeline" -> (2, 0))
-    val dQueries = SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted
-    assert(dQueries.toSet == expected.keySet,
-      s"§2.C inventory drifted — update the pins: ${dQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(dQueries.toSet)}")
-    val over = dQueries.flatMap { name =>
-      val c =
+    assertScanPins("§2.C",
+      expected.map { case (k, (d, e)) =>
+        k -> Map("documents" -> d, "embeddings" -> e) },
+      SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted,
+      Seq("documents", "embeddings"),
+      name =>
         if (name == "d24_dup_clusters") ScanCount.countsDuring(spark, name, sf)
-        else ScanCount.counts(spark, name, sf)
-      val (d, e) = (c.getOrElse("documents", 0), c.getOrElse("embeddings", 0))
-      val (ed, ee) = expected(name)
-      if (d > ed || e > ee)
-        Some(s"$name: documents=$d (pin $ed), embeddings=$e (pin $ee)")
-      else None
-    }
-    assert(over.isEmpty,
-      s"big-table scan count regressed:\n${over.mkString("\n")}")
+        else ScanCount.counts(spark, name, sf))
   }
 
   test("§2.A/§2.B scan-count ratchet: every relational/backup query reads its big tables at most the pinned number of times") {
@@ -168,21 +183,11 @@ class PlanAuditSpec extends SparkSpec {
       "q23_running_sum" -> Map("orders" -> 1),
       "q24_not_in" -> Map("customer" -> 1),
       "q25_lateral" -> Map("customer" -> 1, "orders" -> 1))
-    val qbQueries = SparkEntry.queries.keys
-      .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted
-    assert(qbQueries.toSet == expected.keySet,
-      s"§2.A/§2.B inventory drifted — update the pins: ${qbQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(qbQueries.toSet)}")
-    val over = qbQueries.flatMap { name =>
-      val c = ScanCount.counts(spark, name, sf, ScanCount.bigTables)
-      val bad = ScanCount.bigTables.flatMap { t =>
-        val n = c.getOrElse(t, 0)
-        val pin = expected(name).getOrElse(t, 0)
-        if (n > pin) Some(s"$t=$n (pin $pin)") else None
-      }
-      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
-    }
-    assert(over.isEmpty,
-      s"big-table scan count regressed:\n${over.mkString("\n")}")
+    assertScanPins("§2.A/§2.B", expected,
+      SparkEntry.queries.keys
+        .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
+      ScanCount.bigTables,
+      name => ScanCount.counts(spark, name, sf, ScanCount.bigTables))
   }
 
   test("§2.D scan-count ratchet: every streaming batch-equivalent reads its big tables at most the pinned number of times") {
@@ -208,20 +213,10 @@ class PlanAuditSpec extends SparkSpec {
       "s11_stream_pit" -> Map("events" -> 1),
       "s12_stream_frames" -> Map("documents" -> 1),
       "s13_stream_decon" -> Map("documents" -> 2))
-    val sQueries = SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted
-    assert(sQueries.toSet == expected.keySet,
-      s"§2.D inventory drifted — update the pins: ${sQueries.toSet.diff(expected.keySet)} / ${expected.keySet.diff(sQueries.toSet)}")
-    val over = sQueries.flatMap { name =>
-      val c = ScanCount.counts(spark, name, sf, ScanCount.bigTables)
-      val bad = ScanCount.bigTables.flatMap { t =>
-        val n = c.getOrElse(t, 0)
-        val pin = expected(name).getOrElse(t, 0)
-        if (n > pin) Some(s"$t=$n (pin $pin)") else None
-      }
-      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
-    }
-    assert(over.isEmpty,
-      s"big-table scan count regressed:\n${over.mkString("\n")}")
+    assertScanPins("§2.D", expected,
+      SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
+      ScanCount.bigTables,
+      name => ScanCount.counts(spark, name, sf, ScanCount.bigTables))
   }
 
   test("b18 incremental plan prunes to an anti-join against the external inventory") {

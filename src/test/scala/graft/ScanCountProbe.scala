@@ -30,10 +30,11 @@ object ScanCount {
         if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
           walk(m.relation.cachedPlan, tables, seenCaches, acc)
       case f: FileSourceScanExec =>
-        // exact-basename match: "/events.parquet" can't be faked by a
-        // scratch fixture whose name merely contains a table name
+        // exact-basename match: "events.parquet" can't be faked by a
+        // scratch fixture or sibling whose name merely starts with a
+        // table name (events.parquet.bak, events.parquet2)
         tables.foreach { t =>
-          if (f.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet")))
+          if (f.relation.location.rootPaths.exists(_.getName == s"$t.parquet"))
             acc(t) += 1
         }
       case other => other.children.foreach(walk(_, tables, seenCaches, acc))
