@@ -3,8 +3,9 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.sources.Tables
 
@@ -28,10 +29,13 @@ object Multimodal {
   /** Typed media record: id + raw container bytes + mime. */
   case class MediaBlob(doc_id: Long, blob: Array[Byte], mime: String)
 
-  /** Features extracted by the decoder: header dims read from the
-    * container, content digest over the reassembled payload. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
-      width: Long, height: Long)
+  /** Either-shaped decode row: a features row (`ok = true` — header
+    * dims read from the container, content digest over the reassembled
+    * payload) or a quarantine record (`ok = false`, stable `err_kind` +
+    * full `err` detail, feature columns −1). One corrupt blob in a
+    * 100 TB ingest becomes one quarantine ROW, never a stage failure. */
+  case class MediaDecodeResult(doc_id: Long, ok: Boolean, err_kind: String,
+      err: String, n_bytes: Long, checksum: Long, width: Long, height: Long)
 
   private def md5Head(md: MessageDigest, bytes: Array[Byte]): Long = {
     md.reset()
@@ -43,7 +47,9 @@ object Multimodal {
     * (real media arrives packed; the synthetic corpus has to be). The
     * header dims are derived from the payload digest — the synthetic
     * twin of a generator emitting an image of those dimensions — and
-    * from here on only the DECODER ever looks at them. */
+    * from here on only the DECODER ever looks at them. Payloads must be
+    * non-null — d14 enforces that AT THE SCAN (`text IS NOT NULL`), so
+    * a null never reaches the digest/pack derefs here. */
   private def packPartition(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaBlob] = {
     val md = MessageDigest.getInstance("MD5")
     rows.map { case (id, payload) =>
@@ -54,20 +60,44 @@ object Multimodal {
     }
   }
 
-  /** REAL decoder over the container bytes: validates and parses the
-    * GRFT layout (any corruption throws — a demuxer's contract),
-    * reassembles the payload from its CRC-checked frames, reads the
-    * dims out of the header, and digests the decoded payload. One
-    * digest instance per partition — the real-decoder initialization
-    * pattern. */
-  private def decodePartition(rows: Iterator[MediaBlob]): Iterator[MediaFeatures] = {
-    val md = MessageDigest.getInstance("MD5")
-    rows.map { m =>
-      val dec = graft.sources.MediaContainer.unpack(m.blob)
-      MediaFeatures(m.doc_id, dec.payload.length.toLong,
-        md5Head(md, dec.payload), dec.width.toLong, dec.height.toLong)
-    }
-  }
+  /** REAL decoder over the container bytes — the ingest contract:
+    * validates and parses the GRFT layout, reassembles the payload from
+    * its CRC-checked frames, reads the dims out of the header, and
+    * digests the decoded payload (one digest instance per partition —
+    * the real-decoder initialization pattern). TOLERANT: a malformed
+    * container becomes a quarantine row carrying the stable failure
+    * kind instead of an exception — at 100 TB one flipped bit must cost
+    * one row, not the stage (and after task retries, the job). Esop
+    * classifies integrity failures as data the same way
+    * (`DataSynchronizator.java:40-93`); the strict
+    * [[graft.sources.MediaContainer.unpack]] stays the spec-pinned
+    * demuxer contract. The optional accumulator is the per-partition
+    * corrupt counter an ingest job watches live. */
+  def decodeTolerant(media: Dataset[MediaBlob],
+      corrupt: Option[LongAccumulator] = None): Dataset[MediaDecodeResult] =
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { m =>
+        graft.sources.MediaContainer.unpackEither(m.blob) match {
+          case Right(dec) =>
+            MediaDecodeResult(m.doc_id, ok = true, null, null,
+              dec.payload.length.toLong, md5Head(md, dec.payload),
+              dec.width.toLong, dec.height.toLong)
+          case Left(e) =>
+            corrupt.foreach(_.add(1L))
+            MediaDecodeResult(m.doc_id, ok = false, e.kind, e.getMessage,
+              -1L, -1L, -1L, -1L)
+        }
+      }
+    }(Encoders.product[MediaDecodeResult])
+
+  /** Quarantine worklist: count per stable failure kind — the bounded
+    * summary an operator alerts on (the kind set is closed; detail
+    * strings with offsets/CRCs stay on the per-row quarantine records). */
+  def quarantineSummary(decoded: Dataset[MediaDecodeResult]): DataFrame =
+    decoded.filter(not(col("ok")))
+      .groupBy("err_kind")
+      .agg(count(lit(1)).as("n_quarantined"))
 
   /** The d18 frame-sampling transform over ANY documents-shaped frame
     * (batch table or stream — defined once, shared with s12): every
@@ -103,15 +133,21 @@ object Multimodal {
     // pack → decode pipelines in ONE stage (both are mapPartitions over
     // the scan, no shuffle between them); the oracle recomputes the
     // same features straight from the payload, so a decoder that
-    // misparses any header field, frame boundary or checksum diverges
+    // misparses any header field, frame boundary or checksum diverges.
+    // The decode is the TOLERANT ingest path (strict unpack is the
+    // spec-pinned demuxer contract): on the clean corpus every row is
+    // ok, so filtering to ok keeps the oracle identical while the query
+    // exercises the quarantine machinery end to end. Null payloads are
+    // excluded at the scan (pushdown-able IS NOT NULL, mirrored in the
+    // oracle) — pack() requires a payload to digest.
     "d14_multimodal" -> { (s, dir) =>
       import s.implicits._
       val payloads = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
         .as[(Long, Array[Byte])]
-      payloads.mapPartitions(packPartition)
-        .mapPartitions(decodePartition)
-        .toDF()
+      decodeTolerant(payloads.mapPartitions(packPartition))
+        .where(col("ok"))
         .select("doc_id", "n_bytes", "checksum", "width", "height")
         .orderBy("doc_id")
     },
@@ -165,7 +201,7 @@ object Multimodal {
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "d27_clip_dedup" -> (graft.model.Corpus.docsCte +
       s""", fr AS (

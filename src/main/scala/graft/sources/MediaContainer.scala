@@ -36,6 +36,17 @@ object MediaContainer {
   /** Decoded container: header metadata + reassembled payload. */
   final case class Decoded(width: Int, height: Int, payload: Array[Byte])
 
+  /** Strict-decode failure with a STABLE machine-readable `kind` — the
+    * classification an ingest pipeline quarantines and groups by
+    * (detail strings embed offsets/CRC values and are unbounded; the
+    * kind set is closed). Extends IllegalArgumentException so the
+    * strict [[unpack]] contract is unchanged. */
+  final class MediaFormatException(val kind: String, detail: String)
+    extends IllegalArgumentException(s"$kind: $detail")
+
+  private def check(ok: Boolean, kind: String, detail: => String): Unit =
+    if (!ok) throw new MediaFormatException(kind, detail)
+
   def pack(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
     val nFrames = (payload.length + FrameLen - 1) / FrameLen
     val buf = ByteBuffer.allocate(17 + payload.length + 8 * nFrames)
@@ -54,37 +65,55 @@ object MediaContainer {
   }
 
   def unpack(blob: Array[Byte]): Decoded = {
-    require(blob.length >= 17, s"GRFT container truncated: ${blob.length} bytes")
+    check(blob.length >= 17, "truncated", s"GRFT container truncated: ${blob.length} bytes")
     val buf = ByteBuffer.wrap(blob)
     val magic = new Array[Byte](4)
     buf.get(magic)
-    require(java.util.Arrays.equals(magic, Magic),
+    check(java.util.Arrays.equals(magic, Magic), "bad_magic",
       s"not a GRFT container: magic ${magic.map("%02x".format(_)).mkString}")
     val version = buf.get()
-    require(version == Version, s"unsupported GRFT version $version")
+    check(version == Version, "bad_version", s"unsupported GRFT version $version")
     val width = buf.getInt
     val height = buf.getInt
     val nFrames = buf.getInt
-    require(nFrames >= 0, s"negative frame count $nFrames")
+    check(nFrames >= 0, "bad_frame_count", s"negative frame count $nFrames")
     val out = new java.io.ByteArrayOutputStream(blob.length)
     val crc = new CRC32
     var i = 0
     while (i < nFrames) {
-      require(buf.remaining >= 4, s"frame $i header truncated")
+      check(buf.remaining >= 4, "frame_truncated", s"frame $i header truncated")
       val len = buf.getInt
-      require(len > 0 && len <= FrameLen, s"frame $i has invalid length $len")
-      require(buf.remaining >= len + 4, s"frame $i body truncated")
+      check(len > 0 && len <= FrameLen, "bad_frame_len", s"frame $i has invalid length $len")
+      check(buf.remaining >= len + 4, "frame_truncated", s"frame $i body truncated")
       val frame = new Array[Byte](len)
       buf.get(frame)
       crc.reset()
       crc.update(frame)
       val expect = buf.getInt
-      require(crc.getValue.toInt == expect,
+      check(crc.getValue.toInt == expect, "crc_mismatch",
         s"frame $i corrupt: crc ${crc.getValue.toInt} != $expect")
       out.write(frame, 0, len)
       i += 1
     }
-    require(buf.remaining == 0, s"${buf.remaining} bytes of trailing garbage")
+    check(buf.remaining == 0, "trailing_garbage", s"${buf.remaining} bytes of trailing garbage")
     Decoded(width, height, out.toByteArray)
   }
+
+  /** Tolerant decode for INGEST paths: classifies a malformed container
+    * as DATA (a stable failure kind + detail) instead of throwing — at
+    * 100 TB corrupt blobs are a statistical certainty, and an exception
+    * here fails the whole stage (then, after task retries, the job).
+    * Esop treats integrity failure the same way: a hash-mismatched file
+    * is classified for re-download, not a crash
+    * (`DataSynchronizator.java:40-93`). The strict [[unpack]] remains
+    * the demuxer contract the wire-format specs pin. */
+  def unpackEither(blob: Array[Byte]): Either[MediaFormatException, Decoded] =
+    try {
+      check(blob != null, "null_blob", "no container bytes")
+      Right(unpack(blob))
+    } catch {
+      case e: MediaFormatException => Left(e)
+      case scala.util.control.NonFatal(e) => // belt-and-braces: any other parse failure is still data
+        Left(new MediaFormatException("decode_error", String.valueOf(e.getMessage)))
+    }
 }

@@ -253,6 +253,56 @@ class OperatorSpec extends SparkSpec {
       MediaContainer.unpack(good.take(good.length - 3)))
   }
 
+  test("d14 tolerant decode quarantines corrupt containers instead of failing the job") {
+    // the 100 TB ingest contract: a partition mixing clean and corrupt
+    // blobs (bit-flip, truncation, bad magic, null) COMPLETES, with the
+    // bad rows classified by stable kind and counted — not a stage kill
+    import graft.operators.Multimodal
+    import graft.sources.MediaContainer
+    val docs = (0L until 40L).map(i =>
+      (i, (s"doc $i payload " + ("x" * (i.toInt % 90))).getBytes("UTF-8")))
+    val blobs = docs.map { case (id, p) =>
+      val blob = MediaContainer.pack(p, 320, 240)
+      // byte 21 = first payload byte (17-byte header + 4-byte frame len)
+      val mutated =
+        if (id % 10 == 3) { val b = blob.clone(); b(21) = (b(21) ^ 1).toByte; b }
+        else if (id % 10 == 7) blob.take(blob.length - 2)
+        else if (id == 5) { val b = blob.clone(); b(0) = 'Z'; b }
+        else if (id == 15) null
+        else blob
+      Multimodal.MediaBlob(id, mutated, "media/x-graft-frames")
+    }
+    import spark.implicits._
+    val corrupt = spark.sparkContext.longAccumulator("graft.media.corrupt")
+    val decoded = Multimodal.decodeTolerant(
+      spark.createDataset(blobs).repartition(8), Some(corrupt))
+    val out = decoded.collect() // must complete — no task ever throws
+    assert(out.length == 40, "tolerant decode must emit one row per input blob")
+    val badIds = Seq(3L, 5L, 7L, 13L, 15L, 17L, 23L, 27L, 33L, 37L)
+    assert(out.filter(!_.ok).map(_.doc_id).sorted.toSeq == badIds)
+    assert(corrupt.value == badIds.size, "per-partition corrupt counter")
+    val kinds = out.filter(!_.ok).map(r => r.doc_id -> r.err_kind).toMap
+    assert(kinds(3L) == "crc_mismatch" && kinds(5L) == "bad_magic" &&
+      kinds(7L) == "frame_truncated" && kinds(15L) == "null_blob")
+    assert(out.filter(!_.ok).forall(r => r.err != null && r.n_bytes == -1L))
+    // clean rows carry the strict decode's features, untouched by the
+    // corrupt neighbors in the same partition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.filter(_.ok).foreach { r =>
+      val p = docs(r.doc_id.toInt)._2
+      val hex = md.digest(p).map("%02x".format(_)).mkString.substring(0, 8)
+      assert(r.err_kind == null && r.n_bytes == p.length &&
+        r.checksum == java.lang.Long.parseLong(hex, 16) &&
+        r.width == 320 && r.height == 240)
+      md.reset()
+    }
+    // bounded quarantine worklist: one row per stable failure kind
+    val summary = Multimodal.quarantineSummary(decoded).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("crc_mismatch" -> 4L, "frame_truncated" -> 4L,
+      "bad_magic" -> 1L, "null_blob" -> 1L))
+  }
+
   test("d29 top-bigram fraction is a valid maximum share") {
     val rows = SparkEntry.queries("d29_repetition")(spark, sf)
       .select("c", "n_bigrams", "top_frac").collect()
