@@ -271,6 +271,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s13 bench-gram index is doc_id-pruned at the scan; the probe never joins the corpus") {
+    // the streaming decon gate's scale contract: the bench-index side
+    // is bounded by construction (doc_id < cap pushed to the parquet
+    // scan, so it reads a fixed slice at ANY corpus size) and the probe
+    // side attaches it as a single-row broadcast — no corpus-keyed join
+    // or shuffle anywhere (the r10 cross-SF re-measure: 2.18× for 10×
+    // data, warmed min-of-3; r9's 3.12× was a spread-2.9 noisy window)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("s13_stream_decon")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.toString.contains("documents") => f
+    }
+    assert(scans.size == 2, s"expected probe + bench scans, got ${scans.size}")
+    assert(scans.count(_.toString.contains("LessThan(doc_id,")) == 1,
+      s"bench slice not filter-pruned at the scan:\n${scans.map(_.toString).mkString("\n")}")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"), s"corpus joined — probe not broadcast:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
   test("d06 is the ONLY query pairing embeddings×embeddings without an equi-key") {
     // blast-radius guard: the brute-force baseline's quadratic shape
     // must never silently leak into a scale path through future edits
