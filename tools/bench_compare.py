@@ -3,14 +3,18 @@
     python3 tools/bench_compare.py <old> <new> [--threshold 2.0]
 Each arg is either a BENCH_r*.json driver file ({"parsed": {...}}) or a
 raw one-line bench JSON ({"metric": "total", ...}) as printed by
-graft.Bench. Classifies every per-query move against the threshold,
-using the NEW run's spread_hi dispersion to tag noisy windows — the
-same triage the bench's interleaved min-of-3 protocol is designed for:
+graft.Bench. Classifies every per-query move against the threshold —
+the triage the bench's interleaved min-of-3 protocol is designed for:
 a genuine plan regression moves the min with a small spread; a
-co-tenant spike shows up in the spread instead.
+co-tenant spike shows up in the spread instead. A slowdown is excused
+as noise only when the NEW run's spread can COVER it (spread >= ratio
+- 1, i.e. min*(1+spread) reaches the old time); a >threshold speedup
+whose OLD-run spread covers it is labeled old-window noise (recovery,
+not improvement). Totals are computed over the shared-query
+intersection only, so suite growth never masquerades as perf drift.
 
-Exit 1 iff any query slowed past the threshold WITHOUT being
-spread-flagged (the "investigate before believing" set).
+Exit 1 iff any query slowed past the threshold WITHOUT its spread
+covering the move (the "investigate before believing" set).
 """
 import json, sys
 
@@ -42,29 +46,50 @@ def main():
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
     qo, qn = old["queries"], new["queries"]
-    spread = new.get("spread_hi", {})
+    nspread, ospread = new.get("spread_hi", {}), old.get("spread_hi", {})
     both = sorted(set(qo) & set(qn))
     slower, noisy, faster = [], [], []
+    to = tn = 0.0
     for k in both:
         if qo[k] <= 0 or qn[k] < 0:
-            continue
-        r = qn[k] / qo[k] if qo[k] else float("inf")
-        row = (k, qo[k], qn[k], r, spread.get(k))
+            continue  # failed in either run: no ratio, and not in totals
+        to += qo[k]
+        tn += qn[k]
+        r = qn[k] / qo[k]
         if r > thr:
-            (noisy if k in spread else slower).append(row)
+            # noise only when the new run's own dispersion can plausibly
+            # cover the move: min*(1+spread) >= old  <=>  spread >= r-1
+            s = nspread.get(k)
+            row = (k, qo[k], qn[k], r, s, "")
+            (noisy if s is not None and s >= r - 1 else slower).append(row)
         elif r < 1 / thr:
-            faster.append(row)
-    to = sum(v for v in qo.values() if v > 0)
-    tn = sum(v for v in qn.values() if v > 0)
-    print(f"total {to:.2f}s -> {tn:.2f}s ({tn / to:.3f}x); "
-          f"spread_med {old.get('spread_med', -1):.3f} -> {new.get('spread_med', -1):.3f}")
-    for title, rows in [(f">{thr}x slower, NOT spread-flagged — investigate", slower),
-                        (f">{thr}x slower but spread-flagged — likely noise", noisy),
-                        (f">{thr}x faster — recovered or improved", faster)]:
+            # a big speedup whose OLD window's spread covers it is the
+            # r8->r9 q02 shape: old-run co-tenant spike + recovery.
+            # spread_hi is truncated to the 8 noisiest, so when the
+            # query has no per-query entry, a high old-run MEDIAN spread
+            # is the remaining (weaker) noise signal.
+            s = ospread.get(k)
+            omed = old.get("spread_med") or 0
+            if s is not None and s >= qo[k] / qn[k] - 1:
+                note = " (old-window noise)"
+            elif s is None and omed >= 0.3:
+                note = f" (old run broadly noisy: spread_med={omed:.2f})"
+            else:
+                note = ""
+            faster.append((k, qo[k], qn[k], r, s, note))
+    if to > 0:
+        print(f"total {to:.2f}s -> {tn:.2f}s ({tn / to:.3f}x) over {len(both)} shared queries; "
+              f"spread_med {old.get('spread_med', -1):.3f} -> {new.get('spread_med', -1):.3f}")
+    else:
+        print("no shared successful queries — totals skipped")
+    for title, rows, lbl in [
+            (f">{thr}x slower, spread does NOT cover it — investigate", slower, "spread"),
+            (f">{thr}x slower, within the new run's spread — likely noise", noisy, "spread"),
+            (f">{thr}x faster — recovered or improved", faster, "old_spread")]:
         print(f"{title}:" + ("" if rows else " none"))
-        for k, a, b, r, s in rows:
-            tag = f" spread={s:.2f}" if s is not None else ""
-            print(f"  {k}: {a:.2f} -> {b:.2f} ({r:.2f}x){tag}")
+        for k, a, b, r, s, note in rows:
+            tag = f" {lbl}={s:.2f}" if s is not None else ""
+            print(f"  {k}: {a:.2f} -> {b:.2f} ({r:.2f}x){tag}{note}")
     only_new = sorted(set(qn) - set(qo))
     if only_new:
         print("new queries: " + ", ".join(f"{k}={qn[k]:.2f}s" for k in only_new))
