@@ -42,6 +42,21 @@ object Bench {
     // a query that failed once reports -1 regardless of later passes —
     // skip its remaining passes instead of re-running a broken (and
     // possibly slow) plan twice more
+    // Per-pass CALIBRATION probe: a fixed, SF-independent, CPU-bound
+    // job timed at the start of each measured pass. Its work never
+    // changes, so its three times are pure machine-state signal — a
+    // co-tenant-loaded pass window becomes attributable from the
+    // artifact alone (the r8 phantom-regression class), instead of
+    // being inferred from per-query spreads after the fact.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 25, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h") // xor: overflow-free under ANSI
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // pay the probe's own JIT outside the recorded values
+
     val failed = scala.collection.mutable.Set[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       if (failed(name)) return -1.0
@@ -63,8 +78,11 @@ object Bench {
     // spike survives the min; spreading a query's passes ~minutes apart
     // makes a spike land in the spread instead.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passMatrix: Seq[Seq[Double]] =
-      (1 to 3).map(_ => named.map { case (name, fn) => timeOnce(name, fn) })
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    val passMatrix: Seq[Seq[Double]] = (1 to 3).map { _ =>
+      calib += calibrate()
+      named.map { case (name, fn) => timeOnce(name, fn) }
+    }
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val passes = passMatrix.map(_(i))
       if (passes.exists(_ < 0)) name -> (-1.0, -1.0)
@@ -96,9 +114,10 @@ object Bench {
       .filter(_._2 > 0.5).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
     def render(withNoisy: Boolean): String = {
       val disp = if (withNoisy) f""","spread_med":$spreadMed%.3f,"spread_hi":$noisy""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$disp,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$disp,"calib":$calibJson,"sf":"$sfDir"}"""
     }
     // Prefer the full line; drop the dispersion detail rather than lose the
     // whole bench if the query count ever pushes past the capture window.

@@ -82,6 +82,21 @@ def main():
               f"spread_med {old.get('spread_med', -1):.3f} -> {new.get('spread_med', -1):.3f}")
     else:
         print("no shared successful queries — totals skipped")
+    # per-pass calibration probe (fixed work, so pure machine-state
+    # signal): a loaded window shows up here directly, making co-tenant
+    # noise attributable from the artifacts alone
+    co, cn = old.get("calib"), new.get("calib")
+    if co or cn:
+        fmt = lambda c: "[" + ",".join(f"{v:.2f}" for v in c) + "]" if c else "n/a"
+        med = lambda c: sorted(c)[len(c) // 2] if c else None
+        line = f"calib per pass: {fmt(co)} -> {fmt(cn)}"
+        if co and cn and min(med(co), med(cn)) > 0:
+            ratio = med(cn) / med(co)
+            if ratio > 1.5:
+                line += f" — NEW run's machine ~{ratio:.1f}x more loaded; treat its slowdowns skeptically"
+            elif ratio < 1 / 1.5:
+                line += f" — OLD run's machine ~{1 / ratio:.1f}x more loaded; treat recoveries as noise"
+        print(line)
     for title, rows, lbl in [
             (f">{thr}x slower, spread does NOT cover it — investigate", slower, "spread"),
             (f">{thr}x slower, within the new run's spread — likely noise", noisy, "spread"),
