@@ -152,6 +152,33 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Ingest QUARANTINE audit — the d14 pipeline over a corpus where a
+    // deterministic minority of containers is damaged in transit:
+    // version-byte flip for doc_id % 50 = 7 (an unreadable container),
+    // dropped blob for doc_id % 50 = 23 (a lost object). The tolerant
+    // decode classifies each failure by stable kind and the output is
+    // the bounded per-kind worklist — oracle-predictable because the
+    // damage is keyed on doc_id alone. Pack → damage → decode stay one
+    // shuffle-free stage; the only exchange is the tiny kind rollup
+    // (map-side partial over a closed kind set), so the audit costs one
+    // corpus scan at any SF.
+    "d44_media_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val damaged = payloads.mapPartitions(packPartition).map { m =>
+        if (m.doc_id % 50 == 7) {
+          val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
+        }
+        else if (m.doc_id % 50 == 23) m.copy(blob = null)
+        else m
+      }
+      quarantineSummary(decodeTolerant(damaged))
+        .orderBy("err_kind")
+    },
+
     // Clip-level near-dup via shared frame fingerprints — the video
     // twin of shingle dedup: each clip contributes one fingerprint per
     // fixed-stride frame (50-char windows standing in for decoded
@@ -202,6 +229,13 @@ object Multimodal {
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "d44_media_quarantine" ->
+      """SELECT CASE WHEN doc_id % 50 = 7 THEN 'bad_version' ELSE 'null_blob' END AS err_kind,
+        |  count(1) AS n_quarantined
+        |FROM documents
+        |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
+        |GROUP BY 1 ORDER BY err_kind""".stripMargin,
 
     "d27_clip_dedup" -> (graft.model.Corpus.docsCte +
       s""", fr AS (

@@ -101,7 +101,7 @@ class PlanAuditSpec extends SparkSpec {
       "d37_lm_novelty" -> (2, 0), "d38_corpus_sample" -> (1, 0),
       "d39_seq_pack" -> (1, 0), "d40_cell_balance" -> (0, 1),
       "d41_dedup_consensus" -> (1, 3), "d42_semantic_decon" -> (0, 2),
-      "d43_curation_pipeline" -> (2, 0))
+      "d43_curation_pipeline" -> (2, 0), "d44_media_quarantine" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
