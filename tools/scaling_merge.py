@@ -41,6 +41,7 @@ def main():
         ratios.append(r)
         ts += s
         tb += b
+    ratios.sort()
     out = {
         "sf_small": small.get("sf"), "sf_big": big.get("sf"),
         "total_small": round(ts, 3), "total_big": round(tb, 3),
