@@ -99,6 +99,32 @@ object Multimodal {
       .groupBy("err_kind")
       .agg(count(lit(1)).as("n_quarantined"))
 
+  /** The d44 quarantine-audit transform over ANY documents-shaped
+    * frame (batch table or stream — defined once, shared with s14):
+    * pack each payload into a GRFT container, damage a deterministic
+    * doc_id-keyed minority in transit (version flip %50=7 — an
+    * unreadable container; dropped blob %50=23 — a lost object),
+    * decode tolerantly, roll up the per-kind worklist. Pack → damage →
+    * decode are one shuffle-free stage of stateless per-row work, so
+    * the transform streams as-is; the only state is the bounded
+    * closed-kind-set aggregate. */
+  def quarantineAudit(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val payloads = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val damaged = payloads.mapPartitions(packPartition).map { m =>
+      if (m.doc_id % 50 == 7) {
+        val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
+      }
+      else if (m.doc_id % 50 == 23) m.copy(blob = null)
+      else m
+    }
+    quarantineSummary(decodeTolerant(damaged))
+  }
+
   /** The d18 frame-sampling transform over ANY documents-shaped frame
     * (batch table or stream — defined once, shared with s12): every
     * 4th frame of an n_frames clip, one row per sampled frame with a
@@ -163,20 +189,7 @@ object Multimodal {
     // (map-side partial over a closed kind set), so the audit costs one
     // corpus scan at any SF.
     "d44_media_quarantine" -> { (s, dir) =>
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .where(col("text").isNotNull)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      val damaged = payloads.mapPartitions(packPartition).map { m =>
-        if (m.doc_id % 50 == 7) {
-          val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
-        }
-        else if (m.doc_id % 50 == 23) m.copy(blob = null)
-        else m
-      }
-      quarantineSummary(decodeTolerant(damaged))
-        .orderBy("err_kind")
+      quarantineAudit(Tables.documents(s, dir)).orderBy("err_kind")
     },
 
     // Clip-level near-dup via shared frame fingerprints — the video

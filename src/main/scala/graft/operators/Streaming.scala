@@ -113,6 +113,17 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming media-ingest quarantine — the d44 audit asked at
+    // INGESTION: every arriving container decoded tolerantly as it
+    // lands, failures rolled into the bounded per-kind worklist. The
+    // same transform the streaming job runs (shared definition),
+    // applied to the batch table; output contract ≡ d44 (shared
+    // oracle); stream ≡ batch proven in EventStreamSpec.
+    "s14_stream_quarantine" -> { (s, dir) =>
+      graft.streaming.DocStream.quarantineGate(Tables.documents(s, dir))
+        .orderBy("err_kind")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -210,6 +221,10 @@ object Streaming {
     // kernel — value-identical to the batch join formulation, so it
     // shares d22's oracle text
     "s13_stream_decon" -> Curation.oracle("d22_decontaminate"),
+
+    // the streaming quarantine gate is the d44 audit verbatim — the
+    // oracle is shared the same way s12 shares d18's
+    "s14_stream_quarantine" -> Multimodal.oracle("d44_media_quarantine"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

@@ -101,6 +101,20 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_.getBoolean(2)) && batch.exists(!_.getBoolean(2)))
   }
 
+  test("streaming quarantine gate equals the batch d44 audit") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s14_test",
+      DocStream.quarantineGate, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s14_test").orderBy("err_kind").collect()
+    val batch = SparkEntry.queries("d44_media_quarantine")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // both damage classes must actually occur on this corpus — the
+    // stream survived real corrupt containers, not a vacuous pass
+    assert(batch.map(_.getString(0)).sorted.sameElements(Array("bad_version", "null_blob")))
+  }
+
   test("streaming PIT tracker equals the batch b07 window formulation") {
     val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
       EventStream.pitTracker, mode = "complete")

@@ -10,9 +10,9 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the round-6 inventory: a module falling out of SparkEntry's
     // concatenation must fail loudly, not shrink the gate silently
-    // round-10 inventory floor (112 + d44)
-    assert(SparkEntry.queries.size >= 113, s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 113, s"only ${SparkEntry.oracleSql.size} oracles registered")
+    // round-10 inventory floor (112 + d44 + s14)
+    assert(SparkEntry.queries.size >= 114, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 114, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {

@@ -212,7 +212,8 @@ class PlanAuditSpec extends SparkSpec {
       "s10_stream_boilerplate" -> Map("documents" -> 2),
       "s11_stream_pit" -> Map("events" -> 1),
       "s12_stream_frames" -> Map("documents" -> 1),
-      "s13_stream_decon" -> Map("documents" -> 2))
+      "s13_stream_decon" -> Map("documents" -> 2),
+      "s14_stream_quarantine" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
