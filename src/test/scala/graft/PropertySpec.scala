@@ -113,4 +113,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GRFT tolerant decode is TOTAL: no input can make it throw") {
+    // the 100 TB ingest guarantee behind d44/s14: whatever bytes arrive
+    // — arbitrary garbage, a null object, or EVERY single-byte
+    // corruption of a valid container — unpackEither returns a
+    // classified Left or a payload-faithful Right; it never escalates
+    // to an exception (which would fail the task, then the stage, then
+    // the job)
+    import graft.sources.MediaContainer
+    assert(MediaContainer.unpackEither(null).isLeft)
+    assert(MediaContainer.unpackEither(Array.empty[Byte]).isLeft)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(600))(rnd.nextInt().toByte)
+      MediaContainer.unpackEither(junk).foreach { dec =>
+        assert(dec.payload != null) // a Right on junk must still be well-formed
+      }
+    }
+    val payload = Array.tabulate(150)(i => (i * 37 + 11).toByte)
+    val good = MediaContainer.pack(payload, 320, 240)
+    for (i <- good.indices; bit <- 0 until 8) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ (1 << bit)).toByte
+      MediaContainer.unpackEither(bad) match {
+        case Left(e) => assert(e.kind.nonEmpty)
+        case Right(dec) => // undetectable header-dim flips only
+          assert(java.util.Arrays.equals(dec.payload, payload),
+            s"silent payload corruption at byte $i bit $bit")
+      }
+    }
+  }
 }
