@@ -44,10 +44,12 @@ object Bench {
     // possibly slow) plan twice more
     // Per-pass CALIBRATION probe: a fixed, SF-independent, CPU-bound
     // job timed at the start of each measured pass. Its work never
-    // changes, so its three times are pure machine-state signal — a
-    // co-tenant-loaded pass window becomes attributable from the
-    // artifact alone (the r8 phantom-regression class), instead of
-    // being inferred from per-query spreads after the fact.
+    // changes, so its three times are pure environment signal —
+    // co-tenant load plus this JVM's own heap/GC state, exactly the
+    // conditions the queries in the same window run under. A loaded
+    // pass window becomes attributable from the artifact alone (the
+    // r8 phantom-regression class), instead of being inferred from
+    // per-query spreads after the fact.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1L << 25, 1L, 32)
