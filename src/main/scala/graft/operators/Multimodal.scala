@@ -72,7 +72,11 @@ object Multimodal {
     * (`DataSynchronizator.java:40-93`); the strict
     * [[graft.sources.MediaContainer.unpack]] stays the spec-pinned
     * demuxer contract. The optional accumulator is the per-partition
-    * corrupt counter an ingest job watches live. */
+    * corrupt counter an ingest job watches live — standard Spark
+    * transformation-accumulator semantics apply (recomputes and task
+    * retries over-count, like any metric updated off the action path),
+    * so it is a monitoring signal; EXACT corrupt counts come from
+    * aggregating the `ok` column ([[quarantineSummary]]). */
   def decodeTolerant(media: Dataset[MediaBlob],
       corrupt: Option[LongAccumulator] = None): Dataset[MediaDecodeResult] =
     media.mapPartitions { rows =>

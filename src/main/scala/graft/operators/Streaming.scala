@@ -115,12 +115,13 @@ object Streaming {
 
     // Streaming media-ingest quarantine — the d44 audit asked at
     // INGESTION: every arriving container decoded tolerantly as it
-    // lands, failures rolled into the bounded per-kind worklist. The
-    // same transform the streaming job runs (shared definition),
-    // applied to the batch table; output contract ≡ d44 (shared
-    // oracle); stream ≡ batch proven in EventStreamSpec.
+    // lands (stateless per-row pack/damage/decode), failures rolled
+    // into a complete-mode worklist whose state is bounded by the
+    // CLOSED failure-kind set. Registers Multimodal.quarantineAudit
+    // directly (the s12/frameSample pattern); output contract ≡ d44
+    // (shared oracle); stream ≡ batch proven in EventStreamSpec.
     "s14_stream_quarantine" -> { (s, dir) =>
-      graft.streaming.DocStream.quarantineGate(Tables.documents(s, dir))
+      Multimodal.quarantineAudit(Tables.documents(s, dir))
         .orderBy("err_kind")
     },
 

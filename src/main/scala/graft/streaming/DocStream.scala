@@ -100,16 +100,6 @@ object DocStream {
       .select(col("doc_id"), col("n_hit_grams"),
         (col("n_hit_grams") > 0).as("contaminated"))
 
-  /** s14 — streaming media-ingest QUARANTINE: the d44 audit run as
-    * containers land (a real pipeline flags unreadable media at
-    * ingestion and keeps going — one corrupt blob becomes a worklist
-    * row, never a dead stream). The pack/damage/tolerant-decode chain
-    * is stateless per-row work; the only state is the complete-mode
-    * aggregate over the CLOSED failure-kind set, so state is
-    * O(|kinds|) at any corpus rate. */
-  def quarantineGate(docs: DataFrame): DataFrame =
-    graft.operators.Multimodal.quarantineAudit(docs)
-
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
   def runToMemory(s: SparkSession, dir: String, name: String,

@@ -104,7 +104,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming quarantine gate equals the batch d44 audit") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s14_test",
-      DocStream.quarantineGate, mode = "complete")
+      graft.operators.Multimodal.quarantineAudit, mode = "complete")
     q.awaitTermination(120000)
     val streamed = spark.table("graft_s14_test").orderBy("err_kind").collect()
     val batch = SparkEntry.queries("d44_media_quarantine")(spark, sf).collect()

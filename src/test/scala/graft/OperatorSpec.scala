@@ -254,6 +254,18 @@ class OperatorSpec extends SparkSpec {
       MediaContainer.unpack(good.take(good.length - 3)))
   }
 
+  test("d14's tolerant path quarantines NOTHING on the clean corpus") {
+    // d14 filters to ok rows, so a pack/decode regression would
+    // otherwise surface only as an oracle row-count diff — this keeps
+    // the old strict path's loud local failure: every clean container
+    // must decode
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    val got = SparkEntry.queries("d14_multimodal")(spark, sf).count()
+    assert(got == expected,
+      s"$got of $expected clean containers decoded — pack/decode regressed")
+  }
+
   test("d14 tolerant decode quarantines corrupt containers instead of failing the job") {
     // the 100 TB ingest contract: a partition mixing clean and corrupt
     // blobs (bit-flip, truncation, bad magic, null) COMPLETES, with the

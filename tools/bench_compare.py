@@ -58,10 +58,22 @@ def main():
         r = qn[k] / qo[k]
         if r > thr:
             # noise only when the new run's own dispersion can plausibly
-            # cover the move: min*(1+spread) >= old  <=>  spread >= r-1
+            # cover the move: the relative swing across the three passes
+            # (spread = (max-min)/min) must be at least as large as the
+            # move itself (r-1). spread_hi is truncated to the noisiest
+            # 8, so when the query has no per-query entry, fall back to
+            # the new run's MEDIAN spread — same fallback the faster
+            # path uses for the old run.
             s = nspread.get(k)
-            row = (k, qo[k], qn[k], r, s, "")
-            (noisy if s is not None and s >= r - 1 else slower).append(row)
+            nmed = new.get("spread_med") or 0
+            if s is not None and s >= r - 1:
+                row = (k, qo[k], qn[k], r, s, "")
+                noisy.append(row)
+            elif s is None and nmed >= r - 1:
+                noisy.append((k, qo[k], qn[k], r, None,
+                              f" (new run broadly noisy: spread_med={nmed:.2f})"))
+            else:
+                slower.append((k, qo[k], qn[k], r, s, ""))
         elif r < 1 / thr:
             # a big speedup whose OLD window's spread covers it is the
             # r8->r9 q02 shape: old-run co-tenant spike + recovery.

@@ -10,15 +10,14 @@ prose.
 import json
 import sys
 
+from bench_compare import load  # same loader: raw bench lines AND driver files
 
-def load(path):
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith('{"'):
-                doc = json.loads(line)
-                return doc.get("parsed", doc)
-    raise SystemExit(f"no bench JSON line in {path}")
+
+def median(xs):
+    """Averaged even-count median — same definition Bench.scala uses
+    for spread_med, so the two artifacts' medians are comparable."""
+    n = len(xs)
+    return xs[n // 2] if n % 2 == 1 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
 def main():
@@ -46,7 +45,7 @@ def main():
         "sf_small": small.get("sf"), "sf_big": big.get("sf"),
         "total_small": round(ts, 3), "total_big": round(tb, 3),
         "total_ratio": round(tb / ts, 3) if ts > 0 else None,
-        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "median_ratio": round(median(ratios), 3) if ratios else None,
         "n_queries": len(queries),
         "spread_med_small": small.get("spread_med"),
         "spread_med_big": big.get("spread_med"),
