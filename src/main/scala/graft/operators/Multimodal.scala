@@ -95,7 +95,7 @@ object Multimodal {
       }
     }(Encoders.product[MediaDecodeResult])
 
-  /** Quarantine worklist: count per stable failure kind — the bounded
+  /** Per-kind rollup: count per stable failure kind — the bounded
     * summary an operator alerts on (the kind set is closed; detail
     * strings with offsets/CRCs stay on the per-row quarantine records). */
   def quarantineSummary(decoded: Dataset[MediaDecodeResult]): DataFrame =
@@ -103,30 +103,52 @@ object Multimodal {
       .groupBy("err_kind")
       .agg(count(lit(1)).as("n_quarantined"))
 
-  /** The d44 quarantine-audit transform over ANY documents-shaped
-    * frame (batch table or stream — defined once, shared with s14):
-    * pack each payload into a GRFT container, damage a deterministic
+  /** INGEST API: quarantine audit over already-packed containers — what
+    * a 100 TB pipeline hands you is packed bytes on storage, not text
+    * it packed itself (esop audits what is ON DISK,
+    * `DataSynchronizator.java:40-93`). Decode tolerantly, roll up the
+    * bounded per-kind summary; one shuffle-free decode stage, the only
+    * exchange is the closed-kind-set rollup, and the transform carries
+    * no damage/fixture logic — it audits whatever the `media` dataset
+    * contains (a parquet blob table, an IO round-trip, a stream). */
+  def quarantineAudit(media: Dataset[MediaBlob]): DataFrame =
+    quarantineSummary(decodeTolerant(media))
+
+  /** INGEST API: the row-level quarantine WORKLIST over already-packed
+    * containers — the re-drive list an operator actually consumes
+    * (doc_id to refetch, stable kind to route on, detail with
+    * offsets/CRCs for forensics); esop's analogue is the re-download
+    * list `DataSynchronizator` builds from hash-mismatched files.
+    * Stateless per-row filter of the tolerant decode, so it streams
+    * as-is and persists through [[graft.sources.IO.writeParquet]]
+    * unchanged (d45 round-trips it). */
+  def quarantineWorklist(media: Dataset[MediaBlob]): DataFrame =
+    decodeTolerant(media).filter(not(col("ok")))
+      .select("doc_id", "err_kind", "err")
+
+  /** Test/demo FIXTURE (not an ingest entry point): pack each doc's
+    * payload into a GRFT container, then damage a deterministic
     * doc_id-keyed minority in transit (version flip %50=7 — an
-    * unreadable container; dropped blob %50=23 — a lost object),
-    * decode tolerantly, roll up the per-kind worklist. Pack → damage →
-    * decode are one shuffle-free stage of stateless per-row work, so
-    * the transform streams as-is; the only state is the bounded
-    * closed-kind-set aggregate. */
-  def quarantineAudit(docs: DataFrame): DataFrame = {
+    * unreadable container; dropped blob %50=23 — a lost object). The
+    * damage is keyed on doc_id alone so the DuckDB oracle can predict
+    * the audit output exactly. Pack → damage is stateless per-row work
+    * in the same stage as the downstream decode, and streams as-is —
+    * d44/s14 compose it with [[quarantineAudit]] to keep their
+    * oracle-gated shape while the audit itself stays fixture-free. */
+  def packDamagedFixture(docs: DataFrame): Dataset[MediaBlob] = {
     val s = docs.sparkSession
     import s.implicits._
     val payloads = docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
-    val damaged = payloads.mapPartitions(packPartition).map { m =>
+    payloads.mapPartitions(packPartition).map { m =>
       if (m.doc_id % 50 == 7) {
         val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
       }
       else if (m.doc_id % 50 == 23) m.copy(blob = null)
       else m
     }
-    quarantineSummary(decodeTolerant(damaged))
   }
 
   /** The d18 frame-sampling transform over ANY documents-shaped frame
@@ -191,9 +213,30 @@ object Multimodal {
     // damage is keyed on doc_id alone. Pack → damage → decode stay one
     // shuffle-free stage; the only exchange is the tiny kind rollup
     // (map-side partial over a closed kind set), so the audit costs one
-    // corpus scan at any SF.
+    // corpus scan at any SF. The audit API takes already-packed
+    // containers (Dataset[MediaBlob]); the pack+damage stage here is
+    // the oracle-predictable FIXTURE composed in front of it.
     "d44_media_quarantine" -> { (s, dir) =>
-      quarantineAudit(Tables.documents(s, dir)).orderBy("err_kind")
+      quarantineAudit(packDamagedFixture(Tables.documents(s, dir)))
+        .orderBy("err_kind")
+    },
+
+    // Row-level quarantine WORKLIST, PERSISTED: the d44 audit's per-row
+    // ok=false records (doc_id to refetch, stable kind, full detail) —
+    // the re-drive list a 100 TB ingest actually consumes — written to
+    // parquet through the IO/Scratch layer once per (JVM, sf) and read
+    // BACK from storage, so the gated result is the round-tripped
+    // artifact (the worklist outlives the job that built it; esop's
+    // re-download list is likewise a persisted plan, not a transient).
+    // Deterministic doc_id-keyed damage makes doc_id, kind AND detail
+    // DuckDB-predictable (version flip always reads back 2; a dropped
+    // blob is always 'no container bytes'). The build pass is one
+    // shuffle-free corpus scan at construction; the measured plan is
+    // the tiny worklist read (~2% of docs, pruned to 3 columns).
+    "d45_quarantine_worklist" -> { (s, dir) =>
+      val path = graft.sources.Scratch.materialize(s, "quarantine_worklist", dir)(
+        quarantineWorklist(packDamagedFixture(Tables.documents(s, dir))))
+      graft.sources.IO.readParquet(s, path).orderBy("doc_id")
     },
 
     // Clip-level near-dup via shared frame fingerprints — the video
@@ -253,6 +296,18 @@ object Multimodal {
         |FROM documents
         |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
         |GROUP BY 1 ORDER BY err_kind""".stripMargin,
+
+    // the full err detail is predictable too: the version flip writes
+    // 1+1=2, and a dropped blob always classifies as null_blob with a
+    // constant message (exception text format: "<kind>: <detail>")
+    "d45_quarantine_worklist" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 7 THEN 'bad_version' ELSE 'null_blob' END AS err_kind,
+        |  CASE WHEN doc_id % 50 = 7 THEN 'bad_version: unsupported GRFT version 2'
+        |       ELSE 'null_blob: no container bytes' END AS err
+        |FROM documents
+        |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
+        |ORDER BY doc_id""".stripMargin,
 
     "d27_clip_dedup" -> (graft.model.Corpus.docsCte +
       s""", fr AS (

@@ -115,13 +115,15 @@ object Streaming {
 
     // Streaming media-ingest quarantine — the d44 audit asked at
     // INGESTION: every arriving container decoded tolerantly as it
-    // lands (stateless per-row pack/damage/decode), failures rolled
-    // into a complete-mode worklist whose state is bounded by the
-    // CLOSED failure-kind set. Registers Multimodal.quarantineAudit
-    // directly (the s12/frameSample pattern); output contract ≡ d44
-    // (shared oracle); stream ≡ batch proven in EventStreamSpec.
+    // lands (stateless per-row decode), failures rolled into a
+    // complete-mode summary whose state is bounded by the CLOSED
+    // failure-kind set. The audit API takes packed containers; the
+    // oracle-predictable pack+damage FIXTURE is composed in front, as
+    // in d44. Output contract ≡ d44 (shared oracle); stream ≡ batch
+    // proven in EventStreamSpec.
     "s14_stream_quarantine" -> { (s, dir) =>
-      Multimodal.quarantineAudit(Tables.documents(s, dir))
+      Multimodal.quarantineAudit(
+          Multimodal.packDamagedFixture(Tables.documents(s, dir)))
         .orderBy("err_kind")
     },
 

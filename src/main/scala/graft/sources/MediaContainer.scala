@@ -106,14 +106,21 @@ object MediaContainer {
     * Esop treats integrity failure the same way: a hash-mismatched file
     * is classified for re-download, not a crash
     * (`DataSynchronizator.java:40-93`). The strict [[unpack]] remains
-    * the demuxer contract the wire-format specs pin. */
+    * the demuxer contract the wire-format specs pin.
+    *
+    * Deliberately catches ONLY [[MediaFormatException]]: [[unpack]]
+    * bounds-checks every buffer read before performing it, so by
+    * construction malformed BYTES can raise nothing else (the totality
+    * property test corrupts every byte×bit of a valid container plus
+    * arbitrary garbage to prove the checks exhaustive). Any other
+    * exception is therefore a decoder CODE defect and must fail the
+    * job loudly — a catch-all here would classify a decoder regression
+    * as quarantinable data and silently quarantine the corpus. */
   def unpackEither(blob: Array[Byte]): Either[MediaFormatException, Decoded] =
     try {
       check(blob != null, "null_blob", "no container bytes")
       Right(unpack(blob))
     } catch {
       case e: MediaFormatException => Left(e)
-      case scala.util.control.NonFatal(e) => // belt-and-braces: any other parse failure is still data
-        Left(new MediaFormatException("decode_error", String.valueOf(e.getMessage)))
     }
 }

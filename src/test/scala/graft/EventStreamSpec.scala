@@ -104,7 +104,9 @@ class EventStreamSpec extends SparkSpec {
   test("streaming quarantine gate equals the batch d44 audit") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s14_test",
-      graft.operators.Multimodal.quarantineAudit, mode = "complete")
+      docs => graft.operators.Multimodal.quarantineAudit(
+        graft.operators.Multimodal.packDamagedFixture(docs)),
+      mode = "complete")
     q.awaitTermination(120000)
     val streamed = spark.table("graft_s14_test").orderBy("err_kind").collect()
     val batch = SparkEntry.queries("d44_media_quarantine")(spark, sf).collect()

@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
       "d37_lm_novelty" -> (2, 0), "d38_corpus_sample" -> (1, 0),
       "d39_seq_pack" -> (1, 0), "d40_cell_balance" -> (0, 1),
       "d41_dedup_consensus" -> (1, 3), "d42_semantic_decon" -> (0, 2),
-      "d43_curation_pipeline" -> (2, 0), "d44_media_quarantine" -> (1, 0))
+      "d43_curation_pipeline" -> (2, 0), "d44_media_quarantine" -> (1, 0),
+      // d45 pins empty like b22: its documents scan happens inside the
+      // eager Scratch worklist write at construction time — the
+      // measured plan reads the persisted worklist back
+      "d45_quarantine_worklist" -> (0, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
