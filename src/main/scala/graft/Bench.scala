@@ -104,28 +104,35 @@ object Bench {
       "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // Dispersion: median relative spread over all queries, plus the ≤8
-    // noisiest (spread > 0.5) individually — enough for the driver to tag
-    // a round-over-round mover as noise without blowing the line budget.
+    // Dispersion: median relative spread over all queries, plus as many
+    // per-query spreads (noisiest first) as fit the line budget, with
+    // "spread_floor" recording the largest EXCLUDED spread. The floor
+    // turns absence into information: a query missing from spread_hi is
+    // PROVEN to have spread <= spread_floor, so bench_compare can rule
+    // its dispersion in or out exactly instead of falling back to the
+    // suite median (which silently downgraded real regressions inside
+    // broadly-noisy windows).
     val spreads = results.map(_._2._2).filter(_ >= 0).sorted
     val spreadMed =
       if (spreads.isEmpty) 0.0
       else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
       else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2
-    val noisy = shortIds.zip(results.map(_._2._2))
-      .filter(_._2 > 0.5).sortBy(-_._2).take(8)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    val bySpread = shortIds.zip(results.map(_._2._2))
+      .filter(_._2 >= 0).sortBy(-_._2)
     val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
-    def render(withNoisy: Boolean): String = {
-      val disp = if (withNoisy) f""","spread_med":$spreadMed%.3f,"spread_hi":$noisy""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$disp,"calib":$calibJson,"sf":"$sfDir"}"""
+    def render(k: Int): String = {
+      val hi = bySpread.take(k)
+        .map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val floor = if (k < bySpread.size) bySpread(k)._2 else 0.0
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfDir"}"""
     }
-    // Prefer the full line; drop the dispersion detail rather than lose the
-    // whole bench if the query count ever pushes past the capture window.
-    val line = Seq(render(true), render(false)).find(_.length <= 1800)
+    // Largest spread set that still fits the ~2000-char tail capture;
+    // worst case k=0 keeps the floor (= the max spread) as the bound.
+    val line = (bySpread.size to 0 by -1).iterator.map(render)
+      .find(_.length <= 1800)
       .getOrElse(sys.error(
-        s"bench JSON line ${render(false).length} chars even without dispersion — would overflow the 2000-char tail capture"))
+        s"bench JSON line ${render(0).length} chars even without per-query spreads — would overflow the 2000-char tail capture"))
     println(line)
     spark.stop()
   }

@@ -6,15 +6,27 @@ raw one-line bench JSON ({"metric": "total", ...}) as printed by
 graft.Bench. Classifies every per-query move against the threshold —
 the triage the bench's interleaved min-of-3 protocol is designed for:
 a genuine plan regression moves the min with a small spread; a
-co-tenant spike shows up in the spread instead. A slowdown is excused
-as noise only when the NEW run's spread can COVER it (spread >= ratio
-- 1, i.e. min*(1+spread) reaches the old time); a >threshold speedup
-whose OLD-run spread covers it is labeled old-window noise (recovery,
-not improvement). Totals are computed over the shared-query
-intersection only, so suite growth never masquerades as perf drift.
+co-tenant spike shows up in the spread instead.
 
-Exit 1 iff any query slowed past the threshold WITHOUT its spread
-covering the move (the "investigate before believing" set).
+Dispersion evidence, in order of strength:
+  - a per-query spread in spread_hi (noisiest-first, as many as fit the
+    line budget): the move is noise iff spread >= |move|, i.e.
+    min*(1+spread) reaches the other run's time;
+  - spread_floor (new format): a query ABSENT from spread_hi is proven
+    to have spread <= floor, so floor < |move| rules noise OUT
+    definitively, while floor >= |move| leaves it open (noted, but the
+    query stays in the investigate set — ambiguity is not an excuse);
+  - the suite-wide spread_med (old format only): LABEL-ONLY. It
+    annotates a move as plausibly noise but never removes it from the
+    exit-affecting set in either direction's classification.
+The same coverage rule applies symmetrically: a slowdown is judged
+against the NEW run's dispersion, a speedup against the OLD run's
+(old-window spike + recovery, not improvement). Totals run over the
+shared-query intersection only, so suite growth never masquerades as
+perf drift.
+
+Exit 1 iff any query slowed past the threshold without a per-query
+spread that covers the move.
 """
 import json, sys
 
@@ -37,6 +49,25 @@ def load(path):
     raise SystemExit(f"no JSON object found in {path}")
 
 
+def dispersion_note(run, k, move):
+    """Can `run`'s dispersion cover a relative `move` (= ratio - 1) for
+    query `k`? Returns (covered, note). `covered` is definitive only
+    when a per-query spread exists; floor/median evidence is label-only
+    (covered=False) so it never excuses a move from the exit gate."""
+    s = run.get("spread_hi", {}).get(k)
+    if s is not None:
+        return s >= move, (f" spread={s:.2f}", "")
+    floor = run.get("spread_floor")
+    if floor is not None:
+        if floor < move:
+            return False, ("", "")  # spread <= floor < move: definitively not noise
+        return False, ("", f" (spread unknown <= floor={floor:.2f} — could cover; investigate)")
+    med = run.get("spread_med") or 0
+    if med >= move:
+        return False, ("", f" (run broadly noisy: spread_med={med:.2f} — label only)")
+    return False, ("", "")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 2.0
@@ -46,7 +77,6 @@ def main():
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
     qo, qn = old["queries"], new["queries"]
-    nspread, ospread = new.get("spread_hi", {}), old.get("spread_hi", {})
     both = sorted(set(qo) & set(qn))
     slower, noisy, faster = [], [], []
     to = tn = 0.0
@@ -57,38 +87,13 @@ def main():
         tn += qn[k]
         r = qn[k] / qo[k]
         if r > thr:
-            # noise only when the new run's own dispersion can plausibly
-            # cover the move: the relative swing across the three passes
-            # (spread = (max-min)/min) must be at least as large as the
-            # move itself (r-1). spread_hi is truncated to the noisiest
-            # 8, so when the query has no per-query entry, fall back to
-            # the new run's MEDIAN spread — same fallback the faster
-            # path uses for the old run.
-            s = nspread.get(k)
-            nmed = new.get("spread_med") or 0
-            if s is not None and s >= r - 1:
-                row = (k, qo[k], qn[k], r, s, "")
-                noisy.append(row)
-            elif s is None and nmed >= r - 1:
-                noisy.append((k, qo[k], qn[k], r, None,
-                              f" (new run broadly noisy: spread_med={nmed:.2f})"))
-            else:
-                slower.append((k, qo[k], qn[k], r, s, ""))
+            covered, (tag, note) = dispersion_note(new, k, r - 1)
+            (noisy if covered else slower).append((k, qo[k], qn[k], r, tag, note))
         elif r < 1 / thr:
-            # a big speedup whose OLD window's spread covers it is the
-            # r8->r9 q02 shape: old-run co-tenant spike + recovery.
-            # spread_hi is truncated to the 8 noisiest, so when the
-            # query has no per-query entry, a high old-run MEDIAN spread
-            # is the remaining (weaker) noise signal.
-            s = ospread.get(k)
-            omed = old.get("spread_med") or 0
-            if s is not None and s >= qo[k] / qn[k] - 1:
+            covered, (tag, note) = dispersion_note(old, k, qo[k] / qn[k] - 1)
+            if covered:
                 note = " (old-window noise)"
-            elif s is None and omed >= 0.3:
-                note = f" (old run broadly noisy: spread_med={omed:.2f})"
-            else:
-                note = ""
-            faster.append((k, qo[k], qn[k], r, s, note))
+            faster.append((k, qo[k], qn[k], r, tag, note))
     if to > 0:
         print(f"total {to:.2f}s -> {tn:.2f}s ({tn / to:.3f}x) over {len(both)} shared queries; "
               f"spread_med {old.get('spread_med', -1):.3f} -> {new.get('spread_med', -1):.3f}")
@@ -109,13 +114,22 @@ def main():
             elif ratio < 1 / 1.5:
                 line += f" — OLD run's machine ~{1 / ratio:.1f}x more loaded; treat recoveries as noise"
         print(line)
-    for title, rows, lbl in [
-            (f">{thr}x slower, spread does NOT cover it — investigate", slower, "spread"),
-            (f">{thr}x slower, within the new run's spread — likely noise", noisy, "spread"),
-            (f">{thr}x faster — recovered or improved", faster, "old_spread")]:
+        # WITHIN-run dispersion: the probe's work never changes, so
+        # uneven per-pass times mean some passes ran loaded — min-of-3
+        # floors are inflated for every query whose fast pass missed the
+        # quiet window, which shows up as a broad low-amplitude drift
+        # cohort (the r10 shape: calib [0.10,0.29,0.30]).
+        for label, c in (("OLD", co), ("NEW", cn)):
+            if c and min(c) > 0 and max(c) / min(c) > 1.5:
+                print(f"  {label} run's passes unevenly loaded "
+                      f"(calib max/min {max(c) / min(c):.1f}x): "
+                      f"min-of-3 floors inflated; expect broad small drifts")
+    for title, rows in [
+            (f">{thr}x slower, spread does NOT cover it — investigate", slower),
+            (f">{thr}x slower, within the new run's spread — likely noise", noisy),
+            (f">{thr}x faster — recovered or improved", faster)]:
         print(f"{title}:" + ("" if rows else " none"))
-        for k, a, b, r, s, note in rows:
-            tag = f" {lbl}={s:.2f}" if s is not None else ""
+        for k, a, b, r, tag, note in rows:
             print(f"  {k}: {a:.2f} -> {b:.2f} ({r:.2f}x){tag}{note}")
     only_new = sorted(set(qn) - set(qo))
     if only_new:
