@@ -239,6 +239,35 @@ object Multimodal {
       graft.sources.IO.readParquet(s, path).orderBy("doc_id")
     },
 
+    // RE-DRIVE: the consumer of d45's persisted worklist — the step
+    // that closes the quarantine loop (audit → worklist → refetch →
+    // clean decode), esop's `DataSynchronizator` re-download applied.
+    // The worklist doc_ids are read back from storage and BROADCAST
+    // against ONE corpus scan (a re-drive batch is the corrupt
+    // minority, operationally bounded — the 100 TB side stays the
+    // streamed probe side and never shuffles); the semi-joined docs are
+    // re-fetched (stand-in: packed fresh from the pristine payload —
+    // transit damage does not recur) and decoded through the SAME
+    // tolerant path, emitting the features the original ingest was
+    // denied. Output ≡ d14 restricted to the damaged ids, which is
+    // exactly what "the loop closes" means — and the spec pins that the
+    // re-drive quarantines nothing.
+    "d46_quarantine_redrive" -> { (s, dir) =>
+      import s.implicits._
+      val path = graft.sources.Scratch.materialize(s, "quarantine_worklist", dir)(
+        quarantineWorklist(packDamagedFixture(Tables.documents(s, dir))))
+      val worklist = graft.sources.IO.readParquet(s, path).select("doc_id")
+      val refetched = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .join(broadcast(worklist), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      decodeTolerant(refetched.mapPartitions(packPartition))
+        .where(col("ok"))
+        .select("doc_id", "n_bytes", "checksum", "width", "height")
+        .orderBy("doc_id")
+    },
+
     // Clip-level near-dup via shared frame fingerprints — the video
     // twin of shingle dedup: each clip contributes one fingerprint per
     // fixed-stride frame (50-char windows standing in for decoded
@@ -305,6 +334,18 @@ object Multimodal {
         |  CASE WHEN doc_id % 50 = 7 THEN 'bad_version' ELSE 'null_blob' END AS err_kind,
         |  CASE WHEN doc_id % 50 = 7 THEN 'bad_version: unsupported GRFT version 2'
         |       ELSE 'null_blob: no container bytes' END AS err
+        |FROM documents
+        |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the closed loop: a re-driven doc decodes to exactly the features
+    // the clean ingest (d14) would have produced for it
+    "d46_quarantine_redrive" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
         |FROM documents
         |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
         |ORDER BY doc_id""".stripMargin,

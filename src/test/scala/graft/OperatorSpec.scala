@@ -10,9 +10,9 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the round-6 inventory: a module falling out of SparkEntry's
     // concatenation must fail loudly, not shrink the gate silently
-    // round-11 inventory floor (114 + d45)
-    assert(SparkEntry.queries.size >= 115, s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 115, s"only ${SparkEntry.oracleSql.size} oracles registered")
+    // round-11 inventory floor (114 + d45 + d46)
+    assert(SparkEntry.queries.size >= 116, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 116, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {
@@ -367,6 +367,18 @@ class OperatorSpec extends SparkSpec {
     // both damage classes present — the worklist is not vacuous
     assert(persisted.map(_.getString(1)).distinct.sorted.sameElements(
       Array("bad_version", "null_blob")))
+  }
+
+  test("d46 re-drive closes the quarantine loop: every worklist doc decodes clean") {
+    // the re-drive consumes d45's PERSISTED list and must recover every
+    // doc on it: |redriven ok rows| == |worklist|, nothing quarantined
+    // a second time
+    val wl = SparkEntry.queries("d45_quarantine_worklist")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val re = SparkEntry.queries("d46_quarantine_redrive")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(wl.nonEmpty && re.sameElements(wl),
+      s"re-drive recovered ${re.length} of ${wl.length} worklist docs")
   }
 
   test("d29 top-bigram fraction is a valid maximum share") {

@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkSpec {
       // d45 pins empty like b22: its documents scan happens inside the
       // eager Scratch worklist write at construction time — the
       // measured plan reads the persisted worklist back
-      "d45_quarantine_worklist" -> (0, 0))
+      "d45_quarantine_worklist" -> (0, 0),
+      // d46's measured plan: ONE corpus scan semi-joined against the
+      // broadcast worklist read-back (the Scratch write, if this JVM
+      // hasn't materialized it yet, is construction-time like d45)
+      "d46_quarantine_redrive" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
