@@ -33,6 +33,23 @@ object Bench {
       }
     }
 
+    // Construction-only pass at the MEASURED dir: queries that
+    // materialize an external fixture through the Scratch layer
+    // (b18/b22/d45/d46) pay their one-time write at first construction
+    // per (JVM, sf). Let that land HERE, outside the timed passes, so
+    // their measured min AND spread both reflect the steady-state plan
+    // (the fixture read-back) — otherwise pass 1 carries the write,
+    // passes 2-3 don't, and the query gets a structural ~3x spread
+    // that bench_compare would forever accept as noise cover for a
+    // real regression. Plan construction is lazy for everything else,
+    // so this costs seconds, not a fourth pass.
+    SparkEntry.queries.foreach { case (name, f) =>
+      try f(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] construction at bench SF $name failed: ${e.getMessage}")
+      }
+    }
+
     // three measured passes per query, min reported: the host is shared,
     // and a transient co-tenant spike during a single pass would be
     // indistinguishable from a plan regression. Each pass starts from a

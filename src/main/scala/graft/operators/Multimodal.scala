@@ -135,21 +135,40 @@ object Multimodal {
     * in the same stage as the downstream decode, and streams as-is —
     * d44/s14 compose it with [[quarantineAudit]] to keep their
     * oracle-gated shape while the audit itself stays fixture-free. */
-  def packDamagedFixture(docs: DataFrame): Dataset[MediaBlob] = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val payloads = docs
-      .where(col("text").isNotNull)
+  def packDamagedFixture(docs: DataFrame): Dataset[MediaBlob] =
+    textPayloads(docs)
+      .mapPartitions(packPartition)(Encoders.product[MediaBlob])
+      .map { m =>
+        if (m.doc_id % 50 == 7) {
+          val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
+        }
+        else if (m.doc_id % 50 == 23) m.copy(blob = null)
+        else m
+      }(Encoders.product[MediaBlob])
+
+  /** Payload projection shared by every pack path: non-null docs only
+    * (pushdown-able at the scan, mirrored in the oracles — pack()
+    * requires a payload to digest), utf-8 bytes. */
+  private def textPayloads(docs: DataFrame): Dataset[(Long, Array[Byte])] =
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions(packPartition).map { m =>
-      if (m.doc_id % 50 == 7) {
-        val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
-      }
-      else if (m.doc_id % 50 == 23) m.copy(blob = null)
-      else m
-    }
-  }
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+
+  /** The clean-ingest feature pipeline (pack → tolerant decode → ok
+    * features) shared by d14 and d46, so d46's "output ≡ d14
+    * restricted to the damaged ids" contract holds by construction
+    * rather than by keeping two copies in sync. */
+  private def decodeFeatures(payloads: Dataset[(Long, Array[Byte])]): DataFrame =
+    decodeTolerant(payloads.mapPartitions(packPartition)(Encoders.product[MediaBlob]))
+      .where(col("ok"))
+      .select("doc_id", "n_bytes", "checksum", "width", "height")
+
+  /** One-per-(JVM, sf) path of the PERSISTED worklist — d45 gates the
+    * read-back, d46 consumes it; the Scratch layer makes "written
+    * once, read by whoever needs it" the shared contract. */
+  private def worklistPath(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "quarantine_worklist", dir)(
+      quarantineWorklist(packDamagedFixture(Tables.documents(s, dir))))
 
   /** The d18 frame-sampling transform over ANY documents-shaped frame
     * (batch table or stream — defined once, shared with s12): every
@@ -193,14 +212,7 @@ object Multimodal {
     // excluded at the scan (pushdown-able IS NOT NULL, mirrored in the
     // oracle) — pack() requires a payload to digest.
     "d14_multimodal" -> { (s, dir) =>
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .where(col("text").isNotNull)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      decodeTolerant(payloads.mapPartitions(packPartition))
-        .where(col("ok"))
-        .select("doc_id", "n_bytes", "checksum", "width", "height")
+      decodeFeatures(textPayloads(Tables.documents(s, dir)))
         .orderBy("doc_id")
     },
 
@@ -234,9 +246,7 @@ object Multimodal {
     // shuffle-free corpus scan at construction; the measured plan is
     // the tiny worklist read (~2% of docs, pruned to 3 columns).
     "d45_quarantine_worklist" -> { (s, dir) =>
-      val path = graft.sources.Scratch.materialize(s, "quarantine_worklist", dir)(
-        quarantineWorklist(packDamagedFixture(Tables.documents(s, dir))))
-      graft.sources.IO.readParquet(s, path).orderBy("doc_id")
+      graft.sources.IO.readParquet(s, worklistPath(s, dir)).orderBy("doc_id")
     },
 
     // RE-DRIVE: the consumer of d45's persisted worklist — the step
@@ -253,18 +263,11 @@ object Multimodal {
     // exactly what "the loop closes" means — and the spec pins that the
     // re-drive quarantines nothing.
     "d46_quarantine_redrive" -> { (s, dir) =>
-      import s.implicits._
-      val path = graft.sources.Scratch.materialize(s, "quarantine_worklist", dir)(
-        quarantineWorklist(packDamagedFixture(Tables.documents(s, dir))))
-      val worklist = graft.sources.IO.readParquet(s, path).select("doc_id")
-      val refetched = Tables.documents(s, dir)
-        .where(col("text").isNotNull)
-        .join(broadcast(worklist), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      decodeTolerant(refetched.mapPartitions(packPartition))
-        .where(col("ok"))
-        .select("doc_id", "n_bytes", "checksum", "width", "height")
+      val worklist = graft.sources.IO.readParquet(s, worklistPath(s, dir))
+        .select("doc_id")
+      decodeFeatures(textPayloads(
+          Tables.documents(s, dir)
+            .join(broadcast(worklist), Seq("doc_id"), "left_semi")))
         .orderBy("doc_id")
     },
 

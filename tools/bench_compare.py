@@ -49,22 +49,28 @@ def load(path):
     raise SystemExit(f"no JSON object found in {path}")
 
 
-def dispersion_note(run, k, move):
+def dispersion_note(run, k, move, which):
     """Can `run`'s dispersion cover a relative `move` (= ratio - 1) for
-    query `k`? Returns (covered, note). `covered` is definitive only
-    when a per-query spread exists; floor/median evidence is label-only
+    query `k`? `which` is "new" (a slowdown judged against the new
+    run's window) or "old" (a speedup judged against the old run's —
+    where coverage means recovery, not improvement). Returns
+    (covered, (tag, note)). `covered` is definitive only when a
+    per-query spread exists; floor/median evidence is label-only
     (covered=False) so it never excuses a move from the exit gate."""
+    lbl = "spread" if which == "new" else "old_spread"
     s = run.get("spread_hi", {}).get(k)
     if s is not None:
-        return s >= move, (f" spread={s:.2f}", "")
+        return s >= move, (f" {lbl}={s:.2f}", "")
     floor = run.get("spread_floor")
     if floor is not None:
         if floor < move:
-            return False, ("", "")  # spread <= floor < move: definitively not noise
-        return False, ("", f" (spread unknown <= floor={floor:.2f} — could cover; investigate)")
+            return False, ("", "")  # spread <= floor < move: definitively not dispersion
+        hint = ("could cover; investigate" if which == "new"
+                else "could be old-window noise")
+        return False, ("", f" ({lbl} unknown <= floor={floor:.2f} — {hint})")
     med = run.get("spread_med") or 0
     if med >= move:
-        return False, ("", f" (run broadly noisy: spread_med={med:.2f} — label only)")
+        return False, ("", f" ({which} run broadly noisy: spread_med={med:.2f} — label only)")
     return False, ("", "")
 
 
@@ -87,10 +93,10 @@ def main():
         tn += qn[k]
         r = qn[k] / qo[k]
         if r > thr:
-            covered, (tag, note) = dispersion_note(new, k, r - 1)
+            covered, (tag, note) = dispersion_note(new, k, r - 1, "new")
             (noisy if covered else slower).append((k, qo[k], qn[k], r, tag, note))
         elif r < 1 / thr:
-            covered, (tag, note) = dispersion_note(old, k, qo[k] / qn[k] - 1)
+            covered, (tag, note) = dispersion_note(old, k, qo[k] / qn[k] - 1, "old")
             if covered:
                 note = " (old-window noise)"
             faster.append((k, qo[k], qn[k], r, tag, note))
