@@ -445,4 +445,20 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"no codegen stages:\n$p")
   }
+
+  test("d46 re-drive broadcasts the worklist against a pushdown-pruned corpus scan") {
+    // the 100 TB contract of the quarantine loop's consumer side: the
+    // corpus (the big side) is scanned once with the text filter AT the
+    // scan, and the worklist ids reach it as a broadcast semi-join —
+    // never a shuffle of the corpus (a re-drive batch is the corrupt
+    // minority; the scan-count ratchet separately pins documents=1)
+    val p = SparkEntry.queries("d46_quarantine_redrive")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"worklist join is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side shuffled for the worklist join:\n$p")
+    assert(p.contains("IsNotNull(text)"),
+      s"text filter not pushed to the corpus scan:\n$p")
+  }
 }
