@@ -114,6 +114,27 @@ object Multimodal {
   def quarantineAudit(media: Dataset[MediaBlob]): DataFrame =
     quarantineSummary(decodeTolerant(media))
 
+  /** Header row from the metadata-only peek; −1 sentinels on a
+    * header-level failure (the [[MediaDecodeResult]] convention). */
+  case class MediaHeaderRow(doc_id: Long, ok: Boolean, width: Long,
+      height: Long, n_frames: Long)
+
+  /** INGEST API: metadata-only sweep over already-packed containers —
+    * dims + declared frame count from the fixed 17-byte header via
+    * [[graft.sources.MediaContainer.peekHeader]], no frame walk, no
+    * CRC, no payload digest (the ffprobe pattern: a 100 TB dims
+    * histogram or frame-budget plan costs the SCAN, not the codec).
+    * Stateless per-row, streams as-is. */
+  def peekDims(media: Dataset[MediaBlob]): Dataset[MediaHeaderRow] =
+    media.map { m =>
+      graft.sources.MediaContainer.peekHeader(m.blob) match {
+        case Right(h) =>
+          MediaHeaderRow(m.doc_id, ok = true, h.width.toLong, h.height.toLong,
+            h.nFrames.toLong)
+        case Left(_) => MediaHeaderRow(m.doc_id, ok = false, -1L, -1L, -1L)
+      }
+    }(Encoders.product[MediaHeaderRow])
+
   /** INGEST API: the row-level quarantine WORKLIST over already-packed
     * containers — the re-drive list an operator actually consumes
     * (doc_id to refetch, stable kind to route on, detail with
@@ -271,6 +292,23 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Metadata-only media sweep: per-container dims + declared frame
+    // count from the 17-byte header — the decode work d14 pays (frame
+    // walk, CRC, payload digest) is skipped entirely, which is the
+    // whole point of a metadata pass at 100 TB (ffprobe before
+    // ffmpeg): plan frame budgets and dims histograms from a
+    // header-read whose cost is the scan. Spec pins peek ≡ full decode
+    // on every clean container; on the clean corpus every peek is ok,
+    // so the ok-filter keeps the oracle exact while exercising the
+    // tolerant path.
+    "d47_media_dims" -> { (s, dir) =>
+      peekDims(textPayloads(Tables.documents(s, dir))
+          .mapPartitions(packPartition)(Encoders.product[MediaBlob]))
+        .where(col("ok"))
+        .select("doc_id", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
     // Clip-level near-dup via shared frame fingerprints — the video
     // twin of shingle dedup: each clip contributes one fingerprint per
     // fixed-stride frame (50-char windows standing in for decoded
@@ -340,6 +378,15 @@ object Multimodal {
         |FROM documents
         |WHERE text IS NOT NULL AND (doc_id % 50 = 7 OR doc_id % 50 = 23)
         |ORDER BY doc_id""".stripMargin,
+
+    // header fields are payload-derived at pack time: dims from the
+    // md5 head (like d14), frame count = ceil(bytes / 64)
+    "d47_media_dims" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height,
+        |  CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // the closed loop: a re-driven doc decodes to exactly the features
     // the clean ingest (d14) would have produced for it

@@ -36,6 +36,9 @@ object MediaContainer {
   /** Decoded container: header metadata + reassembled payload. */
   final case class Decoded(width: Int, height: Int, payload: Array[Byte])
 
+  /** Header metadata alone — what a metadata-only sweep reads. */
+  final case class Header(width: Int, height: Int, nFrames: Int)
+
   /** Strict-decode failure with a STABLE machine-readable `kind` — the
     * classification an ingest pipeline quarantines and groups by
     * (detail strings embed offsets/CRC values and are unbounded; the
@@ -64,9 +67,12 @@ object MediaContainer {
     buf.array()
   }
 
-  def unpack(blob: Array[Byte]): Decoded = {
+  /** Parse and validate the fixed 17-byte header, leaving `buf`
+    * positioned at the first frame — the shared prologue of the full
+    * decode and the metadata-only peek (one copy of the header
+    * contract, identical failure kinds either way). */
+  private def parseHeader(blob: Array[Byte], buf: ByteBuffer): Header = {
     check(blob.length >= 17, "truncated", s"GRFT container truncated: ${blob.length} bytes")
-    val buf = ByteBuffer.wrap(blob)
     val magic = new Array[Byte](4)
     buf.get(magic)
     check(java.util.Arrays.equals(magic, Magic), "bad_magic",
@@ -77,6 +83,12 @@ object MediaContainer {
     val height = buf.getInt
     val nFrames = buf.getInt
     check(nFrames >= 0, "bad_frame_count", s"negative frame count $nFrames")
+    Header(width, height, nFrames)
+  }
+
+  def unpack(blob: Array[Byte]): Decoded = {
+    val buf = ByteBuffer.wrap(blob)
+    val Header(width, height, nFrames) = parseHeader(blob, buf)
     val out = new java.io.ByteArrayOutputStream(blob.length)
     val crc = new CRC32
     var i = 0
@@ -120,6 +132,23 @@ object MediaContainer {
     try {
       check(blob != null, "null_blob", "no container bytes")
       Right(unpack(blob))
+    } catch {
+      case e: MediaFormatException => Left(e)
+    }
+
+  /** Metadata-only decode: the fixed 17-byte header (dims + declared
+    * frame count) WITHOUT walking — or CRC-checking — a single frame.
+    * The ffprobe/image-header pattern: a 100 TB metadata sweep (dims
+    * histograms, frame budgeting, format triage) reads 17 bytes per
+    * container instead of reassembling payloads, so its cost is the
+    * scan, not the codec. Tolerant like [[unpackEither]], with the
+    * same stable kinds for the header-detectable failure classes
+    * (frame-level damage is by definition invisible to a peek — the
+    * full decode is the integrity check). */
+  def peekHeader(blob: Array[Byte]): Either[MediaFormatException, Header] =
+    try {
+      check(blob != null, "null_blob", "no container bytes")
+      Right(parseHeader(blob, ByteBuffer.wrap(blob)))
     } catch {
       case e: MediaFormatException => Left(e)
     }

@@ -10,9 +10,9 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the round-6 inventory: a module falling out of SparkEntry's
     // concatenation must fail loudly, not shrink the gate silently
-    // round-11 inventory floor (114 + d45 + d46)
-    assert(SparkEntry.queries.size >= 116, s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 116, s"only ${SparkEntry.oracleSql.size} oracles registered")
+    // round-11 inventory floor (114 + d45 + d46 + d47)
+    assert(SparkEntry.queries.size >= 117, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 117, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {
@@ -367,6 +367,24 @@ class OperatorSpec extends SparkSpec {
     // both damage classes present — the worklist is not vacuous
     assert(persisted.map(_.getString(1)).distinct.sorted.sameElements(
       Array("bad_version", "null_blob")))
+  }
+
+  test("d47 metadata peek agrees with the full d14 decode on every clean container") {
+    // the metadata sweep must report exactly what the full decode
+    // would — same dims out of the header, frame count = the packed
+    // chunking of the payload the decode reassembles
+    val full = SparkEntry.queries("d14_multimodal")(spark, sf)
+      .select("doc_id", "width", "height", "n_bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), (r.getLong(3) + 63) / 64)))
+      .toMap
+    val peek = SparkEntry.queries("d47_media_dims")(spark, sf).collect()
+    assert(peek.length == full.size && peek.nonEmpty,
+      s"${peek.length} peeked of ${full.size} decoded — a clean container failed the header read")
+    peek.foreach { r =>
+      val (w, h, nf) = full(r.getLong(0))
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == nf,
+        s"peek disagrees with decode for doc ${r.getLong(0)}")
+    }
   }
 
   test("d46 re-drive closes the quarantine loop: every worklist doc decodes clean") {

@@ -109,7 +109,7 @@ class PlanAuditSpec extends SparkSpec {
       // d46's measured plan: ONE corpus scan semi-joined against the
       // broadcast worklist read-back (the Scratch write, if this JVM
       // hasn't materialized it yet, is construction-time like d45)
-      "d46_quarantine_redrive" -> (1, 0))
+      "d46_quarantine_redrive" -> (1, 0), "d47_media_dims" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },

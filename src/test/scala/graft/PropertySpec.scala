@@ -142,4 +142,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GRFT header peek is total and agrees with the full decode") {
+    // d47's contract: the metadata-only read never throws on any
+    // input, and on a valid container reports exactly what the full
+    // decode would — without touching a frame (frame-level damage is
+    // by definition invisible to a peek; the full decode is the
+    // integrity check)
+    import graft.sources.MediaContainer
+    assert(MediaContainer.peekHeader(null).isLeft)
+    assert(MediaContainer.peekHeader(Array.empty[Byte]).isLeft)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(600))(rnd.nextInt().toByte)
+      MediaContainer.peekHeader(junk).foreach(h => assert(h.nFrames >= 0))
+    }
+    val payload = Array.tabulate(200)(i => (i * 31 + 7).toByte)
+    val good = MediaContainer.pack(payload, 512, 384)
+    val h = MediaContainer.peekHeader(good).toOption.get
+    val d = MediaContainer.unpack(good)
+    assert(h.width == d.width && h.height == d.height)
+    assert(h.width == 512 && h.height == 384)
+    assert(h.nFrames == (payload.length + MediaContainer.FrameLen - 1) / MediaContainer.FrameLen)
+    for (i <- good.indices; bit <- 0 until 8) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ (1 << bit)).toByte
+      MediaContainer.peekHeader(bad) match {
+        case Left(e) => assert(e.kind.nonEmpty)
+        case Right(_) => () // body damage: invisible to a header peek by design
+      }
+    }
+  }
 }
