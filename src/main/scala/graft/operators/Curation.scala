@@ -109,6 +109,31 @@ object Curation {
       |  CASE WHEN doc_id % 11 = 0
       |       THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)""".stripMargin
 
+  /** d48 chunk geometry: 200-char chunks every 160 chars — consecutive
+    * chunks overlap by 40 so no boundary-straddling span is lost, the
+    * standard context-window layout for embedding/retrieval pipelines.
+    * The last chunk may be short; an empty doc still yields its one
+    * (empty) chunk so every document stays addressable downstream. */
+  private[graft] val chunkChars = 200
+  private[graft] val chunkStride = 160
+
+  /** Context-window chunking over ANY documents-shaped frame: one row
+    * per (doc, chunk) with the chunk's index, length and content hash —
+    * never the chunk text itself, so the output stays narrow at 100 TB
+    * and joins back on (doc_id, chunk_idx) or dedups on chunk_hash.
+    * Stateless per-row bounded explode inside codegen, zero shuffles. */
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(len, 1), $chunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $chunkStride AS BIGINT)").as("chunk_idx"),
+        expr(s"substring(text, start, $chunkChars)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        hash32(col("chunk")).as("chunk_hash"))
+
   /** Connected components over an undirected pair frame
     * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
     * is the component's minimum member id. The d24 clustering runs on
@@ -424,6 +449,19 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Context-window chunking — the dual of d39's packing: each LONG
+    // document is split into fixed-budget overlapping chunks (200
+    // chars, stride 160 → 40-char overlap so no span is lost at a
+    // boundary), the standard layout for embedding / retrieval
+    // pipelines where a model's context window is smaller than the
+    // document. Pure per-row bounded explode inside codegen — zero
+    // shuffles, output linear in corpus bytes — and each chunk carries
+    // a content hash, the downstream equi-join key for chunk-level
+    // dedup/ANN, so the wide text column never re-materializes.
+    "d48_doc_chunk" -> { (s, dir) =>
+      chunkDocs(graft.sources.Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")
+    },
+
     // Training-sequence packing — the last step before tokens hit the
     // trainer: documents are concatenated in order and chunked into
     // fixed-budget sequences (greedy concat-then-chunk, the standard
@@ -556,6 +594,18 @@ object Curation {
         |      ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
         |  FROM documents) t
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // chunk starts mirror Spark's inclusive sequence(1, max(len,1),
+    // stride) via DuckDB's exclusive-stop range(1, max(len,1)+1,
+    // stride); the corpus is ASCII so substr/length agree cross-engine
+    "d48_doc_chunk" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // $chunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(length(substr(text, start, $chunkChars)) AS BIGINT) AS n_chars,
+         |  ${Corpus.hash32Sql(s"substr(text, start, $chunkChars)")} AS chunk_hash
+         |FROM documents, UNNEST(range(1, greatest(length(text), 1) + 1, $chunkStride)) t(start)
+         |WHERE text IS NOT NULL
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d39_seq_pack" -> (Corpus.docsCte +
       """, toks AS (

@@ -157,8 +157,7 @@ object Multimodal {
     * d44/s14 compose it with [[quarantineAudit]] to keep their
     * oracle-gated shape while the audit itself stays fixture-free. */
   def packDamagedFixture(docs: DataFrame): Dataset[MediaBlob] =
-    textPayloads(docs)
-      .mapPartitions(packPartition)(Encoders.product[MediaBlob])
+    packFixture(docs)
       .map { m =>
         if (m.doc_id % 50 == 7) {
           val b = m.blob.clone(); b(4) = (b(4) + 1).toByte; m.copy(blob = b)
@@ -166,6 +165,23 @@ object Multimodal {
         else if (m.doc_id % 50 == 23) m.copy(blob = null)
         else m
       }(Encoders.product[MediaBlob])
+
+  /** Test/demo FIXTURE (not an ingest entry point): pack each doc's
+    * payload into a clean GRFT container — the undamaged twin of
+    * [[packDamagedFixture]], standing in for the packed bytes a real
+    * pipeline reads off storage. Stateless per-row, streams as-is. */
+  def packFixture(docs: DataFrame): Dataset[MediaBlob] =
+    textPayloads(docs)
+      .mapPartitions(packPartition)(Encoders.product[MediaBlob])
+
+  /** The d47 metadata sweep over ANY documents-shaped frame (batch
+    * table or stream — defined once, shared with s15): pack fixture →
+    * header peek → ok rows with dims + declared frame count. Stateless
+    * per-row with no aggregation at all, so it streams in append mode. */
+  def dimsSweep(docs: DataFrame): DataFrame =
+    peekDims(packFixture(docs))
+      .where(col("ok"))
+      .select("doc_id", "width", "height", "n_frames")
 
   /** Payload projection shared by every pack path: non-null docs only
     * (pushdown-able at the scan, mirrored in the oracles — pack()
@@ -302,11 +318,7 @@ object Multimodal {
     // so the ok-filter keeps the oracle exact while exercising the
     // tolerant path.
     "d47_media_dims" -> { (s, dir) =>
-      peekDims(textPayloads(Tables.documents(s, dir))
-          .mapPartitions(packPartition)(Encoders.product[MediaBlob]))
-        .where(col("ok"))
-        .select("doc_id", "width", "height", "n_frames")
-        .orderBy("doc_id")
+      dimsSweep(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Clip-level near-dup via shared frame fingerprints — the video

@@ -127,6 +127,17 @@ object Streaming {
         .orderBy("err_kind")
     },
 
+    // Streaming metadata sweep — the d47 question asked at INGESTION:
+    // dims + declared frame count peeked from each arriving container's
+    // fixed header, no frame walk / CRC / payload digest. Stateless
+    // per-row with no state or aggregation (append mode), so a 100 TB
+    // backfill and the live stream run the SAME transform at scan cost.
+    // Output contract ≡ d47 (shared transform + oracle); stream ≡ batch
+    // proven in EventStreamSpec.
+    "s15_stream_dims" -> { (s, dir) =>
+      Multimodal.dimsSweep(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -228,6 +239,10 @@ object Streaming {
     // the streaming quarantine gate is the d44 audit verbatim — the
     // oracle is shared the same way s12 shares d18's
     "s14_stream_quarantine" -> Multimodal.oracle("d44_media_quarantine"),
+
+    // the streaming dims sweep is the d47 transform verbatim — the
+    // oracle is shared the same way s12 shares d18's
+    "s15_stream_dims" -> Multimodal.oracle("d47_media_dims"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

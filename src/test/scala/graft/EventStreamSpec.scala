@@ -117,6 +117,17 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.map(_.getString(0)).sorted.sameElements(Array("bad_version", "null_blob")))
   }
 
+  test("streaming dims sweep equals the batch d47 output") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s15_test",
+      graft.operators.Multimodal.dimsSweep, mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s15_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("d47_media_dims")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming PIT tracker equals the batch b07 window formulation") {
     val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
       EventStream.pitTracker, mode = "complete")

@@ -10,9 +10,9 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the round-6 inventory: a module falling out of SparkEntry's
     // concatenation must fail loudly, not shrink the gate silently
-    // round-11 inventory floor (114 + d45 + d46 + d47)
-    assert(SparkEntry.queries.size >= 117, s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 117, s"only ${SparkEntry.oracleSql.size} oracles registered")
+    // round-11 inventory floor (114 + d45 + d46 + d47 + d48 + s15)
+    assert(SparkEntry.queries.size >= 119, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 119, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {
@@ -252,6 +252,30 @@ class OperatorSpec extends SparkSpec {
       MediaContainer.unpack(corrupt(b => b(30) = (b(30) ^ 1).toByte)))
     intercept[IllegalArgumentException](
       MediaContainer.unpack(good.take(good.length - 3)))
+  }
+
+  test("d48 chunk geometry: full coverage, 40-char overlap, short tail, empty doc") {
+    // exact chunk ledger for the boundary shapes: one-per-stride,
+    // one-past-stride, exactly-one-budget (the overlap-only tail),
+    // and the corpus-max length; an empty doc keeps its one empty
+    // chunk so every document stays addressable downstream
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""),
+      (1L, "a" * 160),
+      (2L, "b" * 161),
+      (3L, "c" * 200),
+      (4L, "d" * 577)
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Curation.chunkDocs(docs)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 0L),
+      (1L, 0L, 160L),
+      (2L, 0L, 161L), (2L, 1L, 1L),
+      (3L, 0L, 200L), (3L, 1L, 40L),
+      (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 200L), (4L, 3L, 97L)))
   }
 
   test("d14's tolerant path quarantines NOTHING on the clean corpus") {

@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
       // d46's measured plan: ONE corpus scan semi-joined against the
       // broadcast worklist read-back (the Scratch write, if this JVM
       // hasn't materialized it yet, is construction-time like d45)
-      "d46_quarantine_redrive" -> (1, 0), "d47_media_dims" -> (1, 0))
+      "d46_quarantine_redrive" -> (1, 0), "d47_media_dims" -> (1, 0),
+      "d48_doc_chunk" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -221,7 +222,8 @@ class PlanAuditSpec extends SparkSpec {
       "s11_stream_pit" -> Map("events" -> 1),
       "s12_stream_frames" -> Map("documents" -> 1),
       "s13_stream_decon" -> Map("documents" -> 2),
-      "s14_stream_quarantine" -> Map("documents" -> 1))
+      "s14_stream_quarantine" -> Map("documents" -> 1),
+      "s15_stream_dims" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
