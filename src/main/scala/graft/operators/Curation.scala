@@ -134,6 +134,48 @@ object Curation {
         length(col("chunk")).cast("long").as("n_chars"),
         hash32(col("chunk")).as("chunk_hash"))
 
+  /** Content-fingerprint projection shared by the d49 ingest paths:
+    * one narrow (doc_id, fp) row per non-null doc. The ledger a run
+    * persists is fingerprints ONLY — ~12 bytes of parquet per
+    * document, so even a 100 TB corpus's ledger is tens of GB:
+    * shuffle-able, never driver-resident, never the wide text. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), hash32(col("text")).as("fp"))
+
+  /** Content-addressed incremental ingest: arriving docs whose
+    * fingerprint is ABSENT from the ledger — new or changed CONTENT
+    * only, regardless of ids (a re-crawled duplicate body under a new
+    * id is skipped; an edited body under a known id flows through).
+    * This is esop's freshen decision — hash already present remotely
+    * ⇒ don't re-upload (reference: `Backuper.java:22-27`,
+    * `FreshenResult.UPLOAD_REQUIRED`) — applied to corpus curation,
+    * so every expensive downstream stage (dedup, ANN, decontam) runs
+    * on the increment, not the snapshot. The anti-join keys on the
+    * hash, so both sides shuffle UNIFORMLY by construction (no skew
+    * path needed) and neither side is assumed broadcast-able: at
+    * 100 TB the ledger is billions of fingerprints. */
+  private[graft] def incrementalIngest(arriving: DataFrame, ledger: DataFrame): DataFrame =
+    fingerprints(arriving).join(ledger, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+
+  /** One-per-(JVM, sf) path of the PERSISTED fingerprint ledger — the
+    * previous snapshot's content-addressed store listing (deciles
+    * ≠ 3 of the corpus, distinct fingerprints), written through
+    * Scratch/IO once and read back by d49/s16 the way a real ingest
+    * lists its store before a run. The decile split is the FIXTURE
+    * (oracle-predictable "previous snapshot"); the ledger format —
+    * distinct narrow hashes in parquet — is the production artifact. */
+  private def ledgerPath(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ingest_ledger", dir)(
+      fingerprints(graft.sources.Tables.documents(s, dir))
+        .where(col("doc_id") % 10 =!= 3)
+        .select("fp").distinct())
+
+  /** The persisted ledger read BACK from storage. */
+  private[graft] def ingestLedger(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ledgerPath(s, dir))
+
   /** Connected components over an undirected pair frame
     * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
     * is the component's minimum member id. The d24 clustering runs on
@@ -462,6 +504,20 @@ object Curation {
       chunkDocs(graft.sources.Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")
     },
 
+    // Content-addressed incremental ingest — esop's freshen/skip
+    // decision applied to corpus curation: only docs whose CONTENT
+    // fingerprint is absent from the persisted ledger (the previous
+    // snapshot's store listing, materialized through Scratch/IO and
+    // read back like d45's worklist) flow to the expensive downstream
+    // stages. Keyed on the hash, not the id, so a re-crawled duplicate
+    // body is skipped even under a new id. The anti-join shuffles both
+    // sides on the uniformly-distributed fingerprint; at 100 TB
+    // neither side broadcasts and neither needs to.
+    "d49_incremental_ingest" -> { (s, dir) =>
+      incrementalIngest(graft.sources.Tables.documents(s, dir), ingestLedger(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Training-sequence packing — the last step before tokens hit the
     // trainer: documents are concatenated in order and chunked into
     // fixed-budget sequences (greedy concat-then-chunk, the standard
@@ -606,6 +662,19 @@ object Curation {
          |FROM documents, UNNEST(range(1, greatest(length(text), 1) + 1, $chunkStride)) t(start)
          |WHERE text IS NOT NULL
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the ledger CTE mirrors the Scratch-materialized previous
+    // snapshot (deciles ≠ 3, distinct content hashes) verbatim
+    "d49_incremental_ingest" ->
+      s"""WITH ledger AS (
+         |  SELECT DISTINCT ${Corpus.hash32Sql("text")} AS fp
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 3)
+         |SELECT doc_id, ${Corpus.hash32Sql("text")} AS fp
+         |FROM documents d
+         |WHERE text IS NOT NULL
+         |  AND NOT EXISTS (SELECT 1 FROM ledger l
+         |                  WHERE l.fp = ${Corpus.hash32Sql("d.text")})
+         |ORDER BY doc_id""".stripMargin,
 
     "d39_seq_pack" -> (Corpus.docsCte +
       """, toks AS (

@@ -138,6 +138,20 @@ object Streaming {
       Multimodal.dimsSweep(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Streaming incremental ingest — the d49 freshen decision made as
+    // docs ARRIVE: each micro-batch stream-static LEFT-ANTI-joins its
+    // fingerprints against the persisted ledger read back from
+    // storage, so only new-content docs flow downstream the moment
+    // they land. Stateless (no watermark, no join state — the static
+    // side is the state, and it lives in parquet, not the state
+    // store), append mode; backfill and live feed run the SAME
+    // transform. Output contract ≡ d49 (shared transform + oracle);
+    // stream ≡ batch proven in EventStreamSpec.
+    "s16_stream_ingest" -> { (s, dir) =>
+      Curation.incrementalIngest(Tables.documents(s, dir), Curation.ingestLedger(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -243,6 +257,10 @@ object Streaming {
     // the streaming dims sweep is the d47 transform verbatim — the
     // oracle is shared the same way s12 shares d18's
     "s15_stream_dims" -> Multimodal.oracle("d47_media_dims"),
+
+    // the streaming freshen gate is the d49 transform verbatim
+    // (stream-static anti-join against the same persisted ledger)
+    "s16_stream_ingest" -> Curation.oracle("d49_incremental_ingest"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

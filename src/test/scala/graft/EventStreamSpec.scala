@@ -128,6 +128,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming incremental ingest equals the batch d49 output") {
+    // stream-static LEFT ANTI against the persisted ledger: stateless
+    // append mode — the static side is the state, read from parquet
+    import graft.streaming.DocStream
+    val ledger = graft.operators.Curation.ingestLedger(spark, sf)
+    val q = DocStream.runToMemory(spark, sf, "graft_s16_test",
+      docs => graft.operators.Curation.incrementalIngest(docs, ledger),
+      mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s16_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("d49_incremental_ingest")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming PIT tracker equals the batch b07 window formulation") {
     val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
       EventStream.pitTracker, mode = "complete")

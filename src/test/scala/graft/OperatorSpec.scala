@@ -10,9 +10,9 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the round-6 inventory: a module falling out of SparkEntry's
     // concatenation must fail loudly, not shrink the gate silently
-    // round-11 inventory floor (114 + d45 + d46 + d47 + d48 + s15)
-    assert(SparkEntry.queries.size >= 119, s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 119, s"only ${SparkEntry.oracleSql.size} oracles registered")
+    // round-11 inventory floor (114 + d45-d49 + s15 + s16)
+    assert(SparkEntry.queries.size >= 121, s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 121, s"only ${SparkEntry.oracleSql.size} oracles registered")
   }
 
   test("entry returns rows") {
@@ -276,6 +276,22 @@ class OperatorSpec extends SparkSpec {
       (2L, 0L, 161L), (2L, 1L, 1L),
       (3L, 0L, 200L), (3L, 1L, 40L),
       (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 200L), (4L, 3L, 97L)))
+  }
+
+  test("d49 increment is content-addressed, not id-addressed") {
+    // id 2 is NEW but its body is already in the ledger -> skipped;
+    // id 3 carries new content -> kept; a null body never fingerprints
+    import spark.implicits._
+    val previous = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "alpha"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val ledger = graft.operators.Curation.fingerprints(previous)
+      .select("fp").distinct()
+    val kept = graft.operators.Curation.incrementalIngest(arriving, ledger)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(3L))
   }
 
   test("d14's tolerant path quarantines NOTHING on the clean corpus") {

@@ -110,7 +110,11 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast worklist read-back (the Scratch write, if this JVM
       // hasn't materialized it yet, is construction-time like d45)
       "d46_quarantine_redrive" -> (1, 0), "d47_media_dims" -> (1, 0),
-      "d48_doc_chunk" -> (1, 0))
+      "d48_doc_chunk" -> (1, 0),
+      // d49's final plan anti-joins ONE corpus fingerprint scan
+      // against the ledger read-back (the Scratch write, like d45's,
+      // is construction-time)
+      "d49_incremental_ingest" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -223,7 +227,8 @@ class PlanAuditSpec extends SparkSpec {
       "s12_stream_frames" -> Map("documents" -> 1),
       "s13_stream_decon" -> Map("documents" -> 2),
       "s14_stream_quarantine" -> Map("documents" -> 1),
-      "s15_stream_dims" -> Map("documents" -> 1))
+      "s15_stream_dims" -> Map("documents" -> 1),
+      "s16_stream_ingest" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
