@@ -135,13 +135,17 @@ object Curation {
         hash32(col("chunk")).as("chunk_hash"))
 
   /** Content-fingerprint projection shared by the d49 ingest paths:
-    * one narrow (doc_id, fp) row per non-null doc. The ledger a run
-    * persists is fingerprints ONLY — ~12 bytes of parquet per
-    * document, so even a 100 TB corpus's ledger is tens of GB:
-    * shuffle-able, never driver-resident, never the wide text. */
+    * one narrow (doc_id, fp) row per non-null doc. The fingerprint is
+    * the full 128-bit md5 — the same content identity d01's exact
+    * dedup groups by — NOT a 32-bit hash: with billions of ledger
+    * entries a 32-bit space is half full and a genuinely-new doc
+    * would be silently skipped with ~coin-flip probability, which is
+    * data loss, not dedup. At 32 hex bytes per doc a 100 TB corpus's
+    * ledger is still only ~hundreds of GB of parquet: shuffle-able,
+    * never driver-resident, never the wide text. */
   private[graft] def fingerprints(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
-      .select(col("doc_id"), hash32(col("text")).as("fp"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
 
   /** Content-addressed incremental ingest: arriving docs whose
     * fingerprint is ABSENT from the ledger — new or changed CONTENT
@@ -160,21 +164,26 @@ object Curation {
       .select("doc_id", "fp")
 
   /** One-per-(JVM, sf) path of the PERSISTED fingerprint ledger — the
-    * previous snapshot's content-addressed store listing (deciles
-    * ≠ 3 of the corpus, distinct fingerprints), written through
-    * Scratch/IO once and read back by d49/s16 the way a real ingest
-    * lists its store before a run. The decile split is the FIXTURE
-    * (oracle-predictable "previous snapshot"); the ledger format —
-    * distinct narrow hashes in parquet — is the production artifact. */
+    * previous snapshot's content-addressed store listing, written
+    * through Scratch/IO once and read back by d49/s16 the way a real
+    * ingest lists its store before a run. The FIXTURE snapshot is
+    * deciles ≠ 3 of the corpus PLUS the bodies of new-id docs with
+    * doc_id ≡ 3 (mod 50) — the "already crawled under another id"
+    * case, so the oracle-gated query exercises the content-skip path
+    * on a fifth of the arriving new ids, not just in the unit test.
+    * The id rules are the fixture (oracle-predictable "previous
+    * snapshot"); the ledger format — distinct narrow fingerprints in
+    * parquet — is the production artifact. */
   private def ledgerPath(s: SparkSession, dir: String): String =
     graft.sources.Scratch.materialize(s, "ingest_ledger", dir)(
       fingerprints(graft.sources.Tables.documents(s, dir))
-        .where(col("doc_id") % 10 =!= 3)
+        .where(col("doc_id") % 10 =!= 3 || col("doc_id") % 50 === 3)
         .select("fp").distinct())
 
-  /** The persisted ledger read BACK from storage. */
+  /** The persisted ledger read BACK from storage — through the same
+    * IO layer that wrote it (the d45 round-trip contract). */
   private[graft] def ingestLedger(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(ledgerPath(s, dir))
+    graft.sources.IO.readParquet(s, ledgerPath(s, dir))
 
   /** Connected components over an undirected pair frame
     * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
@@ -664,17 +673,18 @@ object Curation {
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the ledger CTE mirrors the Scratch-materialized previous
-    // snapshot (deciles ≠ 3, distinct content hashes) verbatim
+    // snapshot (deciles ≠ 3 plus the ≡3 mod 50 "known body, new id"
+    // overlap, distinct md5 fingerprints) verbatim
     "d49_incremental_ingest" ->
-      s"""WITH ledger AS (
-         |  SELECT DISTINCT ${Corpus.hash32Sql("text")} AS fp
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 3)
-         |SELECT doc_id, ${Corpus.hash32Sql("text")} AS fp
-         |FROM documents d
-         |WHERE text IS NOT NULL
-         |  AND NOT EXISTS (SELECT 1 FROM ledger l
-         |                  WHERE l.fp = ${Corpus.hash32Sql("d.text")})
-         |ORDER BY doc_id""".stripMargin,
+      """WITH ledger AS (
+        |  SELECT DISTINCT md5(text) AS fp
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND (doc_id % 10 <> 3 OR doc_id % 50 = 3))
+        |SELECT doc_id, md5(text) AS fp
+        |FROM documents d
+        |WHERE text IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM ledger l WHERE l.fp = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
 
     "d39_seq_pack" -> (Corpus.docsCte +
       """, toks AS (
