@@ -185,6 +185,16 @@ object Curation {
   private[graft] def ingestLedger(s: SparkSession, dir: String): DataFrame =
     graft.sources.IO.readParquet(s, ledgerPath(s, dir))
 
+  /** Post-run ledger update closing the ingest loop: the previous
+    * ledger plus the increment's fingerprints, distinct — the artifact
+    * the NEXT run lists before ingesting. Re-running the same snapshot
+    * against the updated ledger yields an EMPTY increment (the
+    * convergence property spec-pins), which is what makes the whole
+    * pipeline idempotent under retry: a crashed run that re-drives
+    * the same snapshot re-processes only what never landed. */
+  private[graft] def updatedLedger(ledger: DataFrame, increment: DataFrame): DataFrame =
+    ledger.union(increment.select("fp")).distinct()
+
   /** Connected components over an undirected pair frame
     * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
     * is the component's minimum member id. The d24 clustering runs on

@@ -294,6 +294,18 @@ class OperatorSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L))
   }
 
+  test("d49 converges: once the ledger absorbs the increment, nothing is new") {
+    // the retry/idempotence property a re-driven ingest relies on
+    import graft.operators.Curation
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ledger = Curation.ingestLedger(spark, sf)
+    val increment = Curation.incrementalIngest(docs, ledger)
+    assert(increment.count() > 0)
+    val converged = Curation.incrementalIngest(
+      docs, Curation.updatedLedger(ledger, increment))
+    assert(converged.isEmpty)
+  }
+
   test("d14's tolerant path quarantines NOTHING on the clean corpus") {
     // d14 filters to ok rows, so a pack/decode regression would
     // otherwise surface only as an oracle row-count diff — this keeps
