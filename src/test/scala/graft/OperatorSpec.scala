@@ -278,6 +278,28 @@ class OperatorSpec extends SparkSpec {
       (4L, 0L, 200L), (4L, 1L, 200L), (4L, 2L, 200L), (4L, 3L, 97L)))
   }
 
+  test("d48 chunk ledger matches the pure reference for every length 0-600 and beyond") {
+    // property form of the geometry test: one Spark job over every
+    // length in 0..600 (covers 0-4 chunks and both boundary sides of
+    // each stride) plus stride-straddling giants; equality against a
+    // pure-Scala reference ledger pins coverage, overlap and tail
+    // behavior for ALL of them at once
+    import spark.implicits._
+    import graft.operators.Curation.{chunkChars, chunkStride}
+    val lengths = (0 to 600) ++ Seq(1999, 2000, 2001, 4096)
+    val docs = lengths.map(l => (l.toLong, "x" * l)).toDF("doc_id", "text")
+    val got = graft.operators.Curation.chunkDocs(docs)
+      .select("doc_id", "chunk_idx", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = lengths.flatMap { l =>
+      (1 to math.max(l, 1) by chunkStride).map { st =>
+        (l.toLong, ((st - 1) / chunkStride).toLong,
+          math.max(0, math.min(chunkChars, l - st + 1)).toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("d49 increment is content-addressed, not id-addressed") {
     // id 2 is NEW but its body is already in the ledger -> skipped;
     // id 3 carries new content -> kept; a null body never fingerprints
