@@ -18,18 +18,29 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos-since-epoch (legacy nanosAsLong conf — set HERE as a session
-    * side effect, and defensively in [[graft.GraftSession.configure]])
-    * and truncate to microseconds — the same µs truncation DuckDB
-    * applies when reading ns parquet, so both engines see identical
-    * timestamps. Any new code path reading events.parquet must go
-    * through this loader. */
+  /** `events.ts` has shipped in two physical layouts: nanosecond-precision
+    * parquet (which Spark's vectorized reader rejects outright,
+    * [PARQUET_TYPE_ILLEGAL] — read as raw nanos-since-epoch via the legacy
+    * nanosAsLong conf and truncated to µs, matching DuckDB's own µs
+    * truncation of ns parquet) and plain microsecond timestamps (read
+    * directly). Dispatch on the decoded type of `ts`: with nanosAsLong set,
+    * a ns file surfaces as LongType and a µs file as TimestampType, so the
+    * branch is unambiguous. Any new code path reading events.parquet must
+    * go through this loader. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs file without UTC adjustment decodes as NTZ; downstream
+        // operators (unix_micros, watermarks) need ltz TIMESTAMP. Under
+        // the UTC session timezone this cast is instant-preserving and
+        // matches DuckDB's naive-timestamp reading of the same file.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

@@ -21,7 +21,7 @@ import graft.functions._
   */
 object EventStream {
 
-  /** Parquet schema of the events table with ns-timestamps read as
+  /** Parquet schema of the LEGACY events layout: ns-timestamps read as
     * raw longs (see [[graft.sources.Tables.events]]). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -31,9 +31,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Normalize a raw events frame (batch or stream): ns→µs timestamps. */
+  /** Schema of the current events layout: plain µs timestamps without
+    * UTC adjustment (decodes as NTZ; [[normalize]] casts to ltz). */
+  val usSchema: StructType = StructType(
+    rawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** Normalize a raw events frame (batch or stream): legacy ns-long
+    * `ts` → µs timestamp; NTZ `ts` → ltz (instant-preserving under the
+    * UTC session timezone); already-ltz `ts` passes through. */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
 
   /** Tumbling 1-hour window aggregation with a 1-hour watermark —
     * identical semantics in batch (where the watermark is a no-op). */
@@ -200,12 +212,19 @@ object EventStream {
     closed.result().iterator
   }
 
-  /** File-source stream over a testdata dir (ns ts read as long). */
+  /** File-source stream over a testdata dir. Streaming sources need the
+    * schema declared up front, so probe the file's decoded layout with a
+    * batch footer read (LongType ts = legacy ns file, TimestampType =
+    * current µs file) and declare the matching schema. */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+      case LongType => rawSchema
+      case _        => usSchema
+    }
     // file-stream sources need a directory; glob-filter to the events
     // table inside the sf dir
-    normalize(s.readStream.schema(rawSchema)
+    normalize(s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
   }
