@@ -76,7 +76,12 @@ object Corpus {
     * vector kernel downstream would re-emit its per-element null branch
     * (see [[graft.functions.LongVecKernel.mayContainNullElems]]). */
   def qvecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    qvecsOf(Tables.embeddings(s, dir))
+
+  /** Same quantization over ANY frame with (vec_id, embedding) — the
+    * streaming twin (s17) applies it to the arriving vector feed. */
+  def qvecsOf(df: DataFrame): DataFrame =
+    df
       .withColumn("q", expr(
         "transform(embedding, e -> coalesce(CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG), CAST(0 AS LONG)))"))
       .withColumn("norm2", expr(

@@ -102,6 +102,86 @@ object Similarity {
         col("top2.d1").as("dist1"))
   }
 
+  /** One deterministic k-means refinement of the ⌈√n⌉ seed centroids:
+    * per-dim floor(mean) over each cell's assigned members — exact
+    * integer math in both engines (the d15 refinement, extracted so the
+    * persisted-index build shares it verbatim). Output: (c, cv). */
+  private[graft] def refinedCents(s: SparkSession, q: DataFrame, n: Long): DataFrame =
+    assignTop2(q, centroids(s, ivfCells(n)))
+      .select(col("vec_id"), col("cell1").as("cell"), col("q"))
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
+      .groupBy("cell", "pos")
+      .agg(floor(sum(col("comp")).cast("double") / count(lit(1))).cast("long").as("cmp"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
+      .select(col("cell").as("c"), col("cv"))
+
+  /** IVF search core, shared by d15 (in-memory index) and d50 (persisted
+    * index): `probe` rows (vec_id, q, norm2, cell1, cell2) explode into
+    * their nprobe=2 cells and equi-join `data` rows (vec_id, cell, q,
+    * norm2) per cell; intra-cell top-3 runs on TopKPerGroup (x04) so the
+    * partial prunes the pair stream to ≤3 rows per query per partition
+    * BEFORE the rank exchange. A pair can meet in at most one cell
+    * (data lives in exactly one), so no dedup is needed. */
+  private[graft] def ivfTopK(probe: DataFrame, data: DataFrame): DataFrame = {
+    val a = probe
+      .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
+        explode(array(col("cell1"), col("cell2"))).as("cell"))
+      .filter(col("cell") >= 0)
+    val b = data.select(col("vec_id").as("b_id"), col("cell"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot", DotLong(col("qa"), col("qb")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    graft.plans.TopK.perGroup(scored,
+        Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+      .select("a_id", "cell", "b_id", "rn", "cos")
+  }
+
+  /** Persisted ANN index, part 1: the refined centroid table (c, cv),
+    * built ONCE per (JVM, sf) through Scratch/IO — at 100 TB the index
+    * build is the nightly clustering job and every probe after it reads
+    * the artifact, never re-clusters. √n rows — trivially storable. */
+  private[graft] def annIndexCents(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_cents", dir) {
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      refinedCents(s, Corpus.qvecs(s, dir), n)
+    }
+
+  /** Persisted ANN index, part 2: the inverted lists — one row per
+    * vector (vec_id, cell, q, norm2), vectors stored INLINE in their
+    * cell's posting list exactly as FAISS IVF keeps codes in the list
+    * (the probe never has to join back to vector storage). At 100 TB
+    * this table is what you'd range-partition by `cell` on disk so a
+    * low-nprobe probe prunes to its cells' files; written unpartitioned
+    * here because √n directories of KB-files is the local-mode
+    * small-file anti-pattern. */
+  private[graft] def annIndexPostings(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_postings", dir) {
+      val cents = graft.sources.IO.readParquet(s, annIndexCents(s, dir))
+      assignTop2(Corpus.qvecs(s, dir), cents)
+        .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+    }
+
+  /** Re-establish the branch-free element contract after a parquet
+    * round-trip: array elements come back nominally nullable, which
+    * would make every vector kernel downstream re-emit its per-element
+    * null branch (same reasoning as [[Corpus.qvecs]]). */
+  private def denull(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, expr(s"transform($c, x -> coalesce(x, CAST(0 AS LONG)))"))
+
+  /** ANN routing — the stateless scatter step of a distributed ANN
+    * service, and the s17 streaming transform: each (arriving) query
+    * vector folds over the broadcast index centroids to its nprobe=2
+    * cells + nearest distance. Per-row projection, no state, no
+    * shuffle: the shard fan-out decision a router makes before the
+    * per-cell search (d50's join) runs shard-side. */
+  private[graft] def annRoute(cents: DataFrame)(queries: DataFrame): DataFrame =
+    assignTop2(queries, denull(cents, "cv"))
+      .select("vec_id", "cell1", "cell2", "dist1")
+
   /** Held-out fixture bound for d42's benchmark slice: vec_id <
     * [[BenchIdCap]] ∧ vec_id % 10 = 0 selects AT MOST 100 vectors no
     * matter how large the corpus grows — the fixture stands in for the
@@ -360,47 +440,41 @@ object Similarity {
     "d15_ann_ivf" -> { (s, dir) =>
       val q = Corpus.qvecs(s, dir)
       val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val assign0 = assignTop2(q, centroids(s, ivfCells(n)))
-        .select(col("vec_id"), col("cell1").as("cell"), col("q"))
-      val cents1 = assign0
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
-        .groupBy("cell", "pos")
-        .agg(floor(sum(col("comp")).cast("double") / count(lit(1))).cast("long").as("cmp"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
-        .select(col("cell").as("c"), col("cv"))
-        // lazy materialize-once: cents1 (√n rows) feeds BOTH sides of
-        // the final cell self-join, and exchange reuse is not
-        // guaranteed across the two differently-shaped consumers —
-        // without this the whole refinement subtree (embeddings scan +
-        // fold + per-cell aggregates) executes twice (measured: 4
-        // scans). persist (not localCheckpoint) keeps the lineage, so
-        // losing an executor on a real cluster recomputes the cached
-        // partitions instead of failing the query.
+      // lazy materialize-once: cents1 (√n rows) feeds BOTH sides of
+      // the final cell self-join, and exchange reuse is not
+      // guaranteed across the two differently-shaped consumers —
+      // without this the whole refinement subtree (embeddings scan +
+      // fold + per-cell aggregates) executes twice (measured: 4
+      // scans). persist (not localCheckpoint) keeps the lineage, so
+      // losing an executor on a real cluster recomputes the cached
+      // partitions instead of failing the query.
+      val cents1 = refinedCents(s, q, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // same materialize-once reasoning one level up: the refined
-      // assignment feeds BOTH sides of the cell equi-join below (the
-      // probe explode and the data side), whose exchanges differ in
-      // shape — without this the embeddings scan + fold run twice.
+      // assignment feeds BOTH sides of the cell equi-join (the probe
+      // explode and the data side), whose exchanges differ in shape —
+      // without this the embeddings scan + fold run twice.
       val ass = assignTop2(q, cents1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = ass
-        .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
-          explode(array(col("cell1"), col("cell2"))).as("cell"))
-        .filter(col("cell") >= 0)
-      val b = ass.select(col("vec_id").as("b_id"), col("cell1").as("cell"),
-        col("q").as("qb"), col("norm2").as("nb"))
-      // intra-cell top-3 via TopKPerGroup (x04): the partial prunes the
-      // cell-join pair stream to ≤3 rows per query per partition before
-      // the rank exchange — no sort-window over the crossed stream.
-      val scored = a.join(b, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("dot", DotLong(col("qa"), col("qb")))
-        .withColumn("cos",
-          col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      graft.plans.TopK.perGroup(scored,
-          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
-        .select("a_id", "cell", "b_id", "rn", "cos")
+      ivfTopK(ass, ass.select(col("vec_id"), col("cell1").as("cell"),
+          col("q"), col("norm2")))
+        .orderBy("a_id", "rn")
+    },
+
+    // IVF probe against the PERSISTED index — the build-once/probe-many
+    // split d15 demonstrates in one plan: the expensive clustering (the
+    // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
+    // measured plan reads the artifact back — refined centroids route
+    // the query side (broadcast fold), inverted lists with INLINE
+    // vectors serve the cell join (no join back to vector storage,
+    // the FAISS IVF layout). Output ≡ d15 row-for-row (shared oracle):
+    // the index is exact state, not an approximation of it.
+    "d50_ann_index_probe" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      ivfTopK(assignTop2(Corpus.qvecs(s, dir), cents), post)
         .orderBy("a_id", "rn")
     },
 
@@ -496,7 +570,45 @@ object Similarity {
     }
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Shared DuckDB CTE chain for every IVF-family oracle: quantized
+    * vectors (qtab) + ⌈√n⌉ seed centroids + the one deterministic
+    * k-means refinement — `cents1` is exactly the persisted index's
+    * centroid table. */
+  private def ivfCents1Cte: String =
+    Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+      s""", assign0 AS (
+         |  SELECT vec_id, c AS cell, q FROM (
+         |    SELECT q.vec_id, ce.c, q.q,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1
+         |),
+         |comps AS (
+         |  SELECT cell, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
+         |  FROM assign0, UNNEST(range(1, 65)) t(pos)
+         |  GROUP BY cell, pos
+         |),
+         |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell)""".stripMargin
+
+  /** s17's DuckDB twin: the routing decision (nprobe=2 cells + nearest
+    * distance) per vector, probed against the index centroid table. */
+  private[graft] def annRouteSql: String =
+    ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c,
+         |    ${duckSqDist.format("q.q", "ce.cv")} AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce)
+         |SELECT vec_id,
+         |  max(CASE WHEN rn = 1 THEN c END) AS cell1,
+         |  max(CASE WHEN rn = 2 THEN c END) AS cell2,
+         |  max(CASE WHEN rn = 1 THEN d END) AS dist1
+         |FROM ranked WHERE rn <= 2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private val oracle0: Map[String, String] = Map(
     "d06_cosine_topk" -> (Corpus.qtabCte +
       s"""SELECT a_id, b_id, rn, cos FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -571,23 +683,8 @@ object Similarity {
          |  FROM qtab q CROSS JOIN cents ce) t
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin),
 
-    "d15_ann_ivf" -> (Corpus.qtabCte + ", " +
-      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
-      s""", assign0 AS (
-         |  SELECT vec_id, c AS cell, q FROM (
-         |    SELECT q.vec_id, ce.c, q.q,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |    FROM qtab q CROSS JOIN cents ce) t
-         |  WHERE rn = 1
-         |),
-         |comps AS (
-         |  SELECT cell, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
-         |  FROM assign0, UNNEST(range(1, 65)) t(pos)
-         |  GROUP BY cell, pos
-         |),
-         |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell),
-         |ranked AS (
+    "d15_ann_ivf" -> (ivfCents1Cte +
+      s""", ranked AS (
          |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
          |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
@@ -670,4 +767,9 @@ object Similarity {
          |    / (CAST(sum(n_vecs) AS DOUBLE) / count(1)) AS skew
          |FROM sizes""".stripMargin)
   )
+
+  /** d50 reads the persisted index back, but the index IS the exact
+    * d15 intermediate state, so the oracle is d15's verbatim. */
+  val oracle: Map[String, String] =
+    oracle0 + ("d50_ann_index_probe" -> oracle0("d15_ann_ivf"))
 }

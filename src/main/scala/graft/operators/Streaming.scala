@@ -152,6 +152,20 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming ANN routing — the scatter step of a distributed ANN
+    // service run as queries ARRIVE: each vector folds over the
+    // broadcast PERSISTED index centroids (d50's artifact, read back
+    // from storage) to its nprobe=2 cells + nearest distance.
+    // Stateless per-row (no watermark, no state store, no shuffle);
+    // the per-cell search runs shard-side (d50's cell join) — a router
+    // only decides WHERE each query goes. Stream ≡ batch proven in
+    // VecStreamSpec.
+    "s17_stream_ann_route" -> { (s, dir) =>
+      val cents = graft.sources.IO.readParquet(s, Similarity.annIndexCents(s, dir))
+      Similarity.annRoute(cents)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("vec_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -261,6 +275,11 @@ object Streaming {
     // the streaming freshen gate is the d49 transform verbatim
     // (stream-static anti-join against the same persisted ledger)
     "s16_stream_ingest" -> Curation.oracle("d49_incremental_ingest"),
+
+    // the routing decision probed against the index centroid table —
+    // the SQL rebuilds cents1 exactly (the persisted index is exact
+    // state, same sharing rationale as d50 ← d15)
+    "s17_stream_ann_route" -> Similarity.annRouteSql,
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

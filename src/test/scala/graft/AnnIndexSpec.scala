@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.Corpus
+import graft.operators.Similarity
+import graft.sources.{IO, Stats}
+import graft.streaming.VecStream
+
+/** The persisted ANN index (d50/s17): the index artifact must be the
+  * EXACT clustering state (not an approximation), the probe over the
+  * read-back artifact must reproduce d15 row-for-row, and the routing
+  * transform must stream. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("index read-back equals the in-memory build (the artifact IS the index)") {
+    val q = Corpus.qvecs(spark, sf)
+    val n = Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    val centsRB = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val centsMem = Similarity.refinedCents(spark, q, n)
+    assert(rows(centsRB.orderBy("c")) == rows(centsMem.orderBy("c")),
+      "read-back centroid table diverges from the in-memory refinement")
+    val postRB = IO.readParquet(spark, Similarity.annIndexPostings(spark, sf))
+    assert(postRB.columns.toSeq == Seq("vec_id", "cell", "q", "norm2"),
+      s"postings schema: ${postRB.columns.mkString(",")}")
+    assert(postRB.count() == n, "postings must hold every vector exactly once")
+  }
+
+  test("d50 probe over the persisted index equals d15 computed in-memory") {
+    val d15 = rows(SparkEntry.queries("d15_ann_ivf")(spark, sf))
+    val d50 = rows(SparkEntry.queries("d50_ann_index_probe")(spark, sf))
+    assert(d50 == d15, "persisted-index probe diverges from the in-memory IVF")
+  }
+
+  test("streaming ANN routing (s17) equals the batch routing") {
+    val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val q = VecStream.runToMemory(spark, sf, "graft_s17_test",
+      df => Similarity.annRoute(cents)(Corpus.qvecsOf(df)))
+    q.awaitTermination(120000)
+    val streamed = rows(spark.table("graft_s17_test").orderBy("vec_id"))
+    val batch = rows(SparkEntry.queries("s17_stream_ann_route")(spark, sf))
+    assert(streamed == batch, "streamed routing diverges from batch routing")
+  }
+}

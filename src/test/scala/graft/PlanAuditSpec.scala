@@ -114,7 +114,11 @@ class PlanAuditSpec extends SparkSpec {
       // d49's final plan anti-joins ONE corpus fingerprint scan
       // against the ledger read-back (the Scratch write, like d45's,
       // is construction-time)
-      "d49_incremental_ingest" -> (1, 0))
+      "d49_incremental_ingest" -> (1, 0),
+      // d50's measured plan: ONE embeddings scan (the query side) —
+      // the clustering ran inside the construction-time Scratch index
+      // build; centroids + postings are read back from the artifact
+      "d50_ann_index_probe" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -228,7 +232,10 @@ class PlanAuditSpec extends SparkSpec {
       "s13_stream_decon" -> Map("documents" -> 2),
       "s14_stream_quarantine" -> Map("documents" -> 1),
       "s15_stream_dims" -> Map("documents" -> 1),
-      "s16_stream_ingest" -> Map("documents" -> 1))
+      "s16_stream_ingest" -> Map("documents" -> 1),
+      // s17 routes ONE embeddings pass against the index-centroid
+      // read-back (the index build, like d45/d50, is construction-time)
+      "s17_stream_ann_route" -> Map("embeddings" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
