@@ -16,4 +16,9 @@ for sf in 0.01 0.1; do
     2>/dev/null | grep '^{' > "$tmp/sf$sf.json"
 done
 python3 "$(dirname "$0")/scaling_merge.py" "$tmp/sf0.01.json" "$tmp/sf0.1.json" > "$out"
-echo "[scaling] wrote $out" >&2
+# keep the raw per-SF bench lines next to the merged artifact: the
+# sf0.1 line doubles as the round's BENCH_local (bench_compare input)
+# without a second 30-minute bench run
+cp "$tmp/sf0.1.json" "${out%.json}_raw_sf0.1.json"
+cp "$tmp/sf0.01.json" "${out%.json}_raw_sf0.01.json"
+echo "[scaling] wrote $out (+ raw per-SF lines)" >&2
