@@ -562,6 +562,43 @@ object Curation {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("shard", "seq_id")
+    },
+
+    // Mix PLANNING — the aggregate-level dual of d23's per-doc
+    // application: given the corpus's actual per-source token shares
+    // and a target mix (md5-derived fixture weights standing in for
+    // the externally-chosen mixture a run would pass in), compute each
+    // source's sampling weight (target share / actual share) and epoch
+    // count (ceil(weight) — how many passes over an under-represented
+    // source a fixed-budget run schedules; DoReMi-style static
+    // planning). ONE corpus scan reduced map-side to a per-source
+    // aggregate bounded by the source domain; the totals row joins
+    // back as a broadcast singleton. The only float ops are the share
+    // divides and their ratio, IEEE-identical cross-engine; the
+    // planner's output is the config a weighted sampler (d23's shape)
+    // consumes at 100 TB.
+    "d51_mix_plan" -> { (s, dir) =>
+      val per = Corpus.docs(s, dir)
+        .select(col("source"), size(col("ws")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .withColumn("w_raw",
+          pmod(hash32(concat(lit("mixplan#"), col("source"))), lit(1000L)) + lit(1L))
+        // materialize-once: the per-source table (bounded by the source
+        // domain) feeds BOTH the totals aggregate and the final join —
+        // without this the corpus scan + token reduction run twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = per.agg(sum("n_tokens").as("tot_tokens"), sum("w_raw").as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("actual_frac",
+          col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+        .withColumn("target_frac",
+          col("w_raw").cast("double") / col("tot_w").cast("double"))
+        .withColumn("weight", col("target_frac") / col("actual_frac"))
+        .withColumn("epochs", ceil(col("weight")).cast("long"))
+        .select("source", "n_docs", "n_tokens", "actual_frac",
+          "target_frac", "weight", "epochs")
+        .orderBy("source")
     }
   )
 
@@ -711,6 +748,24 @@ object Curation {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM cums GROUP BY 1, 2
-        |ORDER BY shard, seq_id""".stripMargin)
+        |ORDER BY shard, seq_id""".stripMargin),
+
+    "d51_mix_plan" -> (Corpus.docsCte +
+      s""", per AS (
+         |  SELECT source, count(1) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+         |    (${Corpus.hash32Sql("'mixplan#' || source")} % 1000) + 1 AS w_raw
+         |  FROM docs GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |    CAST(sum(w_raw) AS BIGINT) AS tot_w FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_frac,
+         |  CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE) AS target_frac,
+         |  (CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS weight,
+         |  CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
   )
 }

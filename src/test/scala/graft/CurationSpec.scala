@@ -202,4 +202,28 @@ class CurationSpec extends SparkSpec {
     assert(residual == 0L, s"$residual docs still carry PII after redaction")
     assert(df.count() > 0)
   }
+
+  test("d51 mix plan: shares partition the corpus and the plan conserves the token budget") {
+    val rows = q("d51_mix_plan")
+      .select("n_tokens", "actual_frac", "target_frac", "weight", "epochs")
+      .collect()
+    assert(rows.nonEmpty)
+    val actualSum = rows.map(_.getDouble(1)).sum
+    val targetSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(actualSum - 1.0) < 1e-9, s"actual shares sum to $actualSum")
+    assert(math.abs(targetSum - 1.0) < 1e-9, s"target shares sum to $targetSum")
+    rows.foreach { r =>
+      val (target, actual, w, e) =
+        (r.getDouble(2), r.getDouble(1), r.getDouble(3), r.getLong(4))
+      assert(e == math.ceil(w).toLong && e >= 1L)
+      assert((w > 1.0) == (target > actual),
+        "upsampling iff the source is under-represented")
+    }
+    // conservation: Σ weight·n_tokens = Σ target_frac·total = total —
+    // the plan REDISTRIBUTES the token budget, it never grows it
+    val total = rows.map(_.getLong(0)).sum.toDouble
+    val planned = rows.map(r => r.getDouble(3) * r.getLong(0)).sum
+    assert(math.abs(planned - total) < 1e-6 * total,
+      s"planned tokens $planned vs budget $total")
+  }
 }

@@ -118,7 +118,10 @@ class PlanAuditSpec extends SparkSpec {
       // d50's measured plan: ONE embeddings scan (the query side) —
       // the clustering ran inside the construction-time Scratch index
       // build; centroids + postings are read back from the artifact
-      "d50_ann_index_probe" -> (0, 1))
+      "d50_ann_index_probe" -> (0, 1),
+      // d51: one corpus scan reduced to the persisted per-source table
+      // (totals agg + join both read the cached bounded relation)
+      "d51_mix_plan" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
