@@ -172,6 +172,56 @@ object Similarity {
   private def denull(df: DataFrame, c: String): DataFrame =
     df.withColumn(c, expr(s"transform($c, x -> coalesce(x, CAST(0 AS LONG)))"))
 
+  /** Fixture split for the INCREMENTAL index update (d52): the
+    * persisted snapshot index covers vec_id % 10 ≠ 3 (the corpus as of
+    * the last build); the arriving feed is vec_id % 4 = 1, which
+    * OVERLAPS the snapshot — 4 of every 5 arriving vectors are already
+    * indexed and must be skipped by the anti-join, exactly d49's
+    * already-present ratio in the vector domain. */
+  private[graft] val snapCond = "vec_id % 10 <> 3"
+  private[graft] val arrivingCond = "vec_id % 4 = 1"
+
+  /** Snapshot-index centroids: [[refinedCents]] over the snapshot
+    * subset only (its own ⌈√n_snap⌉ cell count — the law tracks the
+    * INDEXED population, not the feed). */
+  private[graft] def annSnapCents(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_snap_cents", dir) {
+      val snap = Corpus.qvecs(s, dir).filter(snapCond)
+      refinedCents(s, snap, snap.count())
+    }
+
+  /** Snapshot-index inverted lists (same layout as [[annIndexPostings]]). */
+  private[graft] def annSnapPostings(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_snap_postings", dir) {
+      val cents = graft.sources.IO.readParquet(s, annSnapCents(s, dir))
+      assignTop2(Corpus.qvecs(s, dir).filter(snapCond), denull(cents, "cv"))
+        .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+    }
+
+  /** Incremental index update: arriving vectors LEFT-ANTI-joined
+    * against the persisted inverted lists (only genuinely new ids pay
+    * anything downstream), routed to their cell against the broadcast
+    * snapshot centroids — the rows an index maintainer APPENDS. The
+    * corpus-sized postings never shuffle for this: the arriving side
+    * is the small one and the anti-join keys on vec_id. */
+  private[graft] def indexUpdate(arriving: DataFrame, postings: DataFrame,
+      cents: DataFrame): DataFrame =
+    annRoute(cents)(
+        arriving.join(postings.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .select(col("vec_id"), col("cell1").as("cell"), col("dist1"))
+
+  /** Post-update write-back closing the index-maintenance loop: the
+    * snapshot postings plus the increment's assignments — the artifact
+    * the NEXT update anti-joins against. Absorbing the increment makes
+    * a re-run of the same feed EMPTY (convergence spec-pinned in
+    * AnnIndexSpec) — retry-idempotent maintenance, the d49 ledger
+    * property in the vector domain. */
+  private[graft] def updatedPostings(postings: DataFrame, arriving: DataFrame,
+      increment: DataFrame): DataFrame =
+    postings.unionByName(
+      increment.select("vec_id", "cell")
+        .join(arriving.select("vec_id", "q", "norm2"), Seq("vec_id")))
+
   /** ANN routing — the stateless scatter step of a distributed ANN
     * service, and the s17 streaming transform: each (arriving) query
     * vector folds over the broadcast index centroids to its nprobe=2
@@ -478,6 +528,24 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
+    // INCREMENTAL index maintenance — d49's freshen decision applied
+    // to d50's artifact: the arriving vector feed LEFT-ANTI-joins the
+    // persisted inverted lists (already-indexed ids are skipped — 4 of
+    // every 5 here, by fixture), and only the genuinely new vectors
+    // are routed to their cell against the broadcast snapshot
+    // centroids. At 100 TB you append to the index artifact instead
+    // of re-clustering the corpus nightly; the postings side never
+    // shuffles for the update (anti-join on the small arriving side,
+    // cell routing is a per-row fold). Write-back + convergence
+    // (re-running an absorbed feed yields an EMPTY increment) are
+    // spec-pinned in AnnIndexSpec.
+    "d52_ann_index_update" -> { (s, dir) =>
+      val cents = graft.sources.IO.readParquet(s, annSnapCents(s, dir))
+      val post = graft.sources.IO.readParquet(s, annSnapPostings(s, dir))
+      indexUpdate(Corpus.qvecs(s, dir).filter(arrivingCond), post, cents)
+        .orderBy("vec_id")
+    },
+
     // Semantic dedup (SemDeDup-style: Abbas et al. 2023): cluster the
     // embedding space, pick one representative per cluster (min
     // vec_id), drop members whose cosine to their representative
@@ -570,19 +638,18 @@ object Similarity {
     }
   )
 
-  /** Shared DuckDB CTE chain for every IVF-family oracle: quantized
-    * vectors (qtab) + ⌈√n⌉ seed centroids + the one deterministic
-    * k-means refinement — `cents1` is exactly the persisted index's
-    * centroid table. */
-  private def ivfCents1Cte: String =
-    Corpus.qtabCte + ", " +
-      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+  /** DuckDB CTE chain for the IVF-family oracles, parametrized by the
+    * vector population `src` being indexed: ⌈√|src|⌉ seed centroids +
+    * the one deterministic k-means refinement — `cents1` is exactly
+    * the persisted index's centroid table over that population. */
+  private def ivfCents1CteFrom(src: String): String =
+    centsSqlFrom(s"(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM $src)") +
       s""", assign0 AS (
          |  SELECT vec_id, c AS cell, q FROM (
          |    SELECT q.vec_id, ce.c, q.q,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
          |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |    FROM qtab q CROSS JOIN cents ce) t
+         |    FROM $src q CROSS JOIN cents ce) t
          |  WHERE rn = 1
          |),
          |comps AS (
@@ -591,6 +658,10 @@ object Similarity {
          |  GROUP BY cell, pos
          |),
          |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell)""".stripMargin
+
+  /** The full-corpus instance (d15/d50/s17 oracles). */
+  private def ivfCents1Cte: String =
+    Corpus.qtabCte + ", " + ivfCents1CteFrom("qtab")
 
   /** s17's DuckDB twin: the routing decision (nprobe=2 cells + nearest
     * distance) per vector, probed against the index centroid table. */
@@ -768,8 +839,29 @@ object Similarity {
          |FROM sizes""".stripMargin)
   )
 
+  /** d52's DuckDB twin: rebuild the SNAPSHOT index's centroid table
+    * (the persisted artifact is exact state) and route the new-only
+    * arrivals — snapshot membership is id-determined, so the anti-join
+    * collapses to the complementary id condition. */
+  private def indexUpdateSql: String =
+    Corpus.qtabCte +
+      s", snap AS (SELECT * FROM qtab WHERE $snapCond), " +
+      ivfCents1CteFrom("snap") +
+      s""", arrivals AS (
+         |  SELECT * FROM qtab WHERE ($arrivingCond) AND NOT ($snapCond)),
+         |ranked AS (
+         |  SELECT q.vec_id, ce.c,
+         |    ${duckSqDist.format("q.q", "ce.cv")} AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM arrivals q CROSS JOIN cents1 ce)
+         |SELECT vec_id, c AS cell, d AS dist1
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** d50 reads the persisted index back, but the index IS the exact
     * d15 intermediate state, so the oracle is d15's verbatim. */
   val oracle: Map[String, String] =
-    oracle0 + ("d50_ann_index_probe" -> oracle0("d15_ann_ivf"))
+    oracle0 +
+      ("d50_ann_index_probe" -> oracle0("d15_ann_ivf")) +
+      ("d52_ann_index_update" -> indexUpdateSql)
 }

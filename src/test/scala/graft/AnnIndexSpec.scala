@@ -35,6 +35,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(d50 == d15, "persisted-index probe diverges from the in-memory IVF")
   }
 
+  test("d52 update appends exactly the new ids, and absorbing it converges") {
+    val arriving = Corpus.qvecsOf(
+      graft.sources.Tables.embeddings(spark, sf)).filter(Similarity.arrivingCond)
+    val post = IO.readParquet(spark, Similarity.annSnapPostings(spark, sf))
+    val cents = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
+    val inc = Similarity.indexUpdate(arriving, post, cents)
+    // the increment is exactly the arriving ids absent from the index
+    val expectedNew = arriving.join(post.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gotNew = inc.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotNew == expectedNew, "increment ids diverge from the anti-join set")
+    assert(gotNew.nonEmpty, "fixture must produce a non-empty increment")
+    // already-indexed arrivals were skipped (the fixture overlaps by design)
+    val overlap = arriving.join(post.select("vec_id"), Seq("vec_id"))
+      .count()
+    assert(overlap > 0, "fixture must overlap the snapshot index")
+    // convergence: once the postings absorb the increment, re-running
+    // the SAME feed yields an empty increment — retry idempotence
+    val absorbed = Similarity.updatedPostings(post, arriving, inc)
+    assert(Similarity.indexUpdate(arriving, absorbed, cents).isEmpty,
+      "re-running an absorbed feed must yield an empty increment")
+    // the absorbed artifact keeps the postings layout
+    assert(absorbed.columns.toSeq == post.columns.toSeq)
+  }
+
   test("streaming ANN routing (s17) equals the batch routing") {
     val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
     val q = VecStream.runToMemory(spark, sf, "graft_s17_test",

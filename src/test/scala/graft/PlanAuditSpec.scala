@@ -121,7 +121,10 @@ class PlanAuditSpec extends SparkSpec {
       "d50_ann_index_probe" -> (0, 1),
       // d51: one corpus scan reduced to the persisted per-source table
       // (totals agg + join both read the cached bounded relation)
-      "d51_mix_plan" -> (1, 0))
+      "d51_mix_plan" -> (1, 0),
+      // d52: ONE embeddings scan (the arriving feed) anti-joined
+      // against the snapshot-index read-back (built construction-time)
+      "d52_ann_index_update" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
