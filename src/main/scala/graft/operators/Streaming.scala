@@ -166,6 +166,24 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Streaming index maintenance — the d52 freshen decision made as
+    // vectors ARRIVE: each micro-batch stream-static LEFT-ANTI-joins
+    // its ids against the persisted inverted lists (the static side IS
+    // the state, living in parquet, not the state store — the s16
+    // shape in the vector domain) and routes only the genuinely new
+    // vectors against the broadcast snapshot centroids. Stateless
+    // append mode; backfill and live feed run the SAME transform.
+    // Output contract ≡ d52 (shared transform + oracle); stream ≡
+    // batch proven in AnnIndexSpec.
+    "s18_stream_index_update" -> { (s, dir) =>
+      val cents = graft.sources.IO.readParquet(s, Similarity.annSnapCents(s, dir))
+      val post = graft.sources.IO.readParquet(s, Similarity.annSnapPostings(s, dir))
+      Similarity.indexUpdate(
+          graft.model.Corpus.qvecs(s, dir).filter(Similarity.arrivingCond),
+          post, cents)
+        .orderBy("vec_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -280,6 +298,10 @@ object Streaming {
     // the SQL rebuilds cents1 exactly (the persisted index is exact
     // state, same sharing rationale as d50 ← d15)
     "s17_stream_ann_route" -> Similarity.annRouteSql,
+
+    // the streaming freshen gate is the d52 transform verbatim
+    // (stream-static anti-join against the same persisted index)
+    "s18_stream_index_update" -> Similarity.oracle("d52_ann_index_update"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

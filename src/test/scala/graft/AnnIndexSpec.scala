@@ -69,4 +69,16 @@ class AnnIndexSpec extends SparkSpec {
     val batch = rows(SparkEntry.queries("s17_stream_ann_route")(spark, sf))
     assert(streamed == batch, "streamed routing diverges from batch routing")
   }
+
+  test("streaming index update (s18) equals the batch update") {
+    val cents = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
+    val post = IO.readParquet(spark, Similarity.annSnapPostings(spark, sf))
+    val q = VecStream.runToMemory(spark, sf, "graft_s18_test",
+      df => Similarity.indexUpdate(
+        Corpus.qvecsOf(df).filter(Similarity.arrivingCond), post, cents))
+    q.awaitTermination(120000)
+    val streamed = rows(spark.table("graft_s18_test").orderBy("vec_id"))
+    val batch = rows(SparkEntry.queries("s18_stream_index_update")(spark, sf))
+    assert(streamed == batch, "streamed index update diverges from batch update")
+  }
 }

@@ -241,7 +241,10 @@ class PlanAuditSpec extends SparkSpec {
       "s16_stream_ingest" -> Map("documents" -> 1),
       // s17 routes ONE embeddings pass against the index-centroid
       // read-back (the index build, like d45/d50, is construction-time)
-      "s17_stream_ann_route" -> Map("embeddings" -> 1))
+      "s17_stream_ann_route" -> Map("embeddings" -> 1),
+      // s18: ONE embeddings pass (the arriving feed) anti-joined
+      // against the snapshot-index read-back, as d52
+      "s18_stream_index_update" -> Map("embeddings" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
