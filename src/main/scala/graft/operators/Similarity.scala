@@ -165,6 +165,30 @@ object Similarity {
         .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
     }
 
+  /** Persisted SQ8-COMPRESSED inverted lists (d53) — d32's max-abs
+    * int8 quantization applied to the INDEX artifact, the FAISS
+    * IVF-SQ8 layout: each posting stores 1-byte codes (`array<tinyint>`
+    * in parquet — the real 8× cut vs the long grid, the difference
+    * between a 100 TB and a 12 TB index) plus its code norm `n8` and
+    * the per-vector `scale`. Cosine search never needs the scale —
+    * it cancels out of dot/(‖a‖·‖b̂‖) because b̂ = q8·scale/127 — so
+    * the probe touches only codes + norms; scale is kept for the
+    * reconstruction path a re-ranker would use. Derived ONCE from the
+    * full-precision postings (same cells: quantization compresses
+    * storage, never re-routes). */
+  private[graft] def annIndexSq8(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_sq8", dir) {
+      denull(graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .withColumn("scale", greatest(
+          expr("aggregate(q, CAST(0 AS LONG), (acc, x) -> greatest(acc, abs(x)))"),
+          lit(1L)))
+        .withColumn("q8", expr(
+          "transform(q, x -> CAST(round(CAST(127 * x AS DOUBLE) / scale) AS TINYINT))"))
+        .withColumn("n8", expr(
+          "aggregate(q8, CAST(0 AS LONG), (acc, x) -> acc + CAST(x AS LONG) * CAST(x AS LONG))"))
+        .select("vec_id", "cell", "q8", "n8", "scale")
+    }
+
   /** Re-establish the branch-free element contract after a parquet
     * round-trip: array elements come back nominally nullable, which
     * would make every vector kernel downstream re-emit its per-element
@@ -528,6 +552,40 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
+    // SQ8 ADC probe over the COMPRESSED persisted index — the serving
+    // configuration a 100 TB deployment actually runs: postings hold
+    // 1-byte codes (8× smaller than the long grid → 8× more index per
+    // executor-memory GB, 8× less scan IO per probe), queries stay
+    // FULL precision (asymmetric distance computation, the FAISS ADC
+    // scheme — quantize only what must be stored). The per-vector
+    // max-abs scale CANCELS out of cosine (b̂ = q8·scale/127 on both
+    // sides of dot/norm), so cos8 = Σ(qa·q8b)/(√na·√n8b) is a quotient
+    // of exact longs — bit-stable cross-engine, no reconstruction
+    // multiply in the hot loop. Same routing, same cell join, same
+    // TopKPerGroup pruning as d50; only the posting payload changes.
+    "d53_sq8_probe" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val post8 = graft.sources.IO.readParquet(s, annIndexSq8(s, dir))
+        .select(col("vec_id").as("b_id"), col("cell"),
+          expr("transform(q8, x -> CAST(coalesce(x, CAST(0 AS TINYINT)) AS LONG))").as("q8l"),
+          col("n8").as("n8b"))
+      val a = assignTop2(Corpus.qvecs(s, dir), cents)
+        .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+        .filter(col("cell") >= 0)
+      val scored = a.join(post8, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("dot8", DotLong(col("qa"), col("q8l")))
+        .withColumn("cos8",
+          col("dot8").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("n8b").cast("double"))))
+      graft.plans.TopK.perGroup(scored,
+          Seq("a_id"), Seq(("cos8", true), ("b_id", false)), k = 3, rankName = "rn")
+        .select("a_id", "cell", "b_id", "rn", "cos8")
+        .orderBy("a_id", "rn")
+    },
+
     // INCREMENTAL index maintenance — d49's freshen decision applied
     // to d50's artifact: the arriving vector feed LEFT-ANTI-joins the
     // persisted inverted lists (already-indexed ids are skipped — 4 of
@@ -858,10 +916,48 @@ object Similarity {
          |SELECT vec_id, c AS cell, d AS dist1
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** d53's DuckDB twin: rebuild the index state (cents1 + assignment),
+    * apply d32's max-abs int8 quantization to the POSTING side only,
+    * and score probes asymmetrically (full-precision query dot int8
+    * codes; the per-vector scale cancels out of the cosine). */
+  private def sq8ProbeSql: String =
+    ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce
+         |),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
+         |sc8 AS (
+         |  SELECT vec_id, cell, q,
+         |    greatest(CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT), 1) AS scale
+         |  FROM assigned),
+         |codes AS (
+         |  SELECT vec_id, cell,
+         |    list_transform(q, x -> CAST(round(CAST(127 * x AS DOUBLE) / scale) AS BIGINT)) AS q8
+         |  FROM sc8),
+         |post8 AS (
+         |  SELECT vec_id, cell, q8,
+         |    CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS n8
+         |  FROM codes)
+         |SELECT a_id, cell, b_id, rn, cos8 FROM (
+         |  SELECT a.vec_id AS a_id, a.cell AS cell, b.vec_id AS b_id,
+         |    CAST(${duckDot.format("a.q", "b.q8")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.n8 AS DOUBLE))) AS cos8,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(${duckDot.format("a.q", "b.q8")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.n8 AS DOUBLE))) DESC,
+         |      b.vec_id ASC) AS rn
+         |  FROM probes a JOIN post8 b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+
   /** d50 reads the persisted index back, but the index IS the exact
     * d15 intermediate state, so the oracle is d15's verbatim. */
   val oracle: Map[String, String] =
     oracle0 +
       ("d50_ann_index_probe" -> oracle0("d15_ann_ivf")) +
-      ("d52_ann_index_update" -> indexUpdateSql)
+      ("d52_ann_index_update" -> indexUpdateSql) +
+      ("d53_sq8_probe" -> sq8ProbeSql)
 }

@@ -124,7 +124,11 @@ class PlanAuditSpec extends SparkSpec {
       "d51_mix_plan" -> (1, 0),
       // d52: ONE embeddings scan (the arriving feed) anti-joined
       // against the snapshot-index read-back (built construction-time)
-      "d52_ann_index_update" -> (0, 1))
+      "d52_ann_index_update" -> (0, 1),
+      // d53: ONE embeddings scan (the query side) — both the index
+      // build and its SQ8 compression are construction-time Scratch
+      // artifacts; the measured plan reads codes + centroids back
+      "d53_sq8_probe" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
