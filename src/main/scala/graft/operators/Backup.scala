@@ -384,6 +384,40 @@ object Backup {
         .orderBy("node_id", "object_key")
     },
 
+    // Small-object compaction planning — the batching dual of b09's
+    // multipart SPLIT: where b09 cuts big files into chunk-sized
+    // parts, this bins a snapshot's many SMALL objects into
+    // ~target-size transfer groups (Cassandra emits thousands of
+    // KB-scale SSTable components per table; fetching them one
+    // request at a time is the small-files problem — esop batches
+    // work per entity the same way a Spark OPTIMIZE job bin-packs
+    // files). Greedy sequential fill in deterministic key order:
+    // bin = (running size BEFORE this file) div target, so a file
+    // that crosses the boundary closes its bin — every bin reaches
+    // ≥target except the last per group, and assignment is a pure
+    // window + integer division (exact cents, no float). The window
+    // partitions by (node, keyspace, table) — exactly how a real
+    // compaction scopes, so groups parallelize across the fleet and
+    // no global sort exists at any scale.
+    "b32_compaction_plan" -> { (s, dir) =>
+      val targetCents = 50000L // one transfer group ≈ 500.00 size units
+      val w = Window.partitionBy("node_id", "keyspace", "table_name")
+        .orderBy("object_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      manifest(s, dir)
+        .filter(col("snapshot_day") === lit("2024-01-10").cast("date"))
+        .withColumn("size_cents", (col("size") * 100).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum(col("size_cents")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div ${targetCents}L"))
+        .groupBy("node_id", "keyspace", "table_name", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("size_cents")).as("bin_cents"),
+          min(col("object_key")).as("first_key"),
+          max(col("object_key")).as("last_key"))
+        .orderBy("node_id", "keyspace", "table_name", "bin")
+    },
+
     // The esop go/no-go question a restore starts with — composition of
     // the three gates esop checks before touching data: manifest hash
     // integrity (HashServiceImpl), token-ring equality
@@ -978,6 +1012,22 @@ object Backup {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS finish_offset_sec
         |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
         |ORDER BY node_id, object_key""".stripMargin),
+
+    "b32_compaction_plan" -> (cte +
+      """, files AS (
+        |  SELECT node_id, keyspace, table_name, object_key,
+        |    CAST(size * 100 AS BIGINT) AS size_cents,
+        |    COALESCE(SUM(CAST(size * 100 AS BIGINT)) OVER (
+        |      PARTITION BY node_id, keyspace, table_name ORDER BY object_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM manifest WHERE snapshot_day = DATE '2024-01-10')
+        |SELECT node_id, keyspace, table_name,
+        |  CAST(cum_before // 50000 AS BIGINT) AS bin,
+        |  count(1) AS n_files,
+        |  CAST(sum(size_cents) AS BIGINT) AS bin_cents,
+        |  min(object_key) AS first_key, max(object_key) AS last_key
+        |FROM files GROUP BY 1, 2, 3, 4
+        |ORDER BY node_id, keyspace, table_name, bin""".stripMargin),
 
     "b20_restore_readiness" -> (cte +
       s""", h AS (

@@ -34,6 +34,42 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("reclaimable") > col("total_size")).count() == 0)
   }
 
+  test("b32 bins conserve bytes, and every closed bin reached the target") {
+    import graft.model.BackupLedger
+    val plan = SparkEntry.queries("b32_compaction_plan")(spark, sf)
+      .persist()
+    // conservation: the bins of each (node, ks, table) group hold
+    // exactly that group's manifest bytes — nothing dropped, nothing
+    // double-binned
+    val fromPlan = plan.groupBy("node_id", "keyspace", "table_name")
+      .agg(sum("bin_cents").as("planned"), sum("n_files").as("nf"))
+    val direct = BackupLedger.manifest(spark, sf)
+      .filter(col("snapshot_day") === lit("2024-01-10").cast("date"))
+      .groupBy("node_id", "keyspace", "table_name")
+      .agg((sum(col("size")) * 100).cast("long").as("actual"),
+        count(lit(1)).as("nf_actual"))
+    val j = fromPlan.join(direct, Seq("node_id", "keyspace", "table_name"), "full_outer")
+    assert(j.filter(col("planned") =!= col("actual")
+      || col("nf") =!= col("nf_actual")
+      || col("planned").isNull || col("actual").isNull).isEmpty,
+      "compaction bins must exactly partition the group's files")
+    // greedy-fill invariant: a bin only CLOSES because the running
+    // total crossed the target, so cumulative bytes through every
+    // non-final bin ≥ (bin+1)·target (bin ids may legitimately skip
+    // when one file spans multiple targets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node_id", "keyspace", "table_name").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("node_id", "keyspace", "table_name")
+    val bad = plan
+      .withColumn("cum", sum(col("bin_cents")).over(w))
+      .withColumn("max_bin", max(col("bin")).over(wAll))
+      .filter(col("bin") < col("max_bin") && col("cum") < (col("bin") + 1) * 50000L)
+    assert(bad.isEmpty, "a non-final bin closed before reaching the target")
+    plan.unpersist()
+  }
+
   test("b12 asof matches are strictly before the request day") {
     val bad = SparkEntry.queries("b12_asof_join")(spark, sf)
       .filter(col("matched_day").isNotNull && col("matched_day") >= col("request_day"))
