@@ -599,6 +599,44 @@ object Curation {
         .select("source", "n_docs", "n_tokens", "actual_frac",
           "target_frac", "weight", "epochs")
         .orderBy("source")
+    },
+
+    // Snapshot-over-snapshot DRIFT monitor — the regression gate a
+    // data-quality dashboard runs before every training launch: did
+    // today's crawl/filter change shift the corpus distribution? The
+    // fixture stands in for two pipeline runs — "prev" is deciles 0-7,
+    // "curr" is deciles 8-9 AFTER a length bar (n_chars ≥ 300, the
+    // "today's run dropped short docs" incident this gate exists to
+    // catch). Each (lang, length-bucket) stratum reports both counts,
+    // both shares, and an EXACT integer drift numerator
+    // |n_prev·N_curr − n_curr·N_prev| (the |Δshare| L1 term scaled by
+    // N_prev·N_curr — no float summation anywhere; shares are one-shot
+    // IEEE divides of exact longs). ONE corpus scan → conditional agg
+    // over the bounded stratum space (langs × 6 buckets); the totals
+    // come from a global window over that BOUNDED aggregate, never a
+    // second pass over the data.
+    "d54_corpus_drift" -> { (s, dir) =>
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      graft.sources.Tables.documents(s, dir)
+        .withColumn("snap",
+          when(col("doc_id") % 10 < 8, "prev")
+            .when(col("n_chars") >= 300, "curr"))
+        .filter(col("snap").isNotNull)
+        .withColumn("len_bucket", least(expr("n_chars div 100"), lit(5L)))
+        .groupBy("lang", "len_bucket")
+        .agg(count(when(col("snap") === "prev", 1)).as("n_prev"),
+          count(when(col("snap") === "curr", 1)).as("n_curr"))
+        .withColumn("tot_prev", sum("n_prev").over(wAll))
+        .withColumn("tot_curr", sum("n_curr").over(wAll))
+        .withColumn("share_prev",
+          col("n_prev").cast("double") / col("tot_prev").cast("double"))
+        .withColumn("share_curr",
+          col("n_curr").cast("double") / col("tot_curr").cast("double"))
+        .withColumn("drift_num",
+          abs(col("n_prev") * col("tot_curr") - col("n_curr") * col("tot_prev")))
+        .select("lang", "len_bucket", "n_prev", "n_curr",
+          "share_prev", "share_curr", "drift_num")
+        .orderBy("lang", "len_bucket")
     }
   )
 
@@ -766,6 +804,28 @@ object Curation {
          |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS weight,
          |  CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
          |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
-         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    "d54_corpus_drift" ->
+      """WITH tagged AS (
+        |  SELECT lang, least(n_chars // 100, 5) AS len_bucket,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'prev'
+        |         WHEN n_chars >= 300 THEN 'curr' END AS snap
+        |  FROM documents
+        |  WHERE doc_id % 10 < 8 OR n_chars >= 300),
+        |strata AS (
+        |  SELECT lang, len_bucket,
+        |    count(CASE WHEN snap = 'prev' THEN 1 END) AS n_prev,
+        |    count(CASE WHEN snap = 'curr' THEN 1 END) AS n_curr
+        |  FROM tagged GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT *, SUM(n_prev) OVER () AS tot_prev,
+        |            SUM(n_curr) OVER () AS tot_curr
+        |  FROM strata)
+        |SELECT lang, len_bucket, n_prev, n_curr,
+        |  CAST(n_prev AS DOUBLE) / CAST(tot_prev AS DOUBLE) AS share_prev,
+        |  CAST(n_curr AS DOUBLE) / CAST(tot_curr AS DOUBLE) AS share_curr,
+        |  CAST(abs(n_prev * tot_curr - n_curr * tot_prev) AS BIGINT) AS drift_num
+        |FROM wide ORDER BY lang, len_bucket""".stripMargin
   )
 }

@@ -184,6 +184,20 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Streaming context-window chunking — d48's retrieval layout cut
+    // AS DOCUMENTS LAND: the standard ingestion pipeline chunks each
+    // arriving doc before embedding/indexing it (stream → chunk →
+    // embed → ANN upsert, the live half of a RAG index), and the
+    // transform is the same stateless bounded explode the backfill
+    // runs — no watermark, no state store, no shuffle, so live feed
+    // and 100 TB backfill are ONE code path at scan cost. Output
+    // contract ≡ d48 (shared transform + oracle); stream ≡ batch
+    // proven in EventStreamSpec.
+    "s19_stream_chunk" -> { (s, dir) =>
+      Curation.chunkDocs(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -302,6 +316,10 @@ object Streaming {
     // the streaming freshen gate is the d52 transform verbatim
     // (stream-static anti-join against the same persisted index)
     "s18_stream_index_update" -> Similarity.oracle("d52_ann_index_update"),
+
+    // the streaming chunker is the d48 transform verbatim (stateless
+    // bounded explode) — shared oracle like s15 ← d47
+    "s19_stream_chunk" -> Curation.oracle("d48_doc_chunk"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

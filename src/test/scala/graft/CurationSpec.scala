@@ -226,4 +226,28 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(planned - total) < 1e-6 * total,
       s"planned tokens $planned vs budget $total")
   }
+
+  test("d54 drift: shares partition each snapshot, drift numerator is the exact share gap, fixture drifts") {
+    val rows = q("d54_corpus_drift").collect()
+    assert(rows.nonEmpty)
+    val sharePrev = rows.map(_.getDouble(4)).sum
+    val shareCurr = rows.map(_.getDouble(5)).sum
+    assert(math.abs(sharePrev - 1.0) < 1e-9, s"prev shares sum to $sharePrev")
+    assert(math.abs(shareCurr - 1.0) < 1e-9, s"curr shares sum to $shareCurr")
+    val totPrev = rows.map(_.getLong(2)).sum
+    val totCurr = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val (np, nc, num) = (r.getLong(2), r.getLong(3), r.getLong(6))
+      // the integer numerator IS |Δshare| scaled by totPrev·totCurr —
+      // exact, no float summation
+      assert(num == math.abs(np * totCurr - nc * totPrev))
+      // the length bar makes short-bucket strata impossible in curr
+      if (r.getLong(1) < 3) assert(nc == 0L,
+        s"curr snapshot leaked a short doc into bucket ${r.getLong(1)}")
+    }
+    // the fixture must actually drift (the gate has something to catch):
+    // some stratum present in prev vanished from curr
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(3) == 0),
+      "fixture produced no drifting stratum")
+  }
 }

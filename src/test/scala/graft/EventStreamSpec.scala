@@ -128,6 +128,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming chunker equals the batch d48 output") {
+    // stateless bounded explode: no watermark, no state store — live
+    // ingestion and backfill are one code path
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s19_test",
+      graft.operators.Curation.chunkDocs, mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s19_test")
+      .orderBy("doc_id", "chunk_idx").collect()
+    val batch = SparkEntry.queries("s19_stream_chunk")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming incremental ingest equals the batch d49 output") {
     // stream-static LEFT ANTI against the persisted ledger: stateless
     // append mode — the static side is the state, read from parquet

@@ -128,7 +128,10 @@ class PlanAuditSpec extends SparkSpec {
       // d53: ONE embeddings scan (the query side) — both the index
       // build and its SQ8 compression are construction-time Scratch
       // artifacts; the measured plan reads codes + centroids back
-      "d53_sq8_probe" -> (0, 1))
+      "d53_sq8_probe" -> (0, 1),
+      // d54: one corpus scan → bounded stratum agg; totals come from a
+      // window over the aggregate, never a second pass
+      "d54_corpus_drift" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -249,7 +252,9 @@ class PlanAuditSpec extends SparkSpec {
       "s17_stream_ann_route" -> Map("embeddings" -> 1),
       // s18: ONE embeddings pass (the arriving feed) anti-joined
       // against the snapshot-index read-back, as d52
-      "s18_stream_index_update" -> Map("embeddings" -> 1))
+      "s18_stream_index_update" -> Map("embeddings" -> 1),
+      // s19: the d48 chunker verbatim — one corpus pass, bounded explode
+      "s19_stream_chunk" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
