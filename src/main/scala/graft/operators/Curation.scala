@@ -185,6 +185,76 @@ object Curation {
   private[graft] def ingestLedger(s: SparkSession, dir: String): DataFrame =
     graft.sources.IO.readParquet(s, ledgerPath(s, dir))
 
+  /** Bloom probes per fingerprint for the d55/s20 deny-list gate:
+    * k=3 independent md5-derived positions in [0, m). hash32 is the
+    * shared 32-bit md5 prefix (nonnegative), so `% m` needs no pmod
+    * and the DuckDB twin is [[Corpus.hash32Sql]] verbatim. */
+  private[graft] val BloomK = 3
+  private def bloomPos(i: Int, fp: org.apache.spark.sql.Column, m: Long) =
+    hash32(concat(lit(s"bloom$i#"), fp)) % m
+
+  /** Bloom size for a deny-list of n entries: next power of two ≥ 16n
+    * (~16 bits/key at k=3 → ~0.5% false-positive rate at EVERY deny
+    * size — the filter scales with the blocklist like d07's bucket
+    * space scales with the corpus). DuckDB twin:
+    * POWER(2, length(to_base(16 * count - 1, 2))). */
+  private[graft] def bloomBits(nDeny: Long): Long =
+    java.lang.Long.highestOneBit(math.max(16 * nDeny, 2L) - 1L) << 1
+
+  /** One-per-(JVM, sf) path of the PERSISTED deny-list — content
+    * fingerprints of blocked documents, the external artifact a real
+    * ingest receives from trust & safety / legal (fixture: bodies of
+    * doc_id ≡ 0 (mod 17)); written through Scratch/IO and read back
+    * like d49's ledger. Distinct narrow md5s in parquet — billions of
+    * rows at production scale, never driver-resident. */
+  private def denyPath(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "deny_fps", dir)(
+      fingerprints(graft.sources.Tables.documents(s, dir))
+        .where(col("doc_id") % 17 === 0)
+        .select("fp").distinct())
+
+  private[graft] def denyList(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IO.readParquet(s, denyPath(s, dir))
+
+  /** Filter size for THIS deny-list artifact — a planning-time parquet
+    * footer count (no Spark job), the same Stats source the ANN
+    * n-driven parameters use. */
+  private[graft] def denyBits(s: SparkSession, dir: String): Long =
+    bloomBits(graft.sources.Stats.parquetRowCount(s, denyPath(s, dir)))
+
+  /** Two-stage blocklist gate over ANY documents-shaped frame — the
+    * architecture a 100 TB ingest actually runs against a
+    * billions-of-entries deny-list: a BLOOM filter (m = [[bloomBits]]
+    * bits as one broadcast sorted-position row — the set bits are
+    * ≤ min(3n, m) ints, bounded by m no matter how the deny-list
+    * grows) prunes the corpus per-row at scan cost, and only the
+    * ~0.5% bloom-positives pay the EXACT verification join against
+    * the deny store. Output is the SUSPECT WORKLIST (one row per
+    * bloom-positive with its exact verdict — the d45 shape): docs
+    * that clear the filter pass the gate and never re-materialize,
+    * so the corpus-sized stream is scanned once and never joins or
+    * shuffles — sound because a Bloom filter has NO false negatives
+    * (spec-pinned: every listed doc surfaces). The false_positive
+    * flag is the filter-sizing feedback loop (measure, don't guess).
+    * Streams stateless (s20): the probe is a per-row fold, the
+    * verify join is stream-static over the positive trickle. */
+  private[graft] def blocklistGate(docs: DataFrame, deny: DataFrame,
+      m: Long): DataFrame = {
+    val bits = deny
+      .select(explode(array((0 until BloomK).map(i =>
+        bloomPos(i, col("fp"), m)): _*)).as("pos"))
+      .agg(expr("array_sort(collect_set(pos))").as("bits"))
+    fingerprints(docs)
+      .crossJoin(broadcast(bits))
+      .filter((0 until BloomK).map(i =>
+        array_contains(col("bits"), bloomPos(i, col("fp"), m))).reduce(_ && _))
+      .select("doc_id", "fp")
+      .join(deny.withColumn("exact_hit", lit(true)), Seq("fp"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+      .withColumn("false_positive", !col("exact_hit"))
+      .select("doc_id", "exact_hit", "false_positive")
+  }
+
   /** Post-run ledger update closing the ingest loop: the previous
     * ledger plus the increment's fingerprints, distinct — the artifact
     * the NEXT run lists before ingesting. Re-running the same snapshot
@@ -601,6 +671,21 @@ object Curation {
         .orderBy("source")
     },
 
+    // Two-stage Bloom deny-list gate — how a 100 TB ingest enforces a
+    // billions-of-entries blocklist (CSAM hashes, copyright claims,
+    // robots retractions) without joining the corpus against it: the
+    // broadcast Bloom filter answers per-row at scan cost and only
+    // the ~0.5% bloom-positives pay the exact verification join
+    // against the persisted deny store ([[blocklistGate]]). m scales
+    // with the deny-list (next pow2 ≥ 16n → stable FPR at any size);
+    // the no-false-negative soundness and the FPR budget are
+    // spec-pinned, and the oracle recomputes both stages in SQL.
+    "d55_blocklist_bloom" -> { (s, dir) =>
+      blocklistGate(graft.sources.Tables.documents(s, dir),
+          denyList(s, dir), denyBits(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Snapshot-over-snapshot DRIFT monitor — the regression gate a
     // data-quality dashboard runs before every training launch: did
     // today's crawl/filter change shift the corpus distribution? The
@@ -805,6 +890,28 @@ object Curation {
          |  CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
          |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    "d55_blocklist_bloom" -> {
+      def pos(i: Int) =
+        s"(${Corpus.hash32Sql(s"'bloom$i#' || fp")} % (SELECT m FROM mm))"
+      s"""WITH fps AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL),
+         |deny AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 17 = 0),
+         |mm AS (SELECT CAST(POWER(2, length(to_base(16 * count(1) - 1, 2))) AS BIGINT) AS m FROM deny),
+         |bits AS (
+         |  SELECT DISTINCT ${Corpus.hash32Sql("'bloom' || CAST(i AS VARCHAR) || '#' || fp")}
+         |      % (SELECT m FROM mm) AS pos
+         |  FROM deny, UNNEST([0, 1, 2]) t(i)),
+         |suspects AS (
+         |  SELECT doc_id, fp FROM fps
+         |  WHERE ${pos(0)} IN (SELECT pos FROM bits)
+         |    AND ${pos(1)} IN (SELECT pos FROM bits)
+         |    AND ${pos(2)} IN (SELECT pos FROM bits))
+         |SELECT doc_id,
+         |  fp IN (SELECT fp FROM deny) AS exact_hit,
+         |  fp NOT IN (SELECT fp FROM deny) AS false_positive
+         |FROM suspects ORDER BY doc_id""".stripMargin
+    },
 
     "d54_corpus_drift" ->
       """WITH tagged AS (

@@ -198,6 +198,21 @@ object Streaming {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Streaming blocklist gate — d55's two-stage deny-list decision
+    // made as documents LAND (the place a blocklist actually runs:
+    // refusing blocked content at the door beats sweeping it out
+    // nightly): per-row broadcast Bloom probe, bloom-positives
+    // stream-static-joined against the persisted deny store for exact
+    // verification. Stateless append mode — no watermark, no state
+    // store; the filter and the deny artifact are the static state.
+    // Output contract ≡ d55 (shared transform + oracle); stream ≡
+    // batch proven in EventStreamSpec.
+    "s20_stream_blocklist" -> { (s, dir) =>
+      Curation.blocklistGate(Tables.documents(s, dir),
+          Curation.denyList(s, dir), Curation.denyBits(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -320,6 +335,11 @@ object Streaming {
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47
     "s19_stream_chunk" -> Curation.oracle("d48_doc_chunk"),
+
+    // the streaming blocklist gate is the d55 transform verbatim
+    // (broadcast bloom + stream-static verify against the same
+    // persisted deny store)
+    "s20_stream_blocklist" -> Curation.oracle("d55_blocklist_bloom"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

@@ -227,6 +227,35 @@ class CurationSpec extends SparkSpec {
       s"planned tokens $planned vs budget $total")
   }
 
+  test("d55 blocklist: no false negatives, exact stage equals a direct deny join, FPR within budget") {
+    import graft.operators.Curation
+    val out = q("d55_blocklist_bloom").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    // ground truth: docs whose content fingerprint is on the deny-list
+    val denyFps = Curation.denyList(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> denyFps(r.getString(1))).toMap
+    // THE bloom invariant: a listed doc can never slip through — every
+    // truly-blocked doc surfaces on the worklist with exact_hit
+    truth.foreach { case (id, blocked) =>
+      if (blocked) assert(out.get(id).exists(v => v._1 && !v._2),
+        s"false negative: blocked doc $id passed the gate")
+    }
+    // the two-stage verdict equals the single-stage exact join
+    out.foreach { case (id, (exact, fp)) =>
+      assert(exact == truth(id), s"exact stage wrong for suspect $id")
+      assert(fp == !exact)
+    }
+    // FPR budget: ~16 bits/key at k=3 targets ~0.5%; pin 2% with slack
+    val nonDeny = truth.count(!_._2)
+    val falsePos = out.values.count(_._2)
+    assert(nonDeny > 0 && falsePos.toDouble / nonDeny <= 0.02,
+      s"bloom FPR over budget: $falsePos/$nonDeny")
+  }
+
   test("d54 drift: shares partition each snapshot, drift numerator is the exact share gap, fixture drifts") {
     val rows = q("d54_corpus_drift").collect()
     assert(rows.nonEmpty)

@@ -142,6 +142,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming blocklist gate equals the batch d55 output") {
+    // broadcast bloom probe per row + stream-static exact verify:
+    // stateless append mode — the filter and the deny store are the
+    // static state
+    import graft.streaming.DocStream
+    import graft.operators.Curation
+    val deny = Curation.denyList(spark, sf)
+    val m = Curation.denyBits(spark, sf)
+    val q = DocStream.runToMemory(spark, sf, "graft_s20_test",
+      docs => Curation.blocklistGate(docs, deny, m), mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s20_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s20_stream_blocklist")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming incremental ingest equals the batch d49 output") {
     // stream-static LEFT ANTI against the persisted ledger: stateless
     // append mode — the static side is the state, read from parquet

@@ -131,7 +131,11 @@ class PlanAuditSpec extends SparkSpec {
       "d53_sq8_probe" -> (0, 1),
       // d54: one corpus scan → bounded stratum agg; totals come from a
       // window over the aggregate, never a second pass
-      "d54_corpus_drift" -> (1, 0))
+      "d54_corpus_drift" -> (1, 0),
+      // d55: ONE corpus scan through the broadcast bloom probe — the
+      // deny-list build is a construction-time Scratch artifact; the
+      // verify join reads the artifact back, never the corpus
+      "d55_blocklist_bloom" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -254,7 +258,10 @@ class PlanAuditSpec extends SparkSpec {
       // against the snapshot-index read-back, as d52
       "s18_stream_index_update" -> Map("embeddings" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
-      "s19_stream_chunk" -> Map("documents" -> 1))
+      "s19_stream_chunk" -> Map("documents" -> 1),
+      // s20: the d55 gate verbatim — one corpus pass through the bloom
+      // probe; deny store is an artifact read-back
+      "s20_stream_blocklist" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
