@@ -189,6 +189,70 @@ object Similarity {
         .select("vec_id", "cell", "q8", "n8", "scale")
     }
 
+  // ---- Product quantization (d56) ----------------------------------
+
+  /** PQ geometry: 64 dims → [[PqSub]] subspaces of [[PqDim]] dims,
+    * [[PqC]] codewords per subspace → an 8×4-bit = 32-bit code per
+    * vector (128× smaller than the long grid, 16× smaller than SQ8).
+    * The codebook is 128 tiny centroids — trivially broadcastable at
+    * ANY corpus size (PQ's core trade: the codebook is fixed-size,
+    * only the 4-byte codes scale with n). */
+  private val PqSub = 8
+  private val PqDim = 8
+  private val PqC = 16
+
+  /** 8×16 deterministic seed codebook — the md5 family [[centroids]]
+    * uses, keyed by (subspace j, codeword c). */
+  private[graft] def pqSeeds(s: SparkSession): DataFrame =
+    s.range(0, PqSub.toLong * PqC)
+      .select((col("id") / PqC).cast("int").as("j"),
+        (col("id") % PqC).cast("int").as("c"))
+      .withColumn("cv", expr(
+        s"""transform(sequence(0, ${PqDim - 1}), i ->
+           |  coalesce(CAST(conv(substr(md5(concat('pq', CAST(j AS STRING), '_', CAST(c AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS LONG) % 2001 - 1000, CAST(0 AS LONG)))""".stripMargin))
+
+  /** Subvector explode: one row per (vector, subspace) with the 8-dim
+    * slice — the unit PQ trains and encodes on. */
+  private[graft] def pqSubs(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqSub - 1}), j -> slice(q, j * $PqDim + 1, $PqDim))"))
+      .as(Seq("j", "sub")))
+
+  /** Nearest-codeword assignment per (vector, subspace) — the same
+    * shuffle-free broadcast-fold shape as [[assignTop2]]: the whole
+    * codebook collapses to ONE sorted array row, each subvector folds
+    * over its subspace's 16 codewords keeping the argmin (strict `<`
+    * ⇒ ties resolve to the lower codeword, mirroring ORDER BY d, c).
+    * Emits the codeword id, the residual ‖sub − cw‖² (the distortion
+    * this subspace contributes) and the codeword's ‖cw‖² (what the
+    * reconstruction's norm is made of). */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(expr("array_sort(collect_list(struct(j, c, cv)))").as("cb"))
+    subs.crossJoin(broadcast(cbArr))
+      .withColumn("best", expr(
+        s"""aggregate(
+           |  transform(filter(cb, e -> e.j = j), e -> named_struct(
+           |    'd', graft_sqdist_long(sub, e.cv), 'c', e.c,
+           |    'n', aggregate(e.cv, CAST(0 AS LONG), (acc, x) -> acc + x * x))),
+           |  named_struct('d', CAST(${Long.MaxValue} AS LONG), 'c', CAST(-1 AS INT), 'n', CAST(0 AS LONG)),
+           |  (acc, e) -> IF(e.d < acc.d, e, acc))""".stripMargin))
+      .select(col("vec_id"), col("j"), col("sub"),
+        col("best.c").as("c"), col("best.d").as("d"), col("best.n").as("cwn"))
+  }
+
+  /** One deterministic k-means refinement per subspace (the d15
+    * refinement law applied independently in each of the 8 subspaces):
+    * per-dim floor(mean) over each codeword's assigned subvectors.
+    * The aggregate is bounded — 8×16×8 = 1024 cells — regardless of
+    * corpus size. */
+  private[graft] def pqCodebook(s: SparkSession, q: DataFrame): DataFrame =
+    pqAssign(pqSubs(q), pqSeeds(s))
+      .select(col("j"), col("c"), posexplode(col("sub")).as(Seq("pos", "comp")))
+      .groupBy("j", "c", "pos")
+      .agg(floor(sum(col("comp")).cast("double") / count(lit(1))).cast("long").as("cmp"))
+      .groupBy("j", "c")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
+
   /** Re-establish the branch-free element contract after a parquet
     * round-trip: array elements come back nominally nullable, which
     * would make every vector kernel downstream re-emit its per-element
@@ -586,6 +650,32 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
+    // Product-quantization trainer + encoder + distortion report — the
+    // 128× compression step beyond d53's SQ8 (8 subspaces × 16
+    // codewords → one 32-bit code per vector; the codebook is 128 tiny
+    // centroids, broadcastable at ANY corpus size — PQ's core trade:
+    // only the 4-byte codes scale with n). This is the nightly job a
+    // deployment runs BEFORE enabling PQ serving: train the codebook
+    // (one deterministic k-means refinement per subspace — d15's law,
+    // 8× independently), encode every vector (shuffle-free broadcast
+    // fold per subspace), and report EXACT integer distortion
+    // (recon_err = Σ_j ‖sub_j − cw_j‖², the measure-don't-guess gate
+    // on whether 4 bits/subspace is survivable) plus the
+    // reconstruction norm ADC cosine serving would divide by. Two
+    // corpus passes total (train, encode) — the d15 shape; every
+    // aggregate in between is bounded (1024 cells).
+    "d56_pq_encode" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+      val cb1 = pqCodebook(s, q)
+      pqAssign(pqSubs(q), cb1)
+        .groupBy("vec_id")
+        .agg(
+          sum(expr("shiftleft(CAST(c AS LONG), j * 4)")).as("code"),
+          sum(col("d")).as("recon_err"),
+          sum(col("cwn")).as("recon_norm2"))
+        .orderBy("vec_id")
+    },
+
     // INCREMENTAL index maintenance — d49's freshen decision applied
     // to d50's artifact: the arriving vector feed LEFT-ANTI-joins the
     // persisted inverted lists (already-indexed ids are skipped — 4 of
@@ -801,6 +891,42 @@ object Similarity {
         |    (127 * q[i] - q8[i] * scale) * (127 * q[i] - q8[i] * scale))) AS BIGINT) AS sq_err,
         |  md5(array_to_string(list_transform(q8, x -> CAST(x AS VARCHAR)), ',')) AS q8_hash
         |FROM q8t ORDER BY vec_id""".stripMargin),
+
+    "d56_pq_encode" -> (Corpus.qtabCte +
+      s""", subs AS (
+         |  SELECT vec_id, CAST(j AS INT) AS j, q[j * 8 + 1 : j * 8 + 8] AS sub
+         |  FROM qtab, UNNEST(range(0, 8)) t(j)),
+         |seeds AS (
+         |  SELECT CAST(jc // 16 AS INT) AS j, CAST(jc % 16 AS INT) AS c,
+         |    list_transform(range(0, 8), i ->
+         |      ${Corpus.hash32Sql("concat('pq', CAST(jc // 16 AS VARCHAR), '_', CAST(jc % 16 AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS cv
+         |  FROM (SELECT unnest(range(0, 128)) AS jc)),
+         |a0 AS (
+         |  SELECT vec_id, j, sub, c FROM (
+         |    SELECT s.vec_id, s.j, s.sub, sd.c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        ${duckSqDist.format("s.sub", "sd.cv")} ASC, sd.c ASC) AS rn
+         |    FROM subs s JOIN seeds sd ON sd.j = s.j) t
+         |  WHERE rn = 1),
+         |comps AS (
+         |  SELECT j, c, pos, CAST(floor(CAST(sum(sub[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
+         |  FROM a0, UNNEST(range(1, 9)) t(pos)
+         |  GROUP BY j, c, pos),
+         |cb1 AS (SELECT j, c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY j, c),
+         |enc AS (
+         |  SELECT vec_id, j, c, d, n FROM (
+         |    SELECT s.vec_id, s.j, cb.c,
+         |      ${duckSqDist.format("s.sub", "cb.cv")} AS d,
+         |      CAST(list_sum(list_transform(cb.cv, x -> x * x)) AS BIGINT) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        ${duckSqDist.format("s.sub", "cb.cv")} ASC, cb.c ASC) AS rn
+         |    FROM subs s JOIN cb1 cb ON cb.j = s.j) t
+         |  WHERE rn = 1)
+         |SELECT vec_id,
+         |  CAST(sum(CAST(c AS BIGINT) << (j * 4)) AS BIGINT) AS code,
+         |  CAST(sum(d) AS BIGINT) AS recon_err,
+         |  CAST(sum(n) AS BIGINT) AS recon_norm2
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
     "d13_knn_centroid" -> (Corpus.qtabCte + ", " + centroidsSql +
       s"""SELECT vec_id, c AS centroid, dist2 FROM (

@@ -107,6 +107,34 @@ class AnnIndexSpec extends SparkSpec {
       "SQ8 postings must keep the full-precision cell assignment")
   }
 
+  test("d56 PQ: valid 32-bit codes over the learned codebook, refinement beats seeds, distortion below signal energy") {
+    import org.apache.spark.sql.functions.sum
+    val q = Corpus.qvecs(spark, sf)
+    val out = SparkEntry.queries("d56_pq_encode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // 8 nibbles in a 32-bit word, each naming a codeword that exists
+    val cb = Similarity.pqCodebook(spark, q).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    out.foreach { r =>
+      val code = r.getLong(1)
+      assert(code >= 0 && code < (1L << 32), s"code out of 32-bit range: $code")
+      (0 until 8).foreach { j =>
+        val c = ((code >> (4 * j)) & 15).toInt
+        assert(cb((j, c)), s"code nibble ($j, $c) names a missing codeword")
+      }
+    }
+    // the codebook must have learned SOMETHING: total distortion below
+    // the zero-codebook baseline (= total signal energy), and below
+    // the unrefined seed assignment (k-means improvement; measured
+    // 13.8× better at sf0.01)
+    val refinedErr = out.map(_.getLong(2)).sum
+    val energy = q.agg(sum("norm2")).head.getLong(0)
+    assert(refinedErr < energy, s"distortion $refinedErr ≥ energy $energy")
+    val seedErr = Similarity.pqAssign(Similarity.pqSubs(q), Similarity.pqSeeds(spark))
+      .agg(sum("d")).head.getLong(0)
+    assert(refinedErr < seedErr, s"refinement did not improve: $refinedErr vs $seedErr")
+  }
+
   test("d53 ADC probe agrees with the full-precision probe on ≥95% of top-1 picks") {
     // the measure-don't-guess gate for serving the compressed index:
     // 8× storage is only a win if the quantized ranking still finds

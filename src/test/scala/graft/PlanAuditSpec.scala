@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
       // d55: ONE corpus scan through the broadcast bloom probe — the
       // deny-list build is a construction-time Scratch artifact; the
       // verify join reads the artifact back, never the corpus
-      "d55_blocklist_bloom" -> (1, 0))
+      "d55_blocklist_bloom" -> (1, 0),
+      // d56: two passes, the d15 shape — one to train the codebook
+      // (bounded 1024-cell aggregate), one to encode
+      "d56_pq_encode" -> (0, 2))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
