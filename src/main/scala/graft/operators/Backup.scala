@@ -384,6 +384,41 @@ object Backup {
         .orderBy("node_id", "object_key")
     },
 
+    // Parallel-stream restore scheduling — esop restores with a
+    // per-node download executor pool; this plans WHICH of the W=4
+    // concurrent streams each file of the node's latest manifest
+    // rides: files ranked size-descending (the LPT intuition — big
+    // transfers first so no stream gets a large file last) and dealt
+    // round-robin, the deterministic window-expressible approximation
+    // of min-makespan scheduling (true least-loaded-next is
+    // order-dependent state, not SQL). Per (node, stream): file
+    // count, bytes, transfer seconds at b21's rate budget, plus the
+    // node's makespan and a balance factor (makespan / mean stream
+    // time — the measure-don't-guess gate on the dealing). Ranking
+    // windows partition per node; the makespan/balance windows run
+    // over the bounded (node × 4) aggregate.
+    "b33_restore_workers" -> { (s, dir) =>
+      val W = 4
+      val m = manifest(s, dir)
+      val latest = m.groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+      val wRank = Window.partitionBy("node_id")
+        .orderBy(col("size").desc, col("object_key"))
+      val wNode = Window.partitionBy("node_id")
+      m.join(broadcast(latest), Seq("node_id", "snapshot_day"))
+        .withColumn("worker", ((row_number().over(wRank) - 1) % W).cast("int"))
+        .groupBy("node_id", "worker")
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_dec"))
+        .withColumn("est_sec", ceil(asDouble(col("bytes_dec")) / 25.0).cast("long"))
+        .withColumn("node_makespan", max(col("est_sec")).over(wNode))
+        .withColumn("balance",
+          col("node_makespan").cast("double") * count(lit(1)).over(wNode)
+            / sum(col("est_sec")).over(wNode))
+        .select(col("node_id"), col("worker"), col("n_files"),
+          asDouble(col("bytes_dec")).as("bytes"), col("est_sec"),
+          col("node_makespan"), col("balance"))
+        .orderBy("node_id", "worker")
+    },
+
     // Small-object compaction planning — the batching dual of b09's
     // multipart SPLIT: where b09 cuts big files into chunk-sized
     // parts, this bins a snapshot's many SMALL objects into
@@ -1012,6 +1047,32 @@ object Backup {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS finish_offset_sec
         |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
         |ORDER BY node_id, object_key""".stripMargin),
+
+    "b33_restore_workers" -> (cte +
+      """, latest AS (
+        |  SELECT node_id, max(snapshot_day) AS snapshot_day
+        |  FROM manifest GROUP BY 1),
+        |tgt AS (
+        |  SELECT m.node_id, m.object_key, m.size,
+        |    ROW_NUMBER() OVER (PARTITION BY m.node_id
+        |      ORDER BY m.size DESC, m.object_key) AS rk
+        |  FROM manifest m JOIN latest l
+        |    ON m.node_id = l.node_id AND m.snapshot_day = l.snapshot_day),
+        |grp AS (
+        |  SELECT node_id, CAST((rk - 1) % 4 AS INT) AS worker,
+        |    count(1) AS n_files, sum(size) AS bytes_dec
+        |  FROM tgt GROUP BY 1, 2),
+        |est AS (
+        |  SELECT node_id, worker, n_files,
+        |    CAST(bytes_dec AS DOUBLE) AS bytes,
+        |    CAST(ceil(CAST(bytes_dec AS DOUBLE) / 25.0) AS BIGINT) AS est_sec
+        |  FROM grp)
+        |SELECT node_id, worker, n_files, bytes, est_sec,
+        |  CAST(max(est_sec) OVER (PARTITION BY node_id) AS BIGINT) AS node_makespan,
+        |  CAST(max(est_sec) OVER (PARTITION BY node_id) AS DOUBLE)
+        |    * count(1) OVER (PARTITION BY node_id)
+        |    / sum(est_sec) OVER (PARTITION BY node_id) AS balance
+        |FROM est ORDER BY node_id, worker""".stripMargin),
 
     "b32_compaction_plan" -> (cte +
       """, files AS (

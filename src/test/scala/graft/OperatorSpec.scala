@@ -70,6 +70,31 @@ class OperatorSpec extends SparkSpec {
     plan.unpersist()
   }
 
+  test("b33 worker plan conserves the latest manifest and reports a consistent makespan") {
+    import graft.model.BackupLedger
+    val plan = SparkEntry.queries("b33_restore_workers")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4, "worker id out of pool")
+      assert(r.getDouble(6) >= 1.0 - 1e-9, "balance below 1 is impossible")
+    }
+    // per node: the streams partition the latest manifest exactly, and
+    // the makespan is the max stream time
+    val byNode = plan.groupBy(_.getLong(0))
+    val m = BackupLedger.manifest(spark, sf)
+    val latest = m.groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+    val counts = m.join(latest, Seq("node_id", "snapshot_day"))
+      .groupBy("node_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byNode.foreach { case (node, rows) =>
+      assert(rows.map(_.getLong(2)).sum == counts(node),
+        s"node $node: stream file counts don't partition the manifest")
+      val makespan = rows.head.getLong(5)
+      assert(rows.map(_.getLong(4)).max == makespan
+        && rows.forall(_.getLong(5) == makespan))
+    }
+  }
+
   test("b12 asof matches are strictly before the request day") {
     val bad = SparkEntry.queries("b12_asof_join")(spark, sf)
       .filter(col("matched_day").isNotNull && col("matched_day") >= col("request_day"))

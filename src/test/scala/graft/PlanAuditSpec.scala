@@ -196,6 +196,8 @@ class PlanAuditSpec extends SparkSpec {
       "b30_topology_remap" -> Map("events" -> 1),
       "b31_sync_plan" -> Map("events" -> 2),
       "b32_compaction_plan" -> Map("events" -> 1),
+      // b33: latest-day agg + the join target (b25's two-role shape)
+      "b33_restore_workers" -> Map("events" -> 2),
       "q01_agg" -> Map("lineitem" -> 1),
       "q02_filter_project" -> Map("lineitem" -> 1),
       "q03_join_agg" -> Map("customer" -> 1, "orders" -> 1, "lineitem" -> 1),
