@@ -671,6 +671,27 @@ object Curation {
         .orderBy("source")
     },
 
+    // Deterministic train/val/test split — keyed on the CONTENT
+    // fingerprint, not the doc id: every byte-identical duplicate
+    // lands in the SAME split by construction, so exact dups can
+    // never leak train content into the held-out sets (the classic
+    // split bug d22/d42 exist to catch after the fact — this prevents
+    // the exact-dup case at assignment time). md5-derived bucket in
+    // [0,100): <80 train, <90 val, else test — per-row, zero
+    // shuffles, reproducible under re-runs and corpus growth (a doc's
+    // split never changes when neighbors arrive, unlike rand() or
+    // rank-based splits). The same md5-bucket family as d23/d38.
+    "d57_data_split" -> { (s, dir) =>
+      fingerprints(graft.sources.Tables.documents(s, dir))
+        .withColumn("bucket", hash32(concat(lit("split#"), col("fp"))) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    },
+
     // Two-stage Bloom deny-list gate — how a 100 TB ingest enforces a
     // billions-of-entries blocklist (CSAM hashes, copyright claims,
     // robots retractions) without joining the corpus against it: the
@@ -890,6 +911,19 @@ object Curation {
          |  CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
          |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    "d57_data_split" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id,
+         |    ${Corpus.hash32Sql("concat('split#', fp)")} % 100 AS bucket
+         |  FROM fps)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "d55_blocklist_bloom" -> {
       def pos(i: Int) =

@@ -256,6 +256,27 @@ class CurationSpec extends SparkSpec {
       s"bloom FPR over budget: $falsePos/$nonDeny")
   }
 
+  test("d57 split: total, deterministic, and exact-dup cohesive (no cross-split content leak)") {
+    val out = q("d57_data_split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+    assert(out.keySet == docs.map(_.getLong(0)).toSet, "split must cover every doc")
+    out.values.foreach { case (b, sp) =>
+      assert(b >= 0 && b < 100)
+      assert(sp == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // the leak-prevention property: byte-identical bodies share a split
+    docs.groupBy(_.getString(1)).foreach { case (fp, grp) =>
+      val splits = grp.map(r => out(r.getLong(0))._2).distinct
+      assert(splits.length == 1,
+        s"content $fp straddles splits ${splits.mkString(",")}")
+    }
+    // all three splits are populated on this corpus
+    assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
   test("d54 drift: shares partition each snapshot, drift numerator is the exact share gap, fixture drifts") {
     val rows = q("d54_corpus_drift").collect()
     assert(rows.nonEmpty)

@@ -138,7 +138,9 @@ class PlanAuditSpec extends SparkSpec {
       "d55_blocklist_bloom" -> (1, 0),
       // d56: two passes, the d15 shape — one to train the codebook
       // (bounded 1024-cell aggregate), one to encode
-      "d56_pq_encode" -> (0, 2))
+      "d56_pq_encode" -> (0, 2),
+      // d57: pure per-row split assignment over one fingerprint scan
+      "d57_data_split" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
