@@ -222,6 +222,20 @@ object Curation {
   private[graft] def denyBits(s: SparkSession, dir: String): Long =
     bloomBits(graft.sources.Stats.parquetRowCount(s, denyPath(s, dir)))
 
+  /** Content-keyed split assignment over ANY documents-shaped frame
+    * (d57, and the s21 streaming gate): md5-bucket of the CONTENT
+    * fingerprint → train/val/test, so byte-identical duplicates share
+    * a split by construction. Pure per-row projection — streams
+    * stateless. */
+  private[graft] def splitAssign(docs: DataFrame): DataFrame =
+    fingerprints(docs)
+      .withColumn("bucket", hash32(concat(lit("split#"), col("fp"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+
   /** Two-stage blocklist gate over ANY documents-shaped frame — the
     * architecture a 100 TB ingest actually runs against a
     * billions-of-entries deny-list: a BLOOM filter (m = [[bloomBits]]
@@ -682,14 +696,7 @@ object Curation {
     // split never changes when neighbors arrive, unlike rand() or
     // rank-based splits). The same md5-bucket family as d23/d38.
     "d57_data_split" -> { (s, dir) =>
-      fingerprints(graft.sources.Tables.documents(s, dir))
-        .withColumn("bucket", hash32(concat(lit("split#"), col("fp"))) % 100)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
-        .select("doc_id", "bucket", "split")
-        .orderBy("doc_id")
+      splitAssign(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Two-stage Bloom deny-list gate — how a 100 TB ingest enforces a

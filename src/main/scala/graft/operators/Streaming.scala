@@ -198,6 +198,18 @@ object Streaming {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Streaming split assignment — d57's content-keyed train/val/test
+    // decision stamped as documents LAND: a doc's split is a pure
+    // function of its body, so assigning it at ingestion (not in a
+    // nightly sweep) is free and permanent — later re-crawls of the
+    // same body land in the same split no matter when they arrive.
+    // Stateless per-row append mode; backfill ≡ live. Output contract
+    // ≡ d57 (shared transform + oracle); stream ≡ batch proven in
+    // EventStreamSpec.
+    "s21_stream_split" -> { (s, dir) =>
+      Curation.splitAssign(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Streaming blocklist gate — d55's two-stage deny-list decision
     // made as documents LAND (the place a blocklist actually runs:
     // refusing blocked content at the door beats sweeping it out
@@ -340,6 +352,10 @@ object Streaming {
     // (broadcast bloom + stream-static verify against the same
     // persisted deny store)
     "s20_stream_blocklist" -> Curation.oracle("d55_blocklist_bloom"),
+
+    // the streaming split stamp is the d57 transform verbatim
+    // (pure per-row content function)
+    "s21_stream_split" -> Curation.oracle("d57_data_split"),
 
     "s10_stream_boilerplate" -> (graft.model.Corpus.docsCte + graft.model.Corpus.tilesCte +
       """, idx AS (SELECT DISTINCT tile FROM tiles WHERE doc_id % 3 = 0)

@@ -142,6 +142,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming split stamp equals the batch d57 output") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s21_test",
+      graft.operators.Curation.splitAssign, mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s21_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s21_stream_split")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming blocklist gate equals the batch d55 output") {
     // broadcast bloom probe per row + stream-static exact verify:
     // stateless append mode — the filter and the deny store are the

@@ -268,7 +268,9 @@ class PlanAuditSpec extends SparkSpec {
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom
       // probe; deny store is an artifact read-back
-      "s20_stream_blocklist" -> Map("documents" -> 1))
+      "s20_stream_blocklist" -> Map("documents" -> 1),
+      // s21: the d57 stamp verbatim — pure per-row, one corpus pass
+      "s21_stream_split" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
