@@ -384,6 +384,84 @@ object Backup {
         .orderBy("node_id", "object_key")
     },
 
+    // END-TO-END restore planning — the proof the §2.B catalog
+    // COMPOSES (the b-series twin of d43's fused curation pipeline):
+    // one plan answers the operator's actual question "restore the
+    // cluster to T" by chaining the catalog's stages — (1) per-node
+    // snapshot RESOLUTION, b12's as-of decision against the cut; (2)
+    // the three READINESS gates on the resolved snapshot, b20's
+    // composition (hash integrity over the resolved slice, token-ring
+    // equality, cluster schema agreement — the last correctly judged
+    // CLUSTER-wide per day, not per node); (3) the transfer SCHEDULE,
+    // b33's round-robin LPT dealing over the resolved slice, rolled
+    // up to the node's makespan (null when the node isn't ready — a
+    // schedule for a node that fails its gates is a lie). One manifest
+    // derivation feeds resolution, slice and dealing; tokens+schema
+    // come from ONE bounded snapshots pass; every join after the
+    // slice is against node- or day-sized aggregates (broadcast).
+    "b34_restore_plan" -> { (s, dir) =>
+      val cut = lit("2024-01-12").cast("date")
+      val m = manifest(s, dir)
+      val resolved = m.filter(col("snapshot_day") <= cut)
+        .groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+      val slice = m.join(broadcast(resolved), Seq("node_id", "snapshot_day"))
+      // b33's dealing over the resolved slice → per-node makespan
+      val wRank = Window.partitionBy("node_id")
+        .orderBy(col("size").desc, col("object_key"))
+      // the hash gate RIDES the dealing pass (mismatches counted per
+      // worker group, summed in the rollup) — a separate gate agg
+      // would be a second full slice evaluation (measured: 5 events
+      // scans instead of 3)
+      val sched = slice
+        .withColumn("worker", ((row_number().over(wRank) - 1) % 4).cast("int"))
+        .groupBy("node_id", "snapshot_day", "worker")
+        .agg(count(lit(1)).as("nf"), sum(col("size")).as("b"),
+          count(when(col("upload_hash") =!= col("download_hash"), 1)).as("nm"))
+        .withColumn("w_sec", ceil(asDouble(col("b")) / 25.0).cast("long"))
+        .groupBy("node_id", "snapshot_day")
+        .agg(sum(col("nf")).as("n_files"),
+          asDouble(sum(col("b"))).as("bytes"),
+          max(col("w_sec")).as("makespan_sec"),
+          sum(col("nm")).as("n_hash_mismatch"))
+      // token + schema gates from ONE bounded snapshots pass
+      val snap = snapshots(s, dir)
+        .withColumn("toks", expr(tokenArraySpark))
+        .withColumn("bh", expr(sortedListHash("toks")))
+        .withColumn("th", expr(sortedListHash(targetTokensSpark)))
+        .withColumn("sv", expr(schemaVerSpark))
+      // schema gate, PER-NODE actionable form: where b20 reports the
+      // strict cluster-wide agreement (which the laggard fixture
+      // fails on every day — a plan that never schedules anything),
+      // the restore plan proceeds on nodes matching the day's
+      // MAJORITY version and excludes the laggards — esop's in-place
+      // restore is per-node; schema stragglers are skipped, not
+      // fleet-blocking. Majority + version count both ride day
+      // windows over the SAME bounded pass (a separate countDistinct
+      // agg + join-back would evaluate the snapshots derivation
+      // twice — measured: 4 events scans, not 3). Majority tie-break:
+      // max(struct(count, sv)) ≡ ORDER BY count DESC, sv DESC.
+      val wDay = Window.partitionBy("snapshot_day")
+      val wDaySv = Window.partitionBy("snapshot_day", "sv")
+      val gates = snap.select(col("node_id"), col("snapshot_day"),
+          (col("bh") === col("th")).as("tokens_match"), col("sv"))
+        .withColumn("sv_cnt", count(lit(1)).over(wDaySv))
+        .withColumn("n_versions",
+          size(collect_set(col("sv")).over(wDay)).cast("long"))
+        .withColumn("maj_sv",
+          max(struct(col("sv_cnt"), col("sv"))).over(wDay).getField("sv"))
+        .withColumn("schema_ok", col("sv") === col("maj_sv"))
+      sched
+        .join(gates, Seq("node_id", "snapshot_day"))
+        .withColumn("ready",
+          col("n_hash_mismatch") === 0 && col("tokens_match")
+            && col("schema_ok"))
+        .select(col("node_id"), col("snapshot_day"), col("n_files"),
+          col("bytes"), col("n_hash_mismatch"), col("tokens_match"),
+          col("n_versions"), col("schema_ok"), col("ready"),
+          when(col("ready"), col("makespan_sec")).as("makespan_sec"))
+        .orderBy("node_id")
+    },
+
     // Parallel-stream restore scheduling — esop restores with a
     // per-node download executor pool; this plans WHICH of the W=4
     // concurrent streams each file of the node's latest manifest
@@ -1047,6 +1125,58 @@ object Backup {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS finish_offset_sec
         |FROM manifest WHERE snapshot_day = DATE '2024-01-10'
         |ORDER BY node_id, object_key""".stripMargin),
+
+    "b34_restore_plan" -> (cte +
+      s""", resolved AS (
+         |  SELECT node_id, max(snapshot_day) AS snapshot_day
+         |  FROM manifest WHERE snapshot_day <= DATE '2024-01-12'
+         |  GROUP BY 1),
+         |slice AS (
+         |  SELECT m.* FROM manifest m JOIN resolved r
+         |    ON m.node_id = r.node_id AND m.snapshot_day = r.snapshot_day),
+         |ranked AS (
+         |  SELECT node_id, snapshot_day, size, upload_hash, download_hash,
+         |    CAST((ROW_NUMBER() OVER (PARTITION BY node_id
+         |      ORDER BY size DESC, object_key) - 1) % 4 AS INT) AS worker
+         |  FROM slice),
+         |workers AS (
+         |  SELECT node_id, snapshot_day, worker,
+         |    count(1) AS nf, sum(size) AS b,
+         |    COUNT(CASE WHEN upload_hash <> download_hash THEN 1 END) AS nm
+         |  FROM ranked GROUP BY 1, 2, 3),
+         |hg AS (
+         |  SELECT node_id, snapshot_day,
+         |    CAST(sum(nf) AS BIGINT) AS n_files,
+         |    CAST(sum(b) AS DOUBLE) AS bytes,
+         |    CAST(max(CAST(ceil(CAST(b AS DOUBLE) / 25.0) AS BIGINT)) AS BIGINT) AS makespan0,
+         |    CAST(sum(nm) AS BIGINT) AS n_hash_mismatch
+         |  FROM workers GROUP BY 1, 2),
+         |tg AS (
+         |  SELECT node_id, snapshot_day,
+         |    ${tokenHashDuck(target = false)} = ${tokenHashDuck(target = true)} AS tokens_match,
+         |    $schemaVerDuck AS sv
+         |  FROM snapshots),
+         |vg AS (
+         |  SELECT snapshot_day, COUNT(DISTINCT sv) AS n_versions
+         |  FROM tg GROUP BY 1),
+         |mj AS (
+         |  SELECT snapshot_day, sv AS maj_sv FROM (
+         |    SELECT snapshot_day, sv,
+         |      ROW_NUMBER() OVER (PARTITION BY snapshot_day
+         |        ORDER BY count(1) DESC, sv DESC) AS rn
+         |    FROM tg GROUP BY snapshot_day, sv) x
+         |  WHERE rn = 1)
+         |SELECT h.node_id, h.snapshot_day, h.n_files, h.bytes,
+         |  h.n_hash_mismatch, t.tokens_match, v.n_versions,
+         |  t.sv = m.maj_sv AS schema_ok,
+         |  (h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv) AS ready,
+         |  CASE WHEN h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv
+         |       THEN h.makespan0 END AS makespan_sec
+         |FROM hg h
+         |JOIN tg t ON h.node_id = t.node_id AND h.snapshot_day = t.snapshot_day
+         |JOIN vg v ON h.snapshot_day = v.snapshot_day
+         |JOIN mj m ON h.snapshot_day = m.snapshot_day
+         |ORDER BY h.node_id""".stripMargin),
 
     "b33_restore_workers" -> (cte +
       """, latest AS (

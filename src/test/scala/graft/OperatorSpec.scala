@@ -95,6 +95,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("b34 composes resolution, gates, and scheduling consistently") {
+    import graft.model.BackupLedger
+    val plan = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    // stage 1: resolution is the as-of decision — max day ≤ cut per node
+    val expected = BackupLedger.manifest(spark, sf)
+      .filter(col("snapshot_day") <= lit("2024-01-12").cast("date"))
+      .groupBy("node_id").agg(max("snapshot_day").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    assert(plan.map(_.getLong(0)).toSet == expected.keySet,
+      "plan must cover exactly the resolvable nodes")
+    plan.foreach { r =>
+      assert(r.getDate(1) == expected(r.getLong(0)), "wrong resolved snapshot")
+      // stage 2: ready is exactly the gate conjunction; a schedule only
+      // exists for ready nodes
+      val ready = r.getBoolean(8)
+      assert(ready == (r.getLong(4) == 0 && r.getBoolean(5) && r.getBoolean(7)))
+      if (ready) {
+        assert(!r.isNullAt(9), "ready node missing its schedule")
+        // stage 3: the 4-stream makespan can never beat the perfect
+        // split lower bound
+        assert(r.getLong(9) >= math.ceil(r.getDouble(3) / 25.0 / 4).toLong)
+      } else assert(r.isNullAt(9), "not-ready node must not be scheduled")
+    }
+    // the fixture must exercise both outcomes
+    assert(plan.exists(_.getBoolean(8)) && plan.exists(!_.getBoolean(8)))
+  }
+
   test("b12 asof matches are strictly before the request day") {
     val bad = SparkEntry.queries("b12_asof_join")(spark, sf)
       .filter(col("matched_day").isNotNull && col("matched_day") >= col("request_day"))

@@ -200,6 +200,10 @@ class PlanAuditSpec extends SparkSpec {
       "b32_compaction_plan" -> Map("events" -> 1),
       // b33: latest-day agg + the join target (b25's two-role shape)
       "b33_restore_workers" -> Map("events" -> 2),
+      // b34: resolution agg + the resolved slice (dealing and hash
+      // gate fused into ONE pass over it) + one bounded snapshots
+      // pass carrying all three gate windows
+      "b34_restore_plan" -> Map("events" -> 3),
       "q01_agg" -> Map("lineitem" -> 1),
       "q02_filter_project" -> Map("lineitem" -> 1),
       "q03_join_agg" -> Map("customer" -> 1, "orders" -> 1, "lineitem" -> 1),
