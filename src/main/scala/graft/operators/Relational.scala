@@ -356,6 +356,24 @@ object Relational {
                  ORDER BY price DESC, o_orderkey LIMIT 3) t
         ORDER BY c_custkey, price DESC, o_orderkey
       """)
+    },
+
+    // CUBE — the full 2^k grouping lattice in ONE pass (q10's ROLLUP
+    // gives the hierarchy path, q19's GROUPING SETS the explicit
+    // list; CUBE completes the family): Catalyst plans all four
+    // (status, priority) combinations through a single Expand over
+    // one orders scan — map-side partial aggs per grouping, never
+    // four scans.
+    "q26_cube" -> { (s, dir) =>
+      s.sql(s"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM parquet.`$dir/orders.parquet`
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+      """)
     }
   )
 
@@ -563,6 +581,15 @@ object Relational {
         |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |         FROM orders o WHERE o.o_custkey = c.c_custkey
         |         ORDER BY price DESC, o_orderkey LIMIT 3) t
-        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin
   )
 }

@@ -694,6 +694,27 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Embedding-coverage audit — the BACKFILL worklist bridging the
+    // text and vector sides of the pipeline: which corpus documents
+    // have no vector in the CURRENT index snapshot (fixture: the
+    // index lags a decile — the d49/d52 lag family on the doc→vector
+    // edge). The complement of d52's freshen: d52 skips what the
+    // index already holds; this lists what the embedder still owes.
+    // One anti-join keyed on the id — the embeddings side is pruned
+    // to its id column at the scan (a 100 TB vector store contributes
+    // 8 bytes/row to this plan), the corpus side carries only the
+    // routing columns the backfill scheduler needs.
+    "d58_embed_coverage" -> { (s, dir) =>
+      val indexed = graft.sources.Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 10 =!= 6)
+        .select(col("vec_id").as("doc_id"))
+      graft.sources.Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .join(indexed, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // Semantic dedup (SemDeDup-style: Abbas et al. 2023): cluster the
     // embedding space, pick one representative per cluster (min
     // vec_id), drop members whose cosine to their representative
@@ -927,6 +948,12 @@ object Similarity {
          |  CAST(sum(d) AS BIGINT) AS recon_err,
          |  CAST(sum(n) AS BIGINT) AS recon_norm2
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    "d58_embed_coverage" ->
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.text IS NOT NULL
+        |  AND d.doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 6)
+        |ORDER BY doc_id""".stripMargin,
 
     "d13_knn_centroid" -> (Corpus.qtabCte + ", " + centroidsSql +
       s"""SELECT vec_id, c AS centroid, dist2 FROM (

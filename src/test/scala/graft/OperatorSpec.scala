@@ -95,6 +95,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d58 backfill worklist is exactly the index's lagging decile") {
+    val out = SparkEntry.queries("d58_embed_coverage")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("doc_id") % 10 === 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == expected, "worklist diverges from the lag fixture")
+    assert(out.nonEmpty)
+  }
+
+  test("q26 cube emits all four grouping combinations consistently") {
+    val rows = SparkEntry.queries("q26_cube")(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    // each lattice level re-aggregates to the grand total
+    val total = grand.head.getLong(2)
+    val byStatus = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val byPrio = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+    val leaf = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(byStatus.map(_.getLong(2)).sum == total)
+    assert(byPrio.map(_.getLong(2)).sum == total)
+    assert(leaf.map(_.getLong(2)).sum == total)
+  }
+
   test("b34 composes resolution, gates, and scheduling consistently") {
     import graft.model.BackupLedger
     val plan = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()

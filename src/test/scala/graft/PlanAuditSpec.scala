@@ -140,7 +140,10 @@ class PlanAuditSpec extends SparkSpec {
       // (bounded 1024-cell aggregate), one to encode
       "d56_pq_encode" -> (0, 2),
       // d57: pure per-row split assignment over one fingerprint scan
-      "d57_data_split" -> (1, 0))
+      "d57_data_split" -> (1, 0),
+      // d58: one corpus pass anti-joined against one id-pruned
+      // embeddings pass
+      "d58_embed_coverage" -> (1, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -228,7 +231,9 @@ class PlanAuditSpec extends SparkSpec {
       "q22_setops" -> Map("orders" -> 3),
       "q23_running_sum" -> Map("orders" -> 1),
       "q24_not_in" -> Map("customer" -> 1),
-      "q25_lateral" -> Map("customer" -> 1, "orders" -> 1))
+      "q25_lateral" -> Map("customer" -> 1, "orders" -> 1),
+      // q26: all four CUBE groupings through one Expand over one scan
+      "q26_cube" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
