@@ -88,6 +88,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloomBits is the next power of two ≥ 16n, monotone, and DuckDB-formula-identical") {
+    import graft.operators.Curation
+    (1 to 2000).foreach { _ =>
+      val n = math.abs(rnd.nextLong() % (1L << 40)) + 1
+      val m = Curation.bloomBits(n)
+      // power of two
+      assert(java.lang.Long.bitCount(m) == 1, s"m=$m not a power of two")
+      // tight: ≥ 16n but the half below is not
+      assert(m >= 16 * n, s"m=$m < 16n for n=$n")
+      assert(m / 2 < 16 * n, s"m=$m not tight for n=$n")
+      // the oracle's POWER(2, bitlen(16n - 1)) computes the same value
+      val duck = math.pow(2, java.lang.Long.toBinaryString(16 * n - 1).length).toLong
+      assert(m == duck, s"engine/oracle m law diverges at n=$n")
+      assert(Curation.bloomBits(n) <= Curation.bloomBits(n + 1))
+    }
+  }
+
   test("GRFT pack/unpack round-trips arbitrary payloads and rejects any single-byte corruption") {
     import graft.sources.MediaContainer
     (1 to 200).foreach { _ =>
