@@ -374,6 +374,26 @@ object Relational {
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status, priority
       """)
+    },
+
+    // Time-RANGE window frame — the calendar-window running aggregate
+    // q23's ROWS frame cannot express: each order's trailing-30-day
+    // spend per customer. The frame is defined by the ORDER BY VALUE
+    // (all date peers are frame-mates), so the result is deterministic
+    // under any intra-date row order — no tie-break column needed.
+    // One shuffle on the partition key, then a per-partition sliding
+    // frame; at 100 TB this is the standard sessionless rolling
+    // metric shape.
+    "q27_range_frame" -> { (s, dir) =>
+      s.sql(s"""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+               count(1) OVER w AS n_30d
+        FROM parquet.`$dir/orders.parquet`
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, order_day, o_orderkey
+      """)
     }
   )
 
@@ -590,6 +610,15 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    "q27_range_frame" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+        |  count(1) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
   )
 }

@@ -119,6 +119,24 @@ class OperatorSpec extends SparkSpec {
     assert(leaf.map(_.getLong(2)).sum == total)
   }
 
+  test("q27 range frame: trailing-30-day sums are order-insensitive and self-consistent") {
+    val rows = SparkEntry.queries("q27_range_frame")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force check per customer: the frame is a VALUE window, so
+    // recompute each row's trailing sum from its peers directly
+    rows.groupBy(_.getLong(0)).foreach { case (_, cust) =>
+      val orders = cust.map(r => (r.getDate(2).toLocalDate, r.getLong(1)))
+      cust.foreach { r =>
+        val d = r.getDate(2).toLocalDate
+        val inFrame = cust.filter { o =>
+          val od = o.getDate(2).toLocalDate
+          !od.isAfter(d) && !od.isBefore(d.minusDays(30))
+        }
+        assert(r.getLong(4) == inFrame.length, s"n_30d mismatch at $orders")
+      }
+    }
+  }
+
   test("b34 composes resolution, gates, and scheduling consistently") {
     import graft.model.BackupLedger
     val plan = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()

@@ -233,7 +233,9 @@ class PlanAuditSpec extends SparkSpec {
       "q24_not_in" -> Map("customer" -> 1),
       "q25_lateral" -> Map("customer" -> 1, "orders" -> 1),
       // q26: all four CUBE groupings through one Expand over one scan
-      "q26_cube" -> Map("orders" -> 1))
+      "q26_cube" -> Map("orders" -> 1),
+      // q27: one shuffle on the partition key, per-partition RANGE frame
+      "q27_range_frame" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
