@@ -222,6 +222,19 @@ object Curation {
   private[graft] def denyBits(s: SparkSession, dir: String): Long =
     bloomBits(graft.sources.Stats.parquetRowCount(s, denyPath(s, dir)))
 
+  /** One-per-(JVM, sf) path of the PERSISTED deletion-request list —
+    * the "right to be forgotten" docket an operator receives (fixture:
+    * doc_id ≡ 1 (mod 23)); written through Scratch/IO like the
+    * deny-list, read back as the external input it is. */
+  private def forgetPath(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "forget_ids", dir)(
+      graft.sources.Tables.documents(s, dir)
+        .where(col("doc_id") % 23 === 1)
+        .select("doc_id").distinct())
+
+  private[graft] def forgetList(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IO.readParquet(s, forgetPath(s, dir))
+
   /** Content-keyed split assignment over ANY documents-shaped frame
     * (d57, and the s21 streaming gate): md5-bucket of the CONTENT
     * fingerprint → train/val/test, so byte-identical duplicates share
@@ -685,6 +698,37 @@ object Curation {
         .orderBy("source")
     },
 
+    // Right-to-be-forgotten deletion PLAN — the data-governance sweep
+    // a 100 TB pipeline must answer before it can honor a deletion
+    // docket: every DERIVED artifact still carrying a requested doc,
+    // with the row count to purge. Three artifact classes: the corpus
+    // row itself; its d48 chunk rows (counted by the chunk-geometry
+    // LAW per-row — ⌊(len−1)/stride⌋+1 — so the plan never explodes
+    // the chunk stream: corpus + chunks come from ONE scan emitting a
+    // two-element artifact array per hit); and its ANN posting (the
+    // d50 index artifact read back, id-pruned). The docket is a
+    // PERSISTED external input (Scratch round-trip, like d55's
+    // deny-list) broadcast-semi-joined against each artifact — the
+    // artifact sides never shuffle. What a purge executor consumes.
+    "d59_forget_plan" -> { (s, dir) =>
+      val del = forgetList(s, dir)
+      val textual = graft.sources.Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .join(broadcast(del), Seq("doc_id"), "left_semi")
+        .withColumn("n_chunks",
+          (expr(s"(greatest(length(text), 1) - 1) div ${chunkStride}") + 1))
+        .select(col("doc_id"), explode(expr(
+          "array(named_struct('artifact', 'corpus', 'n_rows', CAST(1 AS LONG)), " +
+            "named_struct('artifact', 'chunks', 'n_rows', CAST(n_chunks AS LONG)))")).as("a"))
+        .select(col("doc_id"), col("a.artifact").as("artifact"), col("a.n_rows").as("n_rows"))
+      val postings = graft.sources.IO.readParquet(s,
+          graft.operators.Similarity.annIndexPostings(s, dir))
+        .select(col("vec_id").as("doc_id"))
+        .join(broadcast(del), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit("postings").as("artifact"), lit(1L).as("n_rows"))
+      textual.unionByName(postings).orderBy("doc_id", "artifact")
+    },
+
     // Deterministic train/val/test split — keyed on the CONTENT
     // fingerprint, not the doc id: every byte-identical duplicate
     // lands in the SAME split by construction, so exact dups can
@@ -918,6 +962,20 @@ object Curation {
          |  CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
          |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    "d59_forget_plan" ->
+      """WITH tex AS (
+        |  SELECT doc_id, 'corpus' AS artifact, CAST(1 AS BIGINT) AS n_rows
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 23 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'chunks',
+        |    CAST((greatest(length(text), 1) - 1) // 160 + 1 AS BIGINT)
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 23 = 1),
+        |posts AS (
+        |  SELECT vec_id AS doc_id, 'postings' AS artifact, CAST(1 AS BIGINT) AS n_rows
+        |  FROM embeddings WHERE vec_id % 23 = 1)
+        |SELECT * FROM tex UNION ALL SELECT * FROM posts
+        |ORDER BY doc_id, artifact""".stripMargin,
 
     "d57_data_split" ->
       s"""WITH fps AS (

@@ -256,6 +256,31 @@ class CurationSpec extends SparkSpec {
       s"bloom FPR over budget: $falsePos/$nonDeny")
   }
 
+  test("d59 forget plan: covers every requested doc in all three artifacts, chunk counts match the real chunker") {
+    import graft.operators.Curation
+    val plan = q("d59_forget_plan").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val requested = Curation.forgetList(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(requested.nonEmpty)
+    // exactly the docket's docs, each in all three artifact classes
+    assert(plan.keySet.map(_._1) == requested, "plan ids ≠ docket ids")
+    requested.foreach { id =>
+      Seq("corpus", "chunks", "postings").foreach(a =>
+        assert(plan.contains((id, a)), s"doc $id missing artifact $a"))
+      assert(plan((id, "corpus")) == 1L && plan((id, "postings")) == 1L)
+    }
+    // the per-row chunk-geometry law equals the REAL chunker's output
+    val actualChunks = Curation.chunkDocs(
+        graft.sources.Tables.documents(spark, sf))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    requested.foreach { id =>
+      assert(plan((id, "chunks")) == actualChunks(id),
+        s"chunk-law count diverges from chunkDocs for doc $id")
+    }
+  }
+
   test("d57 split: total, deterministic, and exact-dup cohesive (no cross-split content leak)") {
     val out = q("d57_data_split").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

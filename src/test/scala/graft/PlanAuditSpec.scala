@@ -143,7 +143,11 @@ class PlanAuditSpec extends SparkSpec {
       "d57_data_split" -> (1, 0),
       // d58: one corpus pass anti-joined against one id-pruned
       // embeddings pass
-      "d58_embed_coverage" -> (1, 1))
+      "d58_embed_coverage" -> (1, 1),
+      // d59: ONE corpus pass (corpus + chunk rows via the per-row
+      // geometry law, no chunk explode); docket and ANN postings are
+      // artifact read-backs
+      "d59_forget_plan" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
