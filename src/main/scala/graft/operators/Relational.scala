@@ -394,6 +394,50 @@ object Relational {
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, order_day, o_orderkey
       """)
+    },
+
+    // Interval (range) join — point-in-interval containment, the one
+    // join shape Catalyst has no native equi-strategy for (a bare
+    // `w_start <= p AND p < w_end` plans as BroadcastNestedLoopJoin:
+    // O(points × intervals), a scale-killer once the interval side
+    // outgrows a broadcast). The standard fix is BIN BUCKETING: pick a
+    // bin width ≥ the max interval span, explode each interval to the
+    // (≤2) day-bins it overlaps, and equi-join on the point's single
+    // bin with containment as the residual filter. Each (interval,
+    // point) pair can only meet in the point's bin, so no post-join
+    // dedup is needed. The join becomes a plain shuffle join: both
+    // sides hash on `bin`, work is per-bin local, and AQE's skew-join
+    // split handles a hot calendar period. Duplication factor is
+    // bounded at 2× the (pre-filtered) interval side — the price of
+    // turning O(N·M) into O(shuffle).
+    //
+    // Query: for each order, how many qty≥45 shipments were inside
+    // their quantity-derived delivery window [l_shipdate,
+    // l_shipdate + (qty%7+1) days) on the order's date. LEFT join at
+    // the bin level (containment inside the join condition, NOT a
+    // post-join WHERE) keeps zero-match orders in the output with
+    // n_inflight=0 from the same single pass.
+    "q28_interval_join" -> { (s, dir) =>
+      val W = 8 // smallest power of two ≥ the max span (8 days) ⇒ ≤2 bins/interval
+      val iv = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45)
+        .select(
+          col("l_shipdate").as("w_start"),
+          expr("timestampadd(DAY, CAST(l_quantity AS INT) % 7 + 1, l_shipdate)").as("w_end"))
+        .withColumn("bin", explode(expr(
+          s"sequence(datediff(CAST(w_start AS DATE), DATE '1970-01-01') div $W," +
+            s" datediff(CAST(w_end AS DATE), DATE '1970-01-01') div $W)")))
+      val pts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("p_bin",
+          expr(s"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div $W"))
+      pts
+        .join(iv, col("p_bin") === col("bin")
+          && col("w_start") <= col("o_orderdate")
+          && col("o_orderdate") < col("w_end"), "left")
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
+        .agg(count(col("w_start")).as("n_inflight"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -619,6 +663,19 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
         |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, order_day, o_orderkey""".stripMargin,
+
+    // DuckDB plans the bare containment condition with its native
+    // IEJoin — same semantics, no bins needed on the oracle side.
+    "q28_interval_join" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+        |  count(l.w_start) AS n_inflight
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_shipdate AS w_start,
+        |    l_shipdate + (CAST(l_quantity AS INT) % 7 + 1) * INTERVAL 1 DAY AS w_end
+        |  FROM lineitem WHERE l_quantity >= 45) l
+        |ON l.w_start <= o.o_orderdate AND o.o_orderdate < l.w_end
+        |GROUP BY o_orderkey, order_day
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

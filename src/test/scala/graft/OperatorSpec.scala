@@ -137,6 +137,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q28 bin-bucketed interval join matches the naive containment join") {
+    val rows = SparkEntry.queries("q28_interval_join")(spark, sf).collect()
+    // brute-force reference: materialize both sides and count
+    // containment directly, no bins
+    val iv = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 45)
+      .selectExpr("l_shipdate AS w_start",
+        "timestampadd(DAY, CAST(l_quantity AS INT) % 7 + 1, l_shipdate) AS w_end")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getAs[java.time.LocalDateTime](1)))
+    val pts = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderdate")
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val expected = pts.map { case (k, d) =>
+      k -> iv.count { case (s0, e0) => !s0.isAfter(d) && d.isBefore(e0) }.toLong
+    }.toMap
+    assert(rows.length == expected.size, "zero-match orders must be kept")
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"order ${r.getLong(0)}: bin join ${r.getLong(2)} vs naive ${expected(r.getLong(0))}")
+    }
+    assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
+  }
+
   test("b34 composes resolution, gates, and scheduling consistently") {
     import graft.model.BackupLedger
     val plan = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()

@@ -168,6 +168,20 @@ class PlanSpec extends SparkSpec {
       s"sort-window on the vector stream:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("q28 interval join plans as an equi shuffle join on the bin, not a nested loop") {
+    // the whole point of the binning rewrite: containment alone would
+    // plan as BroadcastNestedLoopJoin (O(points × intervals)); with the
+    // bin key Catalyst gets an equi-join to hash/sort-merge on, and the
+    // containment predicate rides along as the join's residual filter
+    val p = SparkEntry.queries("q28_interval_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi join on the bin key:\n$p")
+  }
+
   test("q24 NOT IN plans as a null-aware anti join (not a nested loop)") {
     // the single-column NOT IN must hit Catalyst's NAAJ rewrite: a
     // broadcast hash LeftAnti with isNullAware=true — the fallback for
