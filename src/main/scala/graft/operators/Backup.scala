@@ -987,6 +987,39 @@ object Backup {
         .agg(count(lit(1)).as("n_files"),
           asDouble(sum(coalesce(col("size"), dec2(lit(0))))).as("bytes"))
         .orderBy("node_id", "action")
+    },
+
+    // RPO compliance — the freshness report a backup fleet is actually
+    // monitored by: per (node, keyspace), when was the last FULLY
+    // verified snapshot day (a day counts only if none of its manifest
+    // entries fail the b08 hash check — esop gates restore on
+    // verification, `impl/hash/HashServiceImpl.java`), how stale is it
+    // against a per-keyspace RPO policy, and is that a violation.
+    // Never-verified pairs stay in the output as violations with a
+    // null last_ok_day (the worst state a report could hide).
+    // Scale: two stacked aggs — the first shuffles once on the
+    // bounded (node, ks, day) key with map-side partials doing the
+    // real collapse; the second re-aggs the already-tiny daily rows.
+    // No join anywhere: policy is a CASE over the keyspace.
+    "b35_rpo_compliance" -> { (s, dir) =>
+      val now = lit("2024-01-31").cast("date")
+      manifest(s, dir)
+        .groupBy("node_id", "keyspace", "snapshot_day")
+        .agg(count(when(col("upload_hash") =!= col("download_hash"), 1))
+          .as("n_bad"))
+        .groupBy("node_id", "keyspace")
+        .agg(
+          max(when(col("n_bad") === 0, col("snapshot_day"))).as("last_ok_day"),
+          sum(col("n_bad")).as("n_corrupt"),
+          count(lit(1)).as("n_days"))
+        .withColumn("lag_days", datediff(now, col("last_ok_day")).cast("long"))
+        .withColumn("rpo_days",
+          when(col("keyspace") === "ks0", 1L)
+            .when(col("keyspace") === "ks1", 3L).otherwise(7L))
+        .withColumn("status",
+          when(col("last_ok_day").isNull || col("lag_days") > col("rpo_days"),
+            "VIOLATION").otherwise("OK"))
+        .orderBy("node_id", "keyspace")
     }
   )
 
@@ -1513,6 +1546,26 @@ object Backup {
          |SELECT node_id, action, count(1) AS n_files,
          |  CAST(sum(COALESCE(size, 0)) AS DOUBLE) AS bytes
          |FROM sync GROUP BY 1, 2 ORDER BY node_id, action""".stripMargin
-    })
+    }),
+
+    "b35_rpo_compliance" -> (cte +
+      """, daily AS (
+        |  SELECT node_id, keyspace, snapshot_day,
+        |    count(CASE WHEN upload_hash <> download_hash THEN 1 END) AS n_bad
+        |  FROM manifest GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT node_id, keyspace,
+        |    max(CASE WHEN n_bad = 0 THEN snapshot_day END) AS last_ok_day,
+        |    CAST(sum(n_bad) AS BIGINT) AS n_corrupt,
+        |    count(1) AS n_days
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT node_id, keyspace, last_ok_day, n_corrupt, n_days,
+        |  CAST(date_diff('day', last_ok_day, DATE '2024-01-31') AS BIGINT) AS lag_days,
+        |  CAST(CASE keyspace WHEN 'ks0' THEN 1 WHEN 'ks1' THEN 3 ELSE 7 END AS BIGINT) AS rpo_days,
+        |  CASE WHEN last_ok_day IS NULL
+        |         OR date_diff('day', last_ok_day, DATE '2024-01-31')
+        |            > CASE keyspace WHEN 'ks0' THEN 1 WHEN 'ks1' THEN 3 ELSE 7 END
+        |       THEN 'VIOLATION' ELSE 'OK' END AS status
+        |FROM agg ORDER BY node_id, keyspace""".stripMargin)
   )
 }

@@ -161,6 +161,31 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("b35 RPO report: lag/status agree with last_ok_day and the policy") {
+    val rows = SparkEntry.queries("b35_rpo_compliance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val now = java.time.LocalDate.parse("2024-01-31")
+    rows.foreach { r =>
+      val lastOk = Option(r.getDate(2)).map(_.toLocalDate)
+      val lag = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      val rpo = r.getLong(6)
+      // lag is null exactly when no day ever fully verified
+      assert(lag.isDefined == lastOk.isDefined)
+      lastOk.foreach(d =>
+        assert(lag.contains(java.time.temporal.ChronoUnit.DAYS.between(d, now))))
+      val expect = if (lag.forall(_ > rpo)) "VIOLATION" else "OK"
+      assert(r.getString(7) == expect, s"status mismatch on row $r")
+      val expectedRpo = r.getString(1) match {
+        case "ks0" => 1L; case "ks1" => 3L; case _ => 7L
+      }
+      assert(rpo == expectedRpo)
+    }
+    // the fixture's %53 corruption must produce BOTH states
+    assert(rows.exists(_.getString(7) == "OK")
+      && rows.exists(_.getString(7) == "VIOLATION"),
+      "report is degenerate: one status only")
+  }
+
   test("b34 composes resolution, gates, and scheduling consistently") {
     import graft.model.BackupLedger
     val plan = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()

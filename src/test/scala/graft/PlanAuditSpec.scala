@@ -211,6 +211,8 @@ class PlanAuditSpec extends SparkSpec {
       // gate fused into ONE pass over it) + one bounded snapshots
       // pass carrying all three gate windows
       "b34_restore_plan" -> Map("events" -> 3),
+      // b35: both agg levels stack on ONE manifest derivation
+      "b35_rpo_compliance" -> Map("events" -> 1),
       "q01_agg" -> Map("lineitem" -> 1),
       "q02_filter_project" -> Map("lineitem" -> 1),
       "q03_join_agg" -> Map("customer" -> 1, "orders" -> 1, "lineitem" -> 1),
