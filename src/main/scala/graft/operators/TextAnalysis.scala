@@ -380,6 +380,40 @@ object TextAnalysis {
           max(col("p")).as("max_p"))
         .withColumn("novelty", col("n_novel").cast("double") / col("n_bigrams"))
         .orderBy("doc_id")
+    },
+
+    // Canonical-URL dedup — the first dedup pass a web corpus runs,
+    // BEFORE any content hashing: the same page crawled as
+    // `http://…`, `https://www.…/`, `HTTP://…?utm_…`, `…#frag` is one
+    // document. Each doc carries a deterministic crawl URL whose
+    // variant decoration depends on doc_id%4; canonicalization strips
+    // scheme/`www.`/query/fragment/trailing slash and lowercases the
+    // host, then the keeper per canonical page is the min doc_id.
+    // Scale: pure per-row string kernels (codegen'd regexps) + ONE
+    // shuffle on the canonical key for the keeper window — identical
+    // shape to d01 exact dedup; no joins, no explode.
+    "d60_url_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy("canonical_url")
+      graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 4 === 2, "HTTP://").otherwise(
+              when(col("doc_id") % 4 === 0, "http://").otherwise("https://")),
+            when(col("doc_id") % 4 === 1, "www.").otherwise(""),
+            when(col("doc_id") % 4 === 2, "SITE").otherwise("site"),
+            (col("doc_id") % 5).cast("string"), lit(".example.com/p"),
+            (col("doc_id") % 23).cast("string"),
+            when(col("doc_id") % 4 === 1, "/").otherwise(""),
+            when(col("doc_id") % 4 === 2, "?utm_source=feed").otherwise(""),
+            when(col("doc_id") % 4 === 3, "#frag").otherwise("")).as("url"))
+        .withColumn("canonical_url",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("url")),
+            "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", ""))
+        .withColumn("keeper_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"))
+        .orderBy("doc_id")
     }
   )
 
@@ -581,6 +615,30 @@ object TextAnalysis {
         |  CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS novelty
         |FROM bgs b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.w1
         |GROUP BY b.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    "d60_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 4 = 2 THEN 'HTTP://'
+        |         WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 2 THEN 'SITE' ELSE 'site' END,
+        |    CAST(doc_id % 5 AS VARCHAR), '.example.com/p',
+        |    CAST(doc_id % 23 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '')
+        |      AS canonical_url
+        |  FROM urls)
+        |SELECT doc_id, url, canonical_url,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
+        |FROM canon ORDER BY doc_id""".stripMargin
   )
 }

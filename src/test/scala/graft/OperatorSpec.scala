@@ -161,6 +161,25 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("d60 canonicalization collapses all four URL variants to the bare page") {
+    val rows = SparkEntry.queries("d60_url_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPage = rows.groupBy { r =>
+      val id = r.getLong(0); (id % 5, id % 23)
+    }
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) == s"site${id % 5}.example.com/p${id % 23}",
+        s"canonical residue in ${r.getString(2)} from ${r.getString(1)}")
+      assert(r.getBoolean(3) ==
+        (id == byPage((id % 5, id % 23)).map(_.getLong(0)).min))
+    }
+    // variants must actually differ pre-canonicalization
+    assert(rows.map(_.getString(1)).exists(_.startsWith("HTTP://"))
+      && rows.map(_.getString(1)).exists(_.contains("www.")))
+    assert(rows.exists(!_.getBoolean(3)), "no duplicates collapsed")
+  }
+
   test("b35 RPO report: lag/status agree with last_ok_day and the policy") {
     val rows = SparkEntry.queries("b35_rpo_compliance")(spark, sf).collect()
     assert(rows.nonEmpty)

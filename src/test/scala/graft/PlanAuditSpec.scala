@@ -147,7 +147,9 @@ class PlanAuditSpec extends SparkSpec {
       // d59: ONE corpus pass (corpus + chunk rows via the per-row
       // geometry law, no chunk explode); docket and ANN postings are
       // artifact read-backs
-      "d59_forget_plan" -> (1, 0))
+      "d59_forget_plan" -> (1, 0),
+      // d60: per-row canonicalization + one keeper window, one scan
+      "d60_url_dedup" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
