@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -438,6 +439,37 @@ object Relational {
         .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
         .agg(count(col("w_start")).as("n_inflight"))
         .orderBy("o_orderkey")
+    },
+
+    // Exact discrete quartiles — the distribution summary (p25/p50/p75
+    // as ACTUAL data elements, not interpolations) behind any size/
+    // latency report. Spark has no percentile_disc; composing it from
+    // row_number + a count window + conditional agg keeps everything
+    // on ONE shuffle key (rank windows and the final agg share the
+    // group partitioning — a single exchange, then per-partition
+    // sort). The pick index is ceil(q·n) in pure INTEGER arithmetic
+    // ((n+3) div 4 etc.), so there is no float-rounding disagreement
+    // with the oracle's convention. Returning elements (not
+    // interpolated midpoints) is also what makes cross-engine hash
+    // equality exact. At 100 TB the exact per-group sort is the
+    // declared baseline; the scale path is approx_percentile's
+    // mergeable sketch (no global sort) when ±ε is acceptable.
+    "q29_quartiles" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val wAll = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          max(when(expr("rn = (n + 3) div 4"), col("o_totalprice"))).as("p25"),
+          max(when(expr("rn = (n + 1) div 2"), col("o_totalprice"))).as("p50"),
+          max(when(expr("rn = (3 * n + 3) div 4"), col("o_totalprice"))).as("p75"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -676,6 +708,18 @@ object Relational {
         |  FROM lineitem WHERE l_quantity >= 45) l
         |ON l.w_start <= o.o_orderdate AND o.o_orderdate < l.w_end
         |GROUP BY o_orderkey, order_day
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // quantile_disc follows the percentile_disc convention: the
+    // element at 1-based rank ceil(q·n) of the sorted group — exactly
+    // the integer index the Spark side computes.
+    "q29_quartiles" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.50) AS p50,
+        |  quantile_disc(o_totalprice, 0.75) AS p75,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

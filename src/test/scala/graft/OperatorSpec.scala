@@ -161,6 +161,23 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("q29 discrete quartiles are the ceil(q*n)-ranked elements per group") {
+    val rows = SparkEntry.queries("q29_quartiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val v = data(r.getString(0)); val n = v.length
+      assert(r.getLong(1) == n)
+      def pick(num: Int, den: Int) = v((num * n + den - 1) / den - 1)
+      assert(r.getDouble(2) == pick(1, 4) && r.getDouble(3) == pick(1, 2)
+        && r.getDouble(4) == pick(3, 4), s"quartile pick mismatch on $r")
+      assert(r.getDouble(5) == v.head && r.getDouble(6) == v.last)
+    }
+  }
+
   test("d60 canonicalization collapses all four URL variants to the bare page") {
     val rows = SparkEntry.queries("d60_url_dedup")(spark, sf).collect()
     assert(rows.nonEmpty)

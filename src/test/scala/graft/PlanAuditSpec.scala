@@ -245,7 +245,9 @@ class PlanAuditSpec extends SparkSpec {
       // q27: one shuffle on the partition key, per-partition RANGE frame
       "q27_range_frame" -> Map("orders" -> 1),
       // q28: one scan per side — binning must not re-read either table
-      "q28_interval_join" -> Map("orders" -> 1, "lineitem" -> 1))
+      "q28_interval_join" -> Map("orders" -> 1, "lineitem" -> 1),
+      // q29: rank + count windows + agg all share one exchange
+      "q29_quartiles" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,

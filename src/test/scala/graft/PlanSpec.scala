@@ -168,6 +168,19 @@ class PlanSpec extends SparkSpec {
       s"sort-window on the vector stream:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("q29 rank/count windows and the final agg ride one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // both windows and the groupBy share the o_orderpriority
+    // partitioning: exactly one hash exchange, plus the presentation
+    // range sort — a second hash exchange would mean the agg re-shuffled
+    val plan = SparkEntry.queries("q29_quartiles")(spark, sf)
+      .queryExecution.executedPlan
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeLike if e.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size <= 1, s"windows/agg did not share one exchange:\n$plan")
+  }
+
   test("q28 interval join plans as an equi shuffle join on the bin, not a nested loop") {
     // the whole point of the binning rewrite: containment alone would
     // plan as BroadcastNestedLoopJoin (O(points × intervals)); with the
