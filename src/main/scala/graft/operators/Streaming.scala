@@ -256,6 +256,15 @@ object Streaming {
           count(lit(1)).as("n_events"),
           asDouble(sum(col("v"))).as("total_value"))
         .orderBy("user_id", "sess_no")
+    },
+
+    // Streaming per-day verification gate — b35's freshness input
+    // computed as days close (watermarked day windows over hash checks
+    // done at upload time). Identical transform over the batch table;
+    // stream ≡ batch proven in EventStreamSpec.
+    "s22_stream_verify" -> { (s, dir) =>
+      EventStream.verifyDayGate(Tables.events(s, dir))
+        .orderBy("snapshot_day", "node_id", "keyspace")
     }
   )
 
@@ -411,6 +420,21 @@ object Streaming {
         |  CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(1) AS n_events,
         |  CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sess_no
-        |ORDER BY user_id, sess_no""".stripMargin
+        |ORDER BY user_id, sess_no""".stripMargin,
+
+    // the md5 compare flags exactly the %53 corruption fixture rows
+    // (distinct md5 inputs, so the hashes always differ there)
+    "s22_stream_verify" ->
+      """WITH lg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS snapshot_day,
+        |    user_id AS node_id,
+        |    concat('ks', CAST((event_id % 97) % 3 AS VARCHAR)) AS keyspace,
+        |    (event_id % 53 = 0) AS bad
+        |  FROM events)
+        |SELECT snapshot_day, node_id, keyspace, count(1) AS n_files,
+        |  count(CASE WHEN bad THEN 1 END) AS n_bad,
+        |  count(CASE WHEN bad THEN 1 END) = 0 AS day_ok
+        |FROM lg GROUP BY 1, 2, 3
+        |ORDER BY snapshot_day, node_id, keyspace""".stripMargin
   )
 }

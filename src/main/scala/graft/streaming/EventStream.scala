@@ -136,6 +136,40 @@ object EventStream {
         ((col("n_units") - col("n_failed") - col("n_ignored")).cast("double")
           / col("n_units")).as("ok_ratio"))
 
+  /** Per-day verification gate — b35's "did this (node, keyspace)
+    * fully verify today" question answered AS DAYS CLOSE: every upload
+    * event is hash-checked when it lands (the md5 compare is computed,
+    * not shortcut via the corruption fixture's %53), rolled into day
+    * windows keyed by (node, keyspace). A 1-day watermark bounds state
+    * to the open day × the bounded node×ks domain; when the watermark
+    * passes a day, its verdict (`day_ok`) is final and emitted — the
+    * feed the RPO dashboard consumes (the batch-side rolling max over
+    * these verdicts IS b35). Verification rides ingestion instead of
+    * being a nightly full-corpus re-hash — at 100 TB/day the re-hash
+    * job is the thing this stream deletes. Batch twin is the oracle
+    * (`s22_stream_verify`). */
+  def verifyDayGate(events: DataFrame): DataFrame = {
+    val kNum = col("event_id") % 97
+    val key = concat(
+      lit("node"), col("user_id").cast("string"),
+      lit("/ks"), (kNum % 3).cast("string"),
+      lit("/tab"), (kNum % 7).cast("string"),
+      lit("/sst_"), kNum.cast("string"))
+    events
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("user_id"),
+        concat(lit("ks"), (kNum % 3).cast("string")).as("keyspace"),
+        (md5(key) =!= when(col("event_id") % 53 === 0,
+          md5(concat(lit("corrupt#"), col("event_id").cast("string"))))
+          .otherwise(md5(key))).as("bad"))
+      .groupBy(window(col("ts"), "1 day"), col("user_id"), col("keyspace"))
+      .agg(count(lit(1)).as("n_files"),
+        count(when(col("bad"), 1)).as("n_bad"))
+      .select(col("window.start").cast("date").as("snapshot_day"),
+        col("user_id").as("node_id"), col("keyspace"),
+        col("n_files"), col("n_bad"), (col("n_bad") === 0).as("day_ok"))
+  }
+
   /** Stream-static enrichment: the event stream joined to a broadcast
     * dimension table (static side re-read per micro-batch, never
     * stateful) — the standard pattern for attaching slowly-changing

@@ -74,6 +74,19 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming day-verification gate equals the batch verdicts") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s22_test",
+      EventStream.verifyDayGate, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s22_test")
+      .orderBy("snapshot_day", "node_id", "keyspace").collect()
+    val batch = SparkEntry.queries("s22_stream_verify")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the corruption fixture must flip at least one day verdict
+    assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
+  }
+
   test("streaming corpus curation equals the batch quality gate") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s08_test",
