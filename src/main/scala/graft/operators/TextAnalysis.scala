@@ -414,6 +414,39 @@ object TextAnalysis {
         .select(col("doc_id"), col("url"), col("canonical_url"),
           (col("doc_id") === col("keeper_id")).as("is_keeper"))
         .orderBy("doc_id")
+    },
+
+    // Count-Min sketch heavy hitters — the frequency twin of d20's KMV
+    // (distinct-count) sketch: 4 hash rows × 1024 cells, every token
+    // occurrence incrementing one cell per row; an estimate is the MIN
+    // over a token's 4 cells, always ≥ the true count (one-sided
+    // error — the property the spec pins). The sketch agg is the
+    // 100 TB path: a BOUNDED 4096-cell aggregate whose map-side
+    // partials collapse each partition before the shuffle, vs the
+    // exact count's full token-keyed exchange. The exact top-20 ride
+    // along as the declared QA baseline (the d34 pattern) so the
+    // report carries measured inflation, not hoped-for accuracy; the
+    // 4096-row sketch broadcasts to the probe join.
+    "d61_cms_heavy" -> { (s, dir) =>
+      val cellsOf = "transform(sequence(0, 3), i -> named_struct(" +
+        "'i', i, 'cell', graft_hash32(concat('cms', CAST(i AS STRING), '#', w)) % 1024))"
+      val toks = Corpus.docs(s, dir)
+        .select(explode(col("ws")).as("w")).filter(col("w") =!= "")
+      val sketch = toks
+        .select(explode(expr(cellsOf)).as("rc"))
+        .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
+        .groupBy("i", "cell").agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w").asc).limit(20)
+      exact
+        .select(col("w"), col("n_exact"), explode(expr(cellsOf)).as("rc"))
+        .select(col("w"), col("n_exact"),
+          col("rc.i").as("i"), col("rc.cell").as("cell"))
+        .join(broadcast(sketch), Seq("i", "cell"))
+        .groupBy("w", "n_exact")
+        .agg(min(col("c")).as("n_cms"))
+        .withColumn("inflation", col("n_cms") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("w").asc)
     }
   )
 
@@ -639,6 +672,27 @@ object TextAnalysis {
         |  FROM urls)
         |SELECT doc_id, url, canonical_url,
         |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
-        |FROM canon ORDER BY doc_id""".stripMargin
+        |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "d61_cms_heavy" -> (Corpus.docsCte + {
+      val cellSql = (i: String) => Corpus.hash32Sql(
+        s"concat('cms', CAST($i AS VARCHAR), '#', w)") + " % 1024"
+      s""", toks AS (
+        |  SELECT w FROM (SELECT unnest(ws) AS w FROM docs) u WHERE w <> ''),
+        |sketch AS (
+        |  SELECT i, ${cellSql("i")} AS cell, count(1) AS c
+        |  FROM toks, UNNEST(range(0, 4)) t(i) GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT w, count(1) AS n_exact FROM toks GROUP BY w
+        |  ORDER BY n_exact DESC, w ASC LIMIT 20),
+        |probes AS (
+        |  SELECT e.w, e.n_exact, t.i, ${cellSql("t.i")} AS cell
+        |  FROM exact e, UNNEST(range(0, 4)) t(i))
+        |SELECT p.w, p.n_exact, min(s.c) AS n_cms,
+        |  min(s.c) - p.n_exact AS inflation
+        |FROM probes p JOIN sketch s ON p.i = s.i AND p.cell = s.cell
+        |GROUP BY p.w, p.n_exact
+        |ORDER BY n_exact DESC, w ASC""".stripMargin
+    })
   )
 }

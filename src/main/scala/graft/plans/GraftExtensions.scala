@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, KmvSketchAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, Hash32, KmvSketchAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -73,6 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
       checked("graft_char_counts", 1)(c => CharCounts(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[Hash32].getName, "graft_hash32"),
+      checked("graft_hash32", 1)(c => Hash32(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash32"),

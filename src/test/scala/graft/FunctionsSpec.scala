@@ -156,6 +156,15 @@ class FunctionsSpec extends SparkSpec {
     assert(out.getLong(1) == out.getLong(2)) // null word skipped
   }
 
+  test("graft_hash32 registered in SQL and equals the portable conv form") {
+    val out = spark.sql(
+      """SELECT graft_hash32(x) AS k,
+        |       CAST(conv(substr(md5(x), 1, 8), 16, 10) AS LONG) AS p
+        |FROM VALUES ('alpha'), (''), ('cms0#spark') AS t(x)""".stripMargin)
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("IO: parquet/csv/json round-trips preserve rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")

@@ -161,6 +161,24 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("d61 CMS estimates are one-sided: min-of-rows >= exact, tight on heavy hitters") {
+    val rows = SparkEntry.queries("d61_cms_heavy")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // ranked by exact count, descending
+    val exacts = rows.map(_.getLong(1))
+    assert(exacts.sameElements(exacts.sortBy(-_)))
+    // with ~70-word vocabulary vs 4096 cells, the top token should
+    // collide rarely: median inflation stays well under the top count
+    val medInfl = rows.map(_.getLong(3)).sorted.apply(10)
+    assert(medInfl < exacts.head / 2,
+      s"sketch useless at this vocabulary: median inflation $medInfl")
+  }
+
   test("q29 discrete quartiles are the ceil(q*n)-ranked elements per group") {
     val rows = SparkEntry.queries("q29_quartiles")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -149,7 +149,9 @@ class PlanAuditSpec extends SparkSpec {
       // artifact read-backs
       "d59_forget_plan" -> (1, 0),
       // d60: per-row canonicalization + one keeper window, one scan
-      "d60_url_dedup" -> (1, 0))
+      "d60_url_dedup" -> (1, 0),
+      // d61: sketch pass + exact-baseline pass over the token stream
+      "d61_cms_heavy" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
