@@ -135,4 +135,12 @@ object Corpus {
   /** DuckDB expression for hash32(x) — must match graft.functions.hash32. */
   def hash32Sql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT)"
+
+  /** Count-Min cell coordinates of token column `w`: the 4 (row, cell)
+    * pairs — shared by d61 (batch) and s23 (streaming) so both sides
+    * hash into the SAME sketch geometry. DuckDB twin composes
+    * [[hash32Sql]] the same way (see d61's oracle). */
+  val cmsCellsSql: String =
+    "transform(sequence(0, 3), i -> named_struct(" +
+      "'i', i, 'cell', graft_hash32(concat('cms', CAST(i AS STRING), '#', w)) % 1024))"
 }

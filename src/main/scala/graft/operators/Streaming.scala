@@ -265,6 +265,15 @@ object Streaming {
     "s22_stream_verify" -> { (s, dir) =>
       EventStream.verifyDayGate(Tables.events(s, dir))
         .orderBy("snapshot_day", "node_id", "keyspace")
+    },
+
+    // Streaming Count-Min sketch — d61's frequency sketch as
+    // bounded-state (4096 counters, forever) streaming aggregation;
+    // identical transform over the batch table, stream ≡ batch proven
+    // in EventStreamSpec.
+    "s23_stream_cms" -> { (s, dir) =>
+      graft.streaming.DocStream.cmsSketch(Tables.documents(s, dir))
+        .orderBy("i", "cell")
     }
   )
 
@@ -435,6 +444,16 @@ object Streaming {
         |  count(CASE WHEN bad THEN 1 END) AS n_bad,
         |  count(CASE WHEN bad THEN 1 END) = 0 AS day_ok
         |FROM lg GROUP BY 1, 2, 3
-        |ORDER BY snapshot_day, node_id, keyspace""".stripMargin
+        |ORDER BY snapshot_day, node_id, keyspace""".stripMargin,
+
+    "s23_stream_cms" -> (graft.model.Corpus.docsCte + {
+      val cell = graft.model.Corpus.hash32Sql(
+        "concat('cms', CAST(i AS VARCHAR), '#', w)") + " % 1024"
+      s""", toks AS (
+        |  SELECT w FROM (SELECT unnest(ws) AS w FROM docs) u WHERE w <> '')
+        |SELECT i, $cell AS cell, count(1) AS c
+        |FROM toks, UNNEST(range(0, 4)) t(i)
+        |GROUP BY 1, 2 ORDER BY i, cell""".stripMargin
+    })
   )
 }

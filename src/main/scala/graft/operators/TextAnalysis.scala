@@ -428,8 +428,7 @@ object TextAnalysis {
     // report carries measured inflation, not hoped-for accuracy; the
     // 4096-row sketch broadcasts to the probe join.
     "d61_cms_heavy" -> { (s, dir) =>
-      val cellsOf = "transform(sequence(0, 3), i -> named_struct(" +
-        "'i', i, 'cell', graft_hash32(concat('cms', CAST(i AS STRING), '#', w)) % 1024))"
+      val cellsOf = Corpus.cmsCellsSql
       val toks = Corpus.docs(s, dir)
         .select(explode(col("ws")).as("w")).filter(col("w") =!= "")
       val sketch = toks

@@ -49,6 +49,23 @@ object DocStream {
         sum(when(col("quality") >= 0.1, 1L).otherwise(0L)).as("n_keep"),
         sum(col("n_words")).as("total_words"))
 
+  /** Streaming Count-Min sketch — d61's 4×1024 frequency sketch
+    * maintained AS TOKENS ARRIVE: each arriving doc's tokens bump one
+    * cell per hash row; complete-mode state is the sketch itself,
+    * bounded at 4096 counters forever (the whole point of sketching a
+    * stream — exact vocabulary counts would grow state with the
+    * vocabulary). Merge across micro-batches is count addition —
+    * CMS's native mergeability. Same cell geometry as d61
+    * ([[graft.model.Corpus.cmsCellsSql]]), so the live sketch answers
+    * the same probes as the batch one; stream ≡ batch proven in
+    * EventStreamSpec. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    Corpus.normalized(docs)
+      .select(explode(col("ws")).as("w")).filter(col("w") =!= "")
+      .select(explode(expr(Corpus.cmsCellsSql)).as("rc"))
+      .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
+      .groupBy("i", "cell").agg(count(lit(1)).as("c"))
+
   /** s10's static side — the known-boilerplate index: distinct tile
     * hashes of the already-ingested partition (every 3rd doc plays
     * that role). At 100 TB this is the materialized dedup index the

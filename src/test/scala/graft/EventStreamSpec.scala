@@ -87,6 +87,21 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
   }
 
+  test("streaming CMS sketch equals the batch sketch cell-for-cell") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s23_test",
+      DocStream.cmsSketch, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s23_test")
+      .orderBy("i", "cell").collect()
+    val batch = SparkEntry.queries("s23_stream_cms")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // total mass per hash row is the token count — the merge is lossless
+    val mass = batch.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(mass.values.toSet.size == 1, s"rows disagree on total mass: $mass")
+  }
+
   test("streaming corpus curation equals the batch quality gate") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s08_test",

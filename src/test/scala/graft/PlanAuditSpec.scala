@@ -296,7 +296,8 @@ class PlanAuditSpec extends SparkSpec {
       "s20_stream_blocklist" -> Map("documents" -> 1),
       // s21: the d57 stamp verbatim — pure per-row, one corpus pass
       "s21_stream_split" -> Map("documents" -> 1),
-      "s22_stream_verify" -> Map("events" -> 1))
+      "s22_stream_verify" -> Map("events" -> 1),
+      "s23_stream_cms" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
