@@ -804,6 +804,64 @@ object Similarity {
             / (col("n_vecs_total").cast("double") / col("n_cells_used")))
         .select("n_cells", "n_cells_used", "cell_min", "cell_p50",
           "cell_max", "n_vecs_total", "skew")
+    },
+
+    // MMR diversified rerank (Carbonell & Goldstein 1998) — the step
+    // between retrieval and USE: d06's top-6 relevance pool per query
+    // reranked so the final 3 are relevant AND mutually diverse
+    // (pick_1 = argmax rel; then argmax 0.7·rel − 0.3·max sim-to-
+    // selected). Greedy selection is inherently sequential IN K, not
+    // in the data: each of the 3 rounds is one distributed plan over
+    // per-query candidate sets (K is a constant; the d24 driver-loop
+    // precedent). Candidate VECTORS ride the top-k payload, so the
+    // 30-sims-per-query candidate self-join needs NO further
+    // embeddings scan — two pinned scans total (query side + the
+    // broadcast corpus of the declared-exact d06 baseline). The tiny
+    // pool/selection frames persist across rounds (Verify clears
+    // caches between queries). All similarities divide exact integer
+    // dots, and every float expression sequence matches the oracle's
+    // unrolled 3-stage greedy verbatim.
+    "d62_mmr_rerank" -> { (s, dir) =>
+      def cos(dot: org.apache.spark.sql.Column,
+          n1: org.apache.spark.sql.Column, n2: org.apache.spark.sql.Column) =
+        dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+      val base = Corpus.qvecs(s, dir)
+      val queries = base.filter(col("vec_id") % 50 === 0)
+        .toDF("a_id", "qa", "na")
+      val corpus = base.toDF("b_id", "qb", "nb")
+      val scored = queries.join(broadcast(corpus), col("a_id") =!= col("b_id"))
+        .withColumn("rel", cos(DotLong(col("qa"), col("qb")), col("na"), col("nb")))
+        .select("a_id", "b_id", "rel", "qb", "nb")
+      val cands = graft.plans.TopK.perGroup(scored, Seq("a_id"),
+          Seq(("rel", true), ("b_id", false)), k = 6, rankName = "rn")
+        .select("a_id", "b_id", "rel", "qb", "nb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val csim = cands.select(col("a_id"), col("b_id").as("x_id"),
+          col("qb").as("qx"), col("nb").as("nx"))
+        .join(cands.select(col("a_id"), col("b_id").as("y_id"),
+          col("qb").as("qy"), col("nb").as("ny")), Seq("a_id"))
+        .filter(col("x_id") =!= col("y_id"))
+        .withColumn("sim", cos(DotLong(col("qx"), col("qy")), col("nx"), col("ny")))
+        .select("a_id", "x_id", "y_id", "sim")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var sel = graft.plans.TopK.perGroup(cands, Seq("a_id"),
+          Seq(("rel", true), ("b_id", false)), k = 1, rankName = "rn1")
+        .select(col("a_id"), col("b_id"), lit(1).as("pick_no"), col("rel"))
+      for (r <- 2 to 3) {
+        val notSel = cands.select("a_id", "b_id", "rel")
+          .join(sel.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+        val div = csim
+          .join(sel.select(col("a_id"), col("b_id").as("y_id")), Seq("a_id", "y_id"))
+          .groupBy(col("a_id"), col("x_id").as("b_id"))
+          .agg(max(col("sim")).as("div"))
+        val scoredR = notSel.join(div, Seq("a_id", "b_id"))
+          .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("div"))
+        val pick = graft.plans.TopK.perGroup(scoredR, Seq("a_id"),
+            Seq(("score", true), ("b_id", false)), k = 1, rankName = "rnp")
+          .select(col("a_id"), col("b_id"), lit(r).as("pick_no"), col("rel"))
+        sel = sel.unionByName(pick)
+      }
+      sel.orderBy("a_id", "pick_no")
     }
   )
 
@@ -1047,7 +1105,75 @@ object Similarity {
          |  CAST(sum(n_vecs) AS BIGINT) AS n_vecs_total,
          |  CAST(max(n_vecs) AS DOUBLE)
          |    / (CAST(sum(n_vecs) AS DOUBLE) / count(1)) AS skew
-         |FROM sizes""".stripMargin)
+         |FROM sizes""".stripMargin),
+
+    // Greedy MMR unrolled into explicit stages (K=3 is a constant):
+    // s1 = argmax rel; each later stage scores the not-yet-selected
+    // pool by 0.7·rel − 0.3·max(sim to the selected set) and takes
+    // rank 1 — float expression sequences match the Spark side
+    // verbatim over the same exact integer dots.
+    "d62_mmr_rerank" -> (Corpus.qtabCte + {
+      val cosAB = s"CAST(${duckDot.format("a.qa", "b.q")} AS DOUBLE)" +
+        " / (sqrt(CAST(a.na AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))"
+      val cosXY = s"CAST(${duckDot.format("c1.qb", "c2.qb")} AS DOUBLE)" +
+        " / (sqrt(CAST(c1.nb AS DOUBLE)) * sqrt(CAST(c2.nb AS DOUBLE)))"
+      s""", queries AS (
+         |  SELECT vec_id AS a_id, q AS qa, norm2 AS na FROM qtab
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT a.a_id, b.vec_id AS b_id, $cosAB AS rel,
+         |         b.q AS qb, b.norm2 AS nb
+         |  FROM queries a JOIN qtab b ON a.a_id <> b.vec_id),
+         |cands AS (
+         |  SELECT * FROM (
+         |    SELECT a_id, b_id, rel, qb, nb,
+         |      ROW_NUMBER() OVER (PARTITION BY a_id
+         |        ORDER BY rel DESC, b_id ASC) AS rn
+         |    FROM scored) t WHERE rn <= 6),
+         |csim AS (
+         |  SELECT c1.a_id, c1.b_id AS x_id, c2.b_id AS y_id, $cosXY AS sim
+         |  FROM cands c1 JOIN cands c2
+         |    ON c1.a_id = c2.a_id AND c1.b_id <> c2.b_id),
+         |s1 AS (SELECT a_id, b_id, rel FROM cands WHERE rn = 1),
+         |r2 AS (
+         |  SELECT c.a_id, c.b_id, c.rel,
+         |    CAST(0.7 AS DOUBLE) * c.rel
+         |      - CAST(0.3 AS DOUBLE) * max(cs.sim) AS score
+         |  FROM cands c
+         |  JOIN csim cs ON cs.a_id = c.a_id AND cs.x_id = c.b_id
+         |  JOIN s1 ON s1.a_id = cs.a_id AND s1.b_id = cs.y_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+         |                    WHERE x.a_id = c.a_id AND x.b_id = c.b_id)
+         |  GROUP BY c.a_id, c.b_id, c.rel),
+         |s2 AS (
+         |  SELECT a_id, b_id, rel FROM (
+         |    SELECT a_id, b_id, rel, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY score DESC, b_id ASC) AS rn FROM r2) t
+         |  WHERE rn = 1),
+         |sel12 AS (SELECT a_id, b_id FROM s1
+         |          UNION ALL SELECT a_id, b_id FROM s2),
+         |r3 AS (
+         |  SELECT c.a_id, c.b_id, c.rel,
+         |    CAST(0.7 AS DOUBLE) * c.rel
+         |      - CAST(0.3 AS DOUBLE) * max(cs.sim) AS score
+         |  FROM cands c
+         |  JOIN csim cs ON cs.a_id = c.a_id AND cs.x_id = c.b_id
+         |  JOIN sel12 sl ON sl.a_id = cs.a_id AND sl.b_id = cs.y_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+         |                    WHERE x.a_id = c.a_id AND x.b_id = c.b_id)
+         |  GROUP BY c.a_id, c.b_id, c.rel),
+         |s3 AS (
+         |  SELECT a_id, b_id, rel FROM (
+         |    SELECT a_id, b_id, rel, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY score DESC, b_id ASC) AS rn FROM r3) t
+         |  WHERE rn = 1)
+         |SELECT a_id, b_id, CAST(1 AS INT) AS pick_no, rel FROM s1
+         |UNION ALL
+         |SELECT a_id, b_id, CAST(2 AS INT) AS pick_no, rel FROM s2
+         |UNION ALL
+         |SELECT a_id, b_id, CAST(3 AS INT) AS pick_no, rel FROM s3
+         |ORDER BY a_id, pick_no""".stripMargin
+    })
   )
 
   /** d52's DuckDB twin: rebuild the SNAPSHOT index's centroid table

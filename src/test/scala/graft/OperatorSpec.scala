@@ -161,6 +161,36 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("d62 MMR picks equal a brute-force greedy over the same pool") {
+    val rows = SparkEntry.queries("d62_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+      val q = r.getSeq[Float](1).map(e =>
+        if (e == null) 0L else math.round(e.toDouble * 1000)).toArray
+      (r.getLong(0), q, q.map(x => x * x).sum)
+    }
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)) = {
+      val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val expected = vecs.filter(_._1 % 50 == 0).flatMap { qv =>
+      val pool = vecs.filter(_._1 != qv._1)
+        .map(v => (v, cos(qv, v)))
+        .sortBy { case (v, rel) => (-rel, v._1) }.take(6)
+      var sel = List(pool.head)
+      for (_ <- 2 to 3) {
+        val pick = pool.filterNot(c => sel.exists(_._1._1 == c._1._1))
+          .map { c => (c, 0.7 * c._2 - 0.3 * sel.map(s => cos(c._1, s._1)).max) }
+          .sortBy { case (c, sc) => (-sc, c._1._1) }.head._1
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case ((v, _), i) => (qv._1, v._1, i + 1) }
+    }
+    assert(rows.sorted.sameElements(expected.sorted),
+      s"MMR divergence: got ${rows.toList}, want ${expected.toList}")
+  }
+
   test("d61 CMS estimates are one-sided: min-of-rows >= exact, tight on heavy hitters") {
     val rows = SparkEntry.queries("d61_cms_heavy")(spark, sf).collect()
     assert(rows.length == 20)

@@ -151,7 +151,11 @@ class PlanAuditSpec extends SparkSpec {
       // d60: per-row canonicalization + one keeper window, one scan
       "d60_url_dedup" -> (1, 0),
       // d61: sketch pass + exact-baseline pass over the token stream
-      "d61_cms_heavy" -> (2, 0))
+      "d61_cms_heavy" -> (2, 0),
+      // d62: query side + broadcast corpus; candidate vectors ride the
+      // top-k payload so the 3 greedy rounds re-read the PERSISTED
+      // pool, never the table
+      "d62_mmr_rerank" -> (0, 2))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
