@@ -470,6 +470,25 @@ object Relational {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy("o_orderpriority")
+    },
+
+    // UNPIVOT — the wide→long reshape completing q20's pivot: a
+    // per-status measure matrix melted to (status, measure, value)
+    // rows, the shape dashboards and generic metric sinks ingest.
+    // Catalyst plans unpivot as an Expand over the aggregated (tiny)
+    // frame — the melt itself never touches the table, so the cost is
+    // q01's aggregation and nothing else (pin orders=1).
+    "q30_unpivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          asDouble(sum(dec2(col("o_totalprice")))).as("total_price"),
+          count(lit(1)).cast("double").as("n_orders"),
+          (asDouble(sum(dec2(col("o_totalprice")))) / count(lit(1))).as("avg_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("total_price"), col("n_orders"), col("avg_price")),
+          "measure", "value")
+        .orderBy("o_orderstatus", "measure")
     }
   )
 
@@ -720,6 +739,17 @@ object Relational {
         |  quantile_disc(o_totalprice, 0.75) AS p75,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q30_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |    CAST(count(1) AS DOUBLE) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, measure, value FROM wide
+        |UNPIVOT (value FOR measure IN (total_price, n_orders, avg_price))
+        |ORDER BY o_orderstatus, measure""".stripMargin
   )
 }

@@ -161,6 +161,18 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0))
   }
 
+  test("q30 unpivot: 3 measures per status, values equal the wide aggregation") {
+    val rows = SparkEntry.queries("q30_unpivot")(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(0))
+    byStatus.foreach { case (_, g) =>
+      assert(g.map(_.getString(1)).sorted.sameElements(
+        Array("avg_price", "n_orders", "total_price")))
+      val m = g.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      assert(m("avg_price") == m("total_price") / m("n_orders"))
+    }
+    assert(rows.length == byStatus.size * 3)
+  }
+
   test("d62 MMR picks equal a brute-force greedy over the same pool") {
     val rows = SparkEntry.queries("d62_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

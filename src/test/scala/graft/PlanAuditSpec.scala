@@ -253,7 +253,9 @@ class PlanAuditSpec extends SparkSpec {
       // q28: one scan per side — binning must not re-read either table
       "q28_interval_join" -> Map("orders" -> 1, "lineitem" -> 1),
       // q29: rank + count windows + agg all share one exchange
-      "q29_quartiles" -> Map("orders" -> 1))
+      "q29_quartiles" -> Map("orders" -> 1),
+      // q30: the melt expands the aggregated frame, not the table
+      "q30_unpivot" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
