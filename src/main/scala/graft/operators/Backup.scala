@@ -1020,6 +1020,29 @@ object Backup {
           when(col("last_ok_day").isNull || col("lag_days") > col("rpo_days"),
             "VIOLATION").otherwise("OK"))
         .orderBy("node_id", "keyspace")
+    },
+
+    // Verification sampling plan — the spot-check a fleet runs when
+    // re-hashing everything is unaffordable (b08 verifies ALL entries;
+    // at 100 TB the nightly full pass is exactly what you stop doing):
+    // from the latest snapshot, 2 files per (node, keyspace, table)
+    // picked by md5 rank — deterministic yet uniform-ish, so the
+    // sample can't be gamed by key naming and re-runs audit the SAME
+    // files. The window partitions by the bounded entity key; the
+    // latest-day resolution is a tiny agg broadcast back (the b13
+    // two-role shape, pin events=2).
+    "b36_verify_sample" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val latest = m.agg(max(col("snapshot_day")).as("snapshot_day"))
+      val w = Window.partitionBy("node_id", "keyspace", "table_name")
+        .orderBy(md5(concat(lit("vs"), col("object_key"))), col("object_key"))
+      m.join(broadcast(latest), Seq("snapshot_day"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("node_id"), col("keyspace"), col("table_name"),
+          col("object_key"), col("rk"), asDouble(col("size")).as("size"),
+          (col("upload_hash") === col("download_hash")).as("hash_ok"))
+        .orderBy("node_id", "keyspace", "table_name", "rk")
     }
   )
 
@@ -1566,6 +1589,20 @@ object Backup {
         |         OR date_diff('day', last_ok_day, DATE '2024-01-31')
         |            > CASE keyspace WHEN 'ks0' THEN 1 WHEN 'ks1' THEN 3 ELSE 7 END
         |       THEN 'VIOLATION' ELSE 'OK' END AS status
-        |FROM agg ORDER BY node_id, keyspace""".stripMargin)
+        |FROM agg ORDER BY node_id, keyspace""".stripMargin),
+
+    "b36_verify_sample" -> (cte +
+      """, latest AS (SELECT max(snapshot_day) AS snapshot_day FROM manifest),
+        |ranked AS (
+        |  SELECT m.node_id, m.keyspace, m.table_name, m.object_key,
+        |    m.size, m.upload_hash, m.download_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY m.node_id, m.keyspace, m.table_name
+        |      ORDER BY md5(concat('vs', m.object_key)), m.object_key) AS rk
+        |  FROM manifest m JOIN latest USING (snapshot_day))
+        |SELECT node_id, keyspace, table_name, object_key,
+        |  CAST(rk AS INT) AS rk, CAST(size AS DOUBLE) AS size,
+        |  upload_hash = download_hash AS hash_ok
+        |FROM ranked WHERE rk <= 2
+        |ORDER BY node_id, keyspace, table_name, rk""".stripMargin)
   )
 }

@@ -257,6 +257,34 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(3)), "no duplicates collapsed")
   }
 
+  test("b36 verification sample: <=2 per entity, md5-ranked from the latest day") {
+    val rows = SparkEntry.queries("b36_verify_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val groups = rows.groupBy(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    groups.foreach { case (_, g) =>
+      assert(g.length <= 2 && g.map(_.getInt(4)).sorted.sameElements(1 to g.length))
+    }
+    // (sf0.001's latest day holds ≤1 file per entity; the 2-deep
+    // sampling is exercised by the sf0.01 oracle run)
+    // the md5 pick order is position-independent of key order: rank-1
+    // keys must be the md5-min of their group, checked via re-ranking
+    import org.apache.spark.sql.functions._
+    val latest = graft.model.BackupLedger.manifest(spark, sf)
+      .agg(max("snapshot_day")).collect().head.getDate(0)
+    val full = graft.model.BackupLedger.manifest(spark, sf)
+      .filter(col("snapshot_day") === lit(latest))
+      .select(col("node_id"), col("keyspace"), col("table_name"),
+        col("object_key"), md5(concat(lit("vs"), col("object_key"))).as("h"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.filter(_.getInt(4) == 1).foreach { r =>
+      val g = full((r.getLong(0), r.getString(1), r.getString(2)))
+      val best = g.minBy(x => (x.getString(4), x.getString(3)))
+      assert(r.getString(3) == best.getString(3),
+        s"rank-1 pick is not the md5-min for ${(r.getLong(0), r.getString(1), r.getString(2))}")
+    }
+  }
+
   test("b35 RPO report: lag/status agree with last_ok_day and the policy") {
     val rows = SparkEntry.queries("b35_rpo_compliance")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -221,6 +221,8 @@ class PlanAuditSpec extends SparkSpec {
       "b34_restore_plan" -> Map("events" -> 3),
       // b35: both agg levels stack on ONE manifest derivation
       "b35_rpo_compliance" -> Map("events" -> 1),
+      // b36: latest-day agg + the sampled slice (b13's two-role shape)
+      "b36_verify_sample" -> Map("events" -> 2),
       "q01_agg" -> Map("lineitem" -> 1),
       "q02_filter_project" -> Map("lineitem" -> 1),
       "q03_join_agg" -> Map("customer" -> 1, "orders" -> 1, "lineitem" -> 1),
