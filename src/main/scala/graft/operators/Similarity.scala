@@ -862,6 +862,44 @@ object Similarity {
         sel = sel.unionByName(pick)
       }
       sel.orderBy("a_id", "pick_no")
+    },
+
+    // Contrastive negative sampling — the pair-mining step an
+    // embedding-training pipeline runs over the corpus: per anchor
+    // (vec_id % 50 = 0), the positive is the cosine top-1, negatives
+    // are mined in the production two-stage recipe — a HASH-ranked
+    // uniform sample of 8 (deterministic, so re-runs and the oracle
+    // draw the SAME sample; keyed per (anchor, candidate) so one
+    // vector's sample position differs across anchors), then the 4
+    // HARDEST kept by cosine (hard negatives are what make the loss
+    // informative). One scored frame (anchors × broadcast corpus,
+    // arrays dropped before persist) feeds positive resolution and
+    // both mining stages — pin embeddings=2; both TopK stages prune
+    // map-side via x04.
+    "d63_neg_sampling" -> { (s, dir) =>
+      val base = Corpus.qvecs(s, dir)
+      val queries = base.filter(col("vec_id") % 50 === 0)
+        .toDF("a_id", "qa", "na")
+      val corpus = base.toDF("b_id", "qb", "nb")
+      val scored = queries.join(broadcast(corpus), col("a_id") =!= col("b_id"))
+        .withColumn("cos", DotLong(col("qa"), col("qb")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("h", graft.functions.hash32(concat(lit("neg"),
+          col("a_id").cast("string"), lit("#"), col("b_id").cast("string"))))
+        .select("a_id", "b_id", "cos", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pos = graft.plans.TopK.perGroup(scored, Seq("a_id"),
+          Seq(("cos", true), ("b_id", false)), k = 1, rankName = "rp")
+        .select(col("a_id"), col("b_id").as("pos_id"))
+      val sample8 = graft.plans.TopK.perGroup(
+          scored.join(pos, Seq("a_id")).filter(col("b_id") =!= col("pos_id")),
+          Seq("a_id"), Seq(("h", false), ("b_id", false)), k = 8,
+          rankName = "samp_rank")
+      graft.plans.TopK.perGroup(sample8, Seq("a_id"),
+          Seq(("cos", true), ("b_id", false)), k = 4, rankName = "hard_rank")
+        .select(col("a_id"), col("pos_id"), col("b_id").as("neg_id"),
+          col("samp_rank"), col("hard_rank"), col("cos"))
+        .orderBy("a_id", "hard_rank")
     }
   )
 
@@ -1173,6 +1211,43 @@ object Similarity {
          |UNION ALL
          |SELECT a_id, b_id, CAST(3 AS INT) AS pick_no, rel FROM s3
          |ORDER BY a_id, pick_no""".stripMargin
+    }),
+
+    "d63_neg_sampling" -> (Corpus.qtabCte + {
+      val cosAB = s"CAST(${duckDot.format("a.qa", "b.q")} AS DOUBLE)" +
+        " / (sqrt(CAST(a.na AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))"
+      val h = Corpus.hash32Sql(
+        "concat('neg', CAST(a.a_id AS VARCHAR), '#', CAST(b.vec_id AS VARCHAR))")
+      s""", queries AS (
+         |  SELECT vec_id AS a_id, q AS qa, norm2 AS na FROM qtab
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT a.a_id, b.vec_id AS b_id, $cosAB AS cos, $h AS h
+         |  FROM queries a JOIN qtab b ON a.a_id <> b.vec_id),
+         |pos AS (
+         |  SELECT a_id, b_id AS pos_id FROM (
+         |    SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id ASC) AS rp FROM scored) t
+         |  WHERE rp = 1),
+         |samp AS (
+         |  SELECT * FROM (
+         |    SELECT s.a_id, p.pos_id, s.b_id, s.cos,
+         |      ROW_NUMBER() OVER (PARTITION BY s.a_id
+         |        ORDER BY s.h ASC, s.b_id ASC) AS samp_rank
+         |    FROM scored s JOIN pos p
+         |      ON s.a_id = p.a_id AND s.b_id <> p.pos_id) t
+         |  WHERE samp_rank <= 8),
+         |hard AS (
+         |  SELECT * FROM (
+         |    SELECT a_id, pos_id, b_id, cos, samp_rank,
+         |      ROW_NUMBER() OVER (PARTITION BY a_id
+         |        ORDER BY cos DESC, b_id ASC) AS hard_rank
+         |    FROM samp) t
+         |  WHERE hard_rank <= 4)
+         |SELECT a_id, pos_id, b_id AS neg_id,
+         |  CAST(samp_rank AS INT) AS samp_rank,
+         |  CAST(hard_rank AS INT) AS hard_rank, cos
+         |FROM hard ORDER BY a_id, hard_rank""".stripMargin
     })
   )
 

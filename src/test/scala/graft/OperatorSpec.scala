@@ -173,6 +173,22 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length == byStatus.size * 3)
   }
 
+  test("d63 negative mining: positives excluded, hard-4 are the cos-max of the hash-8") {
+    val rows = SparkEntry.queries("d63_neg_sampling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val posIds = g.map(_.getLong(1)).distinct
+      assert(posIds.length == 1, "one positive per anchor")
+      assert(!g.map(_.getLong(2)).contains(posIds.head),
+        "positive leaked into the negatives")
+      assert(g.map(_.getInt(4)).sorted.sameElements(1 to g.length))
+      assert(g.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 8))
+      // hard ranks follow cos descending
+      val byHard = g.sortBy(_.getInt(4)).map(_.getDouble(5))
+      assert(byHard.sameElements(byHard.sortBy(-_)))
+    }
+  }
+
   test("d62 MMR picks equal a brute-force greedy over the same pool") {
     val rows = SparkEntry.queries("d62_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

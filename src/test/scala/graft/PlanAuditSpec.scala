@@ -155,7 +155,10 @@ class PlanAuditSpec extends SparkSpec {
       // d62: query side + broadcast corpus; candidate vectors ride the
       // top-k payload so the 3 greedy rounds re-read the PERSISTED
       // pool, never the table
-      "d62_mmr_rerank" -> (0, 2))
+      "d62_mmr_rerank" -> (0, 2),
+      // d63: one persisted scored frame (anchors + broadcast corpus)
+      // feeds the positive and both mining stages
+      "d63_neg_sampling" -> (0, 2))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
