@@ -274,6 +274,18 @@ object Streaming {
     "s23_stream_cms" -> { (s, dir) =>
       graft.streaming.DocStream.cmsSketch(Tables.documents(s, dir))
         .orderBy("i", "cell")
+    },
+
+    // Canonical-URL ingest gate — d60's dedup asked at ARRIVAL:
+    // stateless per-row canonicalization probed against the
+    // already-ingested index (stream-static broadcast); identical
+    // transform over the batch table, stream ≡ batch proven in
+    // EventStreamSpec.
+    "s24_stream_url" -> { (s, dir) =>
+      graft.streaming.DocStream.urlGate(
+          graft.streaming.DocStream.urlIndex(s, dir))(
+          Tables.documents(s, dir))
+        .orderBy("doc_id")
     }
   )
 
@@ -454,6 +466,34 @@ object Streaming {
         |SELECT i, $cell AS cell, count(1) AS c
         |FROM toks, UNNEST(range(0, 4)) t(i)
         |GROUP BY 1, 2 ORDER BY i, cell""".stripMargin
-    })
+    }),
+
+    "s24_stream_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 4 = 2 THEN 'HTTP://'
+        |         WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 2 THEN 'SITE' ELSE 'site' END,
+        |    CAST(doc_id % 5 AS VARCHAR), '.example.com/p',
+        |    CAST(doc_id % 23 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed' ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '')
+        |      AS canonical_url
+        |  FROM urls),
+        |idx AS (
+        |  SELECT DISTINCT canonical_url FROM canon
+        |  WHERE CAST(concat('0x', substr(md5(canonical_url), 1, 8)) AS BIGINT) % 10 < 7)
+        |SELECT c.doc_id, c.canonical_url,
+        |  i.canonical_url IS NULL AS is_new
+        |FROM canon c LEFT JOIN idx i ON c.canonical_url = i.canonical_url
+        |ORDER BY c.doc_id""".stripMargin
   )
 }

@@ -57,6 +57,29 @@ object TextAnalysis {
     * group 1 = domain, group 2 = path segment. */
   private val urlRe = """https?://([a-z0-9.]+)/([a-z0-9]+)"""
 
+  /** Deterministic crawl URL fixture: the canonical page
+    * `site<id%5>.example.com/p<id%23>` decorated with a variant
+    * (scheme case, `www.`, trailing slash, utm query, fragment) by
+    * id%4 — shared by d60 (batch dedup) and s24 (ingest gate). */
+  def crawlUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(id % 4 === 2, "HTTP://").otherwise(
+        when(id % 4 === 0, "http://").otherwise("https://")),
+      when(id % 4 === 1, "www.").otherwise(""),
+      when(id % 4 === 2, "SITE").otherwise("site"),
+      (id % 5).cast("string"), lit(".example.com/p"),
+      (id % 23).cast("string"),
+      when(id % 4 === 1, "/").otherwise(""),
+      when(id % 4 === 2, "?utm_source=feed").otherwise(""),
+      when(id % 4 === 3, "#frag").otherwise(""))
+
+  /** Canonicalization kernel: strip scheme/`www.`/query/fragment/
+    * trailing slash, lowercase — a chain of codegen'd regexps. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url),
+      "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword-lexicon scoring, argmax lang per doc
@@ -395,21 +418,8 @@ object TextAnalysis {
     "d60_url_dedup" -> { (s, dir) =>
       val w = Window.partitionBy("canonical_url")
       graft.sources.Tables.documents(s, dir)
-        .select(col("doc_id"),
-          concat(
-            when(col("doc_id") % 4 === 2, "HTTP://").otherwise(
-              when(col("doc_id") % 4 === 0, "http://").otherwise("https://")),
-            when(col("doc_id") % 4 === 1, "www.").otherwise(""),
-            when(col("doc_id") % 4 === 2, "SITE").otherwise("site"),
-            (col("doc_id") % 5).cast("string"), lit(".example.com/p"),
-            (col("doc_id") % 23).cast("string"),
-            when(col("doc_id") % 4 === 1, "/").otherwise(""),
-            when(col("doc_id") % 4 === 2, "?utm_source=feed").otherwise(""),
-            when(col("doc_id") % 4 === 3, "#frag").otherwise("")).as("url"))
-        .withColumn("canonical_url",
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            lower(col("url")),
-            "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", ""))
+        .select(col("doc_id"), crawlUrl(col("doc_id")).as("url"))
+        .withColumn("canonical_url", canonicalUrl(col("url")))
         .withColumn("keeper_id", min(col("doc_id")).over(w))
         .select(col("doc_id"), col("url"), col("canonical_url"),
           (col("doc_id") === col("keeper_id")).as("is_keeper"))
@@ -446,6 +456,41 @@ object TextAnalysis {
         .agg(min(col("c")).as("n_cms"))
         .withColumn("inflation", col("n_cms") - col("n_exact"))
         .orderBy(col("n_exact").desc, col("w").asc)
+    },
+
+    // BPE merge-pair statistics — the counting round a tokenizer
+    // trainer runs at corpus scale: every adjacent CHARACTER pair,
+    // weighted by corpus word frequency (train on the word TABLE, not
+    // the token stream — the BPE trick that makes corpus size
+    // irrelevant: the heavy explode runs over the bounded vocabulary,
+    // the corpus contributes only the frequency weights from one
+    // token-stream agg). Two counts per pair, both exact integers:
+    // the sliding count (every position — what frequency ranking
+    // uses) and the NON-OVERLAPPING merge count (what one BPE apply
+    // round would actually perform, via the replace() length-delta —
+    // 'aaa' holds two sliding 'aa's but ONE merge), plus the distinct
+    // words carrying the pair. Top-10 by sliding count.
+    "d64_bpe_pairs" -> { (s, dir) =>
+      // the bounded word table persists: both pair counts branch from
+      // it, and without the persist each branch would re-run the
+      // corpus token agg
+      val words = Corpus.docs(s, dir)
+        .select(explode(col("ws")).as("w")).filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .filter(length(col("w")) >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = words
+        .select(col("w"), col("n"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      val naive = pairs.groupBy("p").agg(sum(col("n")).as("pair_count"))
+      val merged = pairs.distinct()
+        .withColumn("m",
+          col("n") * expr("(length(w) - length(replace(w, p, ''))) div 2"))
+        .groupBy("p")
+        .agg(sum(col("m")).as("merge_count"), count(lit(1)).as("n_words"))
+      naive.join(merged, Seq("p"))
+        .orderBy(col("pair_count").desc, col("p").asc)
+        .limit(10)
     }
   )
 
@@ -692,6 +737,26 @@ object TextAnalysis {
         |FROM probes p JOIN sketch s ON p.i = s.i AND p.cell = s.cell
         |GROUP BY p.w, p.n_exact
         |ORDER BY n_exact DESC, w ASC""".stripMargin
-    })
+    }),
+
+    "d64_bpe_pairs" -> (Corpus.docsCte +
+      """, words AS (
+        |  SELECT w, count(1) AS n
+        |  FROM (SELECT unnest(ws) AS w FROM docs) u WHERE w <> ''
+        |  GROUP BY w HAVING length(w) >= 2),
+        |pairs AS (
+        |  SELECT w, n, substr(w, CAST(i AS INT), 2) AS p
+        |  FROM words, UNNEST(range(1, length(w))) t(i)),
+        |naive AS (
+        |  SELECT p, CAST(sum(n) AS BIGINT) AS pair_count FROM pairs GROUP BY p),
+        |merged AS (
+        |  SELECT p,
+        |    CAST(sum(n * ((length(w) - length(replace(w, p, ''))) // 2)) AS BIGINT)
+        |      AS merge_count,
+        |    count(1) AS n_words
+        |  FROM (SELECT DISTINCT w, n, p FROM pairs) nv GROUP BY p)
+        |SELECT nv.p, nv.pair_count, m.merge_count, m.n_words
+        |FROM naive nv JOIN merged m ON nv.p = m.p
+        |ORDER BY nv.pair_count DESC, nv.p ASC LIMIT 10""".stripMargin)
   )
 }

@@ -66,6 +66,39 @@ object DocStream {
       .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
       .groupBy("i", "cell").agg(count(lit(1)).as("c"))
 
+  /** Canonical-URL ingest gate — d60's dedup question asked as pages
+    * ARRIVE: each doc's crawl URL canonicalized per-row (stateless,
+    * append mode) and probed against the already-ingested canonical
+    * index (stream-static join against the materialized index a
+    * 100 TB crawler shares — here the every-3rd-doc partition, the
+    * s10/tileIndex convention); `is_new` = no index hit, the keep
+    * decision a re-crawl makes without any content fetch. Batch twin
+    * is the oracle (`s24_stream_url`); stream ≡ batch in
+    * EventStreamSpec. */
+  def urlGate(index: DataFrame)(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.crawlUrl(col("doc_id")).as("url"))
+      .withColumn("canonical_url", TextAnalysis.canonicalUrl(col("url")))
+      .join(broadcast(index.withColumn("hit", lit(true))),
+        Seq("canonical_url"), "left")
+      .select(col("doc_id"), col("canonical_url"),
+        (!coalesce(col("hit"), lit(false))).as("is_new"))
+
+  /** s24's static side: canonical URLs the previous crawl already
+    * covered — a hash-range of the PAGE space (70% of pages by page
+    * hash, the sharded-crawl fixture), so the gate stays
+    * discriminative at every SF: coverage is a property of the page,
+    * not of which docs happen to exist. */
+  def urlIndex(s: SparkSession, dir: String): DataFrame = {
+    val canon = TextAnalysis.canonicalUrl(
+      TextAnalysis.crawlUrl(col("doc_id")))
+    graft.sources.Tables.documents(s, dir)
+      .select(canon.as("canonical_url"))
+      .filter(graft.functions.hash32(col("canonical_url")) % 10 < 7)
+      .distinct()
+  }
+
   /** s10's static side — the known-boilerplate index: distinct tile
     * hashes of the already-ingested partition (every 3rd doc plays
     * that role). At 100 TB this is the materialized dedup index the

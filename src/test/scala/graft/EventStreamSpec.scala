@@ -87,6 +87,24 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
   }
 
+  test("streaming URL ingest gate equals the batch decision") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s24_test",
+      DocStream.urlGate(DocStream.urlIndex(spark, sf)), mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s24_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s24_stream_url")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the hash-range index leaves ~30% of pages uncrawled: both
+    // outcomes occur, and the decision is page-consistent (all docs
+    // of one canonical page agree)
+    assert(batch.exists(_.getBoolean(2)) && batch.exists(!_.getBoolean(2)))
+    batch.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.map(_.getBoolean(2)).distinct.length == 1)
+    }
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s23_test",

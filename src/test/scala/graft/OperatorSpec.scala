@@ -173,6 +173,27 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length == byStatus.size * 3)
   }
 
+  test("d64 BPE pair counts: sliding >= merges, both match a brute-force recount") {
+    val rows = SparkEntry.queries("d64_bpe_pairs")(spark, sf).collect()
+    assert(rows.length == 10)
+    val words = graft.model.Corpus.docs(spark, sf)
+      .select(explode(col("ws")).as("w")).filter(col("w") =!= "")
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val sliding = words.map { case (w, n) =>
+        n * (0 until w.length - 1).count(i => w.substring(i, i + 2) == p)
+      }.sum
+      val merges = words.map { case (w, n) =>
+        n * ((w.length - w.replace(p, "").length) / 2) }.sum
+      val nWords = words.keys.count(_.contains(p)).toLong
+      assert(r.getLong(1) == sliding && r.getLong(2) == merges
+        && r.getLong(3) == nWords, s"recount mismatch for pair '$p': $r")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("d63 negative mining: positives excluded, hard-4 are the cos-max of the hash-8") {
     val rows = SparkEntry.queries("d63_neg_sampling")(spark, sf).collect()
     assert(rows.nonEmpty)

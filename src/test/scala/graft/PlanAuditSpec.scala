@@ -152,6 +152,9 @@ class PlanAuditSpec extends SparkSpec {
       "d60_url_dedup" -> (1, 0),
       // d61: sketch pass + exact-baseline pass over the token stream
       "d61_cms_heavy" -> (2, 0),
+      // d64: both pair counts derive from ONE token-stream agg (the
+      // explode runs over the bounded word table, not the corpus)
+      "d64_bpe_pairs" -> (1, 0),
       // d62: query side + broadcast corpus; candidate vectors ride the
       // top-k payload so the 3 greedy rounds re-read the PERSISTED
       // pool, never the table
@@ -308,7 +311,9 @@ class PlanAuditSpec extends SparkSpec {
       // s21: the d57 stamp verbatim — pure per-row, one corpus pass
       "s21_stream_split" -> Map("documents" -> 1),
       "s22_stream_verify" -> Map("events" -> 1),
-      "s23_stream_cms" -> Map("documents" -> 1))
+      "s23_stream_cms" -> Map("documents" -> 1),
+      // s24: the arriving stream + the ingested-index side
+      "s24_stream_url" -> Map("documents" -> 2))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
