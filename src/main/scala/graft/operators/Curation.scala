@@ -794,6 +794,45 @@ object Curation {
         .select("lang", "len_bucket", "n_prev", "n_curr",
           "share_prev", "share_curr", "drift_num")
         .orderBy("lang", "len_bucket")
+    },
+
+    // Token-balanced shard assignment — the writer-side plan that
+    // turns a curated corpus into fixed-budget training shards:
+    // every doc gets a position in a deterministic global order
+    // (hash-derived, so shuffle- and growth-stable) and its shard is
+    // cum_tokens_before div SHARD_TOKENS. The global prefix sum uses
+    // the two-stage SCALABLE pattern, not a single-partition window:
+    // stage 1 cumulates WITHIN each of B hash buckets (parallel
+    // windows over bucket partitions); stage 2 prefixes the B bucket
+    // TOTALS (a bounded 32-row window) and broadcasts the offsets
+    // back. Global order = (bucket, ord, doc_id), so offset +
+    // local-cumsum IS the global cumsum — no stage ever sorts the
+    // corpus in one place. B scales with the cluster at 100 TB; the
+    // totals agg is a second pinned scan (corpus-sized intermediates
+    // are not persisted — two cheap scans beat caching 100 TB).
+    "d65_shard_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val shardTokens = 4096L
+      val d = Corpus.docs(s, dir).select(
+        col("doc_id"),
+        expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"),
+        hash32(concat(lit("shard"), col("doc_id").cast("string"))).as("ord"))
+        .withColumn("bucket", col("ord") % 32)
+      val wLocal = Window.partitionBy("bucket")
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = d.withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      val wPrefix = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("offset", coalesce(sum(col("tot")).over(wPrefix), lit(0L)))
+        .select("bucket", "offset")
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_before", col("offset") + col("local_before"))
+        .withColumn("shard", expr(s"cum_before div $shardTokens"))
+        .select("doc_id", "bucket", "n_tokens", "cum_before", "shard")
+        .orderBy("doc_id")
     }
   )
 
@@ -1032,6 +1071,26 @@ object Curation {
         |  CAST(n_prev AS DOUBLE) / CAST(tot_prev AS DOUBLE) AS share_prev,
         |  CAST(n_curr AS DOUBLE) / CAST(tot_curr AS DOUBLE) AS share_curr,
         |  CAST(abs(n_prev * tot_curr - n_curr * tot_prev) AS BIGINT) AS drift_num
-        |FROM wide ORDER BY lang, len_bucket""".stripMargin
+        |FROM wide ORDER BY lang, len_bucket""".stripMargin,
+
+    // one flat window over the global (bucket, ord, doc_id) order —
+    // DuckDB needs no bucket staging, the ORDER is what must match
+    "d65_shard_plan" -> (Corpus.docsCte + {
+      val ord = Corpus.hash32Sql("concat('shard', CAST(doc_id AS VARCHAR))")
+      s""", d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    $ord AS ord, $ord % 32 AS bucket
+        |  FROM docs),
+        |cum AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY bucket, ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, bucket, n_tokens, cum_before,
+        |  cum_before // 4096 AS shard
+        |FROM cum ORDER BY doc_id""".stripMargin
+    })
   )
 }

@@ -173,6 +173,28 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length == byStatus.size * 3)
   }
 
+  test("d65 shard plan: two-stage prefix sum equals a direct global cumsum") {
+    val rows = SparkEntry.queries("d65_shard_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct recompute: sort by (bucket, ord) — reconstruct ord from
+    // the kernel — and accumulate
+    val byOrder = rows.sortBy { r =>
+      val ord = graft.functions.Hash32Kernel.compute(
+        s"shard${r.getLong(0)}".getBytes("UTF-8"))
+      (r.getLong(1), ord, r.getLong(0))
+    }
+    var cum = 0L
+    byOrder.foreach { r =>
+      assert(r.getLong(3) == cum,
+        s"cum_before diverges at doc ${r.getLong(0)}: ${r.getLong(3)} vs $cum")
+      assert(r.getLong(4) == cum / 4096)
+      cum += r.getLong(2)
+    }
+    // budget law: every shard except the last closes within one doc of 4096
+    val shards = rows.groupBy(_.getLong(4))
+    assert(shards.size >= 2, "fixture too small to exercise shard rollover")
+  }
+
   test("d64 BPE pair counts: sliding >= merges, both match a brute-force recount") {
     val rows = SparkEntry.queries("d64_bpe_pairs")(spark, sf).collect()
     assert(rows.length == 10)

@@ -150,6 +150,9 @@ class PlanAuditSpec extends SparkSpec {
       "d59_forget_plan" -> (1, 0),
       // d60: per-row canonicalization + one keeper window, one scan
       "d60_url_dedup" -> (1, 0),
+      // d65: bucket-local window pass + the bucket-totals agg pass
+      // (two cheap scans instead of caching a corpus-sized frame)
+      "d65_shard_plan" -> (2, 0),
       // d61: sketch pass + exact-baseline pass over the token stream
       "d61_cms_heavy" -> (2, 0),
       // d64: both pair counts derive from ONE token-stream agg (the
