@@ -1043,6 +1043,35 @@ object Backup {
           col("object_key"), col("rk"), asDouble(col("size")).as("size"),
           (col("upload_hash") === col("download_hash")).as("hash_ok"))
         .orderBy("node_id", "keyspace", "table_name", "rk")
+    },
+
+    // Retention-aware GC plan — what `RemoveBackupOperation` must
+    // compute before deleting a backup: a remote object is physically
+    // deletable only when NO surviving snapshot still references it
+    // (esop's shared-file rule — removable entries are the ones
+    // referenced exclusively by the backups being removed,
+    // Manifest.java:473-483). With an olderThan cutoff
+    // (RemoveBackupOperation.java:184-186) that collapses to a pure
+    // per-object aggregate: deletable ⟺ max(referencing snapshot_day)
+    // < cutoff — NO join against the survivor set at all, one
+    // object-keyed exchange (b05's shape) then a bounded per-entity
+    // rollup. Reclaimed bytes use the FIRST-appearance copy's size
+    // (incremental storage keeps one physical object under its first
+    // snapshot — b25's provenance rule), i.e. min_by(size, day).
+    "b37_orphan_gc" -> { (s, dir) =>
+      val cutoff = lit("2024-01-08").cast("date")
+      manifest(s, dir)
+        .groupBy("object_key", "keyspace", "table_name")
+        .agg(
+          min_by(col("size"), col("snapshot_day")).as("first_size"),
+          max(col("snapshot_day")).as("last_day"))
+        .groupBy("keyspace", "table_name")
+        .agg(
+          count(lit(1)).as("n_objects"),
+          count(when(col("last_day") < cutoff, lit(1))).as("n_deletable"),
+          asDouble(coalesce(sum(when(col("last_day") < cutoff, col("first_size"))),
+            lit(0).cast("decimal(18,2)"))).as("bytes_reclaimed"))
+        .orderBy("keyspace", "table_name")
     }
   )
 
@@ -1603,6 +1632,17 @@ object Backup {
         |  CAST(rk AS INT) AS rk, CAST(size AS DOUBLE) AS size,
         |  upload_hash = download_hash AS hash_ok
         |FROM ranked WHERE rk <= 2
-        |ORDER BY node_id, keyspace, table_name, rk""".stripMargin)
+        |ORDER BY node_id, keyspace, table_name, rk""".stripMargin),
+
+    "b37_orphan_gc" -> (cte +
+      """, per_obj AS (
+        |  SELECT object_key, keyspace, table_name,
+        |    arg_min(size, snapshot_day) AS first_size,
+        |    max(snapshot_day) AS last_day
+        |  FROM manifest GROUP BY 1, 2, 3)
+        |SELECT keyspace, table_name, COUNT(1) AS n_objects,
+        |  COUNT(CASE WHEN last_day < DATE '2024-01-08' THEN 1 END) AS n_deletable,
+        |  CAST(COALESCE(SUM(CASE WHEN last_day < DATE '2024-01-08' THEN first_size END), 0) AS DOUBLE) AS bytes_reclaimed
+        |FROM per_obj GROUP BY 1, 2 ORDER BY keyspace, table_name""".stripMargin)
   )
 }

@@ -833,6 +833,83 @@ object Curation {
         .withColumn("shard", expr(s"cum_before div $shardTokens"))
         .select("doc_id", "bucket", "n_tokens", "cum_before", "shard")
         .orderBy("doc_id")
+    },
+
+    // Token-budget curriculum selection — the per-source QUOTA cut a
+    // mixture-balanced training run makes: within each source, take
+    // the best-scoring docs until the source's token budget is spent
+    // (d23/d51 decide HOW MUCH each source contributes; this decides
+    // WHICH docs fill that allowance). Score is an exact-integer
+    // quality proxy (per-mille stopword density — the d09 family's
+    // English-likeness signal without a single float), so the ranking
+    // is bit-identical cross-engine. The admit rule is knapsack-greedy
+    // (admit iff the WHOLE doc fits: cum_before + n_tokens ≤ quota) on
+    // a per-source rank + prefix-sum window — x04's TopKPerGroup can't
+    // prune this map-side because the stop condition is a token SUM,
+    // not a row count, so the per-source window IS the right tool: one
+    // exchange on source, windows parallel across sources (a
+    // pathological mega-source would take d65's two-stage prefix
+    // within the source). Pin documents=1.
+    "d66_quota_select" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quota = 600L
+      val enArr = array(TextAnalysis.enStop.map(lit): _*)
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, -1)
+      Corpus.docs(s, dir)
+        .withColumn("n_tokens",
+          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)"))
+        .withColumn("n_stop",
+          size(filter(col("ws"), wd => array_contains(enArr, wd))).cast("long"))
+        .withColumn("score", expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+        .filter(col("cum_before") + col("n_tokens") <= quota)
+        .select("source", "doc_id", "score", "n_tokens", "rk", "cum_before")
+        .orderBy("source", "rk")
+    },
+
+    // Quality-aware canonical selection within near-dup clusters — the
+    // step production dedup actually wants after d24's connected
+    // components: keep the BEST copy of each duplicated page (argmax
+    // quality, not min doc_id — the min-id keeper d01/d60 use is the
+    // right call only when copies are byte-identical; near-dups differ
+    // and you keep the cleanest). Labels come from the same pointer-
+    // jumping components over the d04 LSH pairs; the keeper is
+    // first_value over a per-cluster (score desc, doc_id) window —
+    // clusters are small by construction (near-dup groups), so the
+    // windows are bounded and parallel across clusters; the score is
+    // d66's exact-integer quality proxy (bit-identical cross-engine,
+    // which is what lets an ARGMAX survive a hash compare). Output is
+    // the purge worklist: every clustered doc, its keeper, and the
+    // purge flag. Corpus passes: the LSH pipeline's one documents scan
+    // (inside the checkpoint loop, counted with countsDuring as d24)
+    // plus the score join's one — pin documents=2 during.
+    "d67_cluster_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels =
+        connectedComponents(s, Dedup.lshPairs(s, dir).select("a_id", "b_id"))
+      val enArr = array(TextAnalysis.enStop.map(lit): _*)
+      val scored = Corpus.docs(s, dir)
+        .withColumn("n_tokens",
+          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)"))
+        .withColumn("n_stop",
+          size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+        .withColumn("score", expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
+        .select(col("doc_id"), col("score"))
+      val wOrd = Window.partitionBy("cluster_id")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("keeper_id", first(col("doc_id")).over(wOrd))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("score"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("purge"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1091,6 +1168,59 @@ object Curation {
         |SELECT doc_id, bucket, n_tokens, cum_before,
         |  cum_before // 4096 AS shard
         |FROM cum ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    "d66_quota_select" -> (Corpus.docsCte +
+      s""", scored AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(ws, w -> list_contains(${TextAnalysis.enStopSqlList}, w))) AS BIGINT) AS n_stop
+         |  FROM docs),
+         |r AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    (n_stop * 1000) // greatest(n_tokens, 1) AS score
+         |  FROM scored),
+         |cum AS (
+         |  SELECT source, doc_id, score, n_tokens,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM r)
+         |SELECT source, doc_id, score, n_tokens, rk, cum_before
+         |FROM cum WHERE cum_before + n_tokens <= 600
+         |ORDER BY source, rk""".stripMargin),
+
+    "d67_cluster_keep_best" -> (Dedup.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_filter(ws, w -> list_contains(${TextAnalysis.enStopSqlList}, w))) AS BIGINT) * 1000)
+         |      // greatest(CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT), 1) AS score
+         |  FROM docs),
+         |j AS (
+         |  SELECT l.id AS doc_id, l.cluster_id, s.cluster_size, sc.score
+         |  FROM lbl l JOIN sz s USING (cluster_id)
+         |  JOIN scored sc ON sc.doc_id = l.id),
+         |k AS (
+         |  SELECT doc_id, cluster_id, cluster_size, score,
+         |    FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+         |  FROM j)
+         |SELECT doc_id, cluster_id, cluster_size, score, keeper_id,
+         |  doc_id <> keeper_id AS purge
+         |FROM k ORDER BY doc_id""".stripMargin)
   )
 }

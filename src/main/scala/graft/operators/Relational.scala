@@ -489,6 +489,107 @@ object Relational {
           Array(col("total_price"), col("n_orders"), col("avg_price")),
           "measure", "value")
         .orderBy("o_orderstatus", "measure")
+    },
+
+    // NTILE decile report — the distribution summary q29's quartiles
+    // generalize to: every order assigned its spend decile, then
+    // per-decile aggregates. The catch is that NTILE needs a GLOBAL
+    // rank, and `ntile(10).over(Window.orderBy(...))` funnels the
+    // whole table through ONE partition — the single-partition-window
+    // trap at 100 TB. Instead the global rank is DISTRIBUTED with the
+    // d65 two-stage prefix pattern keyed on VALUE bins (monotone
+    // floor(price/16k) bins, so bin order = value order): stage 1
+    // ranks WITHIN each bin (parallel windows over ~40 bounded bins),
+    // stage 2 prefixes the bin COUNTS (a bounded window over the bin
+    // totals) and broadcasts offsets back — offset + local rank IS the
+    // global rank, and the tile falls out of NTILE's exact integer
+    // remainder law (first n%k tiles get ⌈n/k⌉ rows): all integer
+    // arithmetic, so the distributed rank hash-matches DuckDB's real
+    // ntile() row for row. The bin-totals branch is a second pinned
+    // scan of the 2-column pruned relation (d65's trade: two cheap
+    // scans beat caching the corpus) — pin orders=2.
+    "q31_ntile" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          floor(col("o_totalprice") / 16384.0).cast("long").as("bin"))
+      val wBin = Window.partitionBy("bin")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wPrefix = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = o.groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(wPrefix), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bin", "offset", "n")
+      o.withColumn("local_rn", row_number().over(wBin).cast("long"))
+        .join(broadcast(offsets), Seq("bin"))
+        .withColumn("r", col("offset") + col("local_rn"))
+        .withColumn("q", expr("n div 10"))
+        .withColumn("m", expr("n % 10"))
+        .withColumn("decile",
+          when(col("r") <= col("m") * (col("q") + 1),
+            expr("(r - 1) div (q + 1) + 1"))
+            .otherwise(expr("m + (r - m * (q + 1) - 1) div q + 1")))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("total_spend"))
+        .orderBy("decile")
+    },
+
+    // Multi-COUNT(DISTINCT) in one pass — the cardinality panel a
+    // profiling report asks per group (distinct customers, priorities,
+    // active months). Catalyst plans N distinct aggregates in ONE scan
+    // via Expand (each input row fans to N+1 grouping projections,
+    // null-padded per distinct set) — one table pass + one exchange
+    // versus the N self-aggregating scans the naive union would cost;
+    // the Expand's row multiplication happens AFTER the scan's column
+    // pruning, so the widened shuffle carries only the 5 projected
+    // columns (pin orders=1). Scale note: at 100 TB the same panel
+    // downgrades to approx_count_distinct (HLL, mergeable, no Expand)
+    // when ±2% is acceptable — this is the declared-exact baseline.
+    "q32_multi_distinct" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"),
+          count(lit(1)).as("n_orders"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("total_spend"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Equi-width histogram with DENSIFIED empty buckets — the report
+    // shape every distribution dashboard ingests (a missing bucket row
+    // reads as "no axis position", not "zero"). The aggregation is one
+    // scan; the densification runs over the AGGREGATE, never the
+    // table: each occupied bin gap-fills to its successor with a
+    // lead-window + bounded sequence explode (the dense axis is at
+    // most value-range/width rows — a CONSTANT as data grows, which is
+    // exactly why a histogram is the right 100 TB summary). The
+    // single-partition lead window is over the bounded histogram, not
+    // the data. Pin orders=1.
+    "q33_histogram" -> { (s, dir) =>
+      val width = 512L
+      val wLead = Window.orderBy("bin")
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") / width.toDouble).cast("long").as("bin"),
+          col("o_totalprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("spend"))
+        .withColumn("next", lead(col("bin"), 1).over(wLead))
+        .select(col("bin").as("obin"), col("n"), col("spend"),
+          explode(expr("sequence(bin, coalesce(next - 1, bin))")).as("bin"))
+        .select(col("bin"),
+          (col("bin") * width).cast("double").as("lo_edge"),
+          ((col("bin") + 1) * width).cast("double").as("hi_edge"),
+          when(col("bin") === col("obin"), col("n")).otherwise(0L).as("n_orders"),
+          when(col("bin") === col("obin"), col("spend")).otherwise(0.0).as("total_spend"))
+        .orderBy("bin")
     }
   )
 
@@ -750,6 +851,40 @@ object Relational {
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, measure, value FROM wide
         |UNPIVOT (value FOR measure IN (total_price, n_orders, avg_price))
-        |ORDER BY o_orderstatus, measure""".stripMargin
+        |ORDER BY o_orderstatus, measure""".stripMargin,
+
+    "q31_ntile" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |  FROM orders)
+        |SELECT decile, count(1) AS n_orders,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q32_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        |  COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        |  COUNT(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q33_histogram" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice / 512.0) AS BIGINT) AS bin,
+        |    count(1) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT unnest(generate_series((SELECT min(bin) FROM h),
+        |                                (SELECT max(bin) FROM h))) AS bin)
+        |SELECT b.bin, CAST(b.bin * 512 AS DOUBLE) AS lo_edge,
+        |  CAST((b.bin + 1) * 512 AS DOUBLE) AS hi_edge,
+        |  COALESCE(h.n_orders, 0) AS n_orders,
+        |  CAST(COALESCE(h.total_spend, 0) AS DOUBLE) AS total_spend
+        |FROM b LEFT JOIN h USING (bin) ORDER BY b.bin""".stripMargin
   )
 }

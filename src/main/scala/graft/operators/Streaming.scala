@@ -286,6 +286,23 @@ object Streaming {
           graft.streaming.DocStream.urlIndex(s, dir))(
           Tables.documents(s, dir))
         .orderBy("doc_id")
+    },
+
+    // Per-source crawl-budget gate — DocStream.ingestBudget's batch
+    // twin: the stream's one-long-per-source state IS a prefix sum in
+    // arrival (doc_id) order, so the batch formulation is a per-source
+    // cumsum window; stream ≡ batch proven in EventStreamSpec.
+    "s25_stream_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.model.Corpus.docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("admitted",
+          col("cum_before") + col("n_tokens") <= graft.streaming.DocStream.budgetTokens)
+        .orderBy("doc_id")
     }
   )
 
@@ -494,6 +511,22 @@ object Streaming {
         |SELECT c.doc_id, c.canonical_url,
         |  i.canonical_url IS NULL AS is_new
         |FROM canon c LEFT JOIN idx i ON c.canonical_url = i.canonical_url
-        |ORDER BY c.doc_id""".stripMargin
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "s25_stream_budget" -> (graft.model.Corpus.docsCte +
+      """, toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM docs),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens, cum_before,
+        |  cum_before + n_tokens <= 600 AS admitted
+        |FROM cum ORDER BY doc_id""".stripMargin)
   )
 }

@@ -26,7 +26,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y"),
     "fr" -> Seq("le", "et", "les", "des", "un"))
 
-  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[operators] val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private[operators] val enStopSqlList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** The d09 per-row quality columns over a docs-shaped frame (`text`

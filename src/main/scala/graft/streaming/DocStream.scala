@@ -150,6 +150,52 @@ object DocStream {
       .select(col("doc_id"), col("n_hit_grams"),
         (col("n_hit_grams") > 0).as("contaminated"))
 
+  /** Per-source ingest/crawl budget (s25): tokens-seen state. */
+  case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class BudgetOut(doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long, admitted: Boolean)
+
+  /** Tokens a source may contribute before its crawl budget closes. */
+  val budgetTokens = 600L
+
+  /** Per-source CRAWL-BUDGET gate — "stop ingesting a source once its
+    * token allowance is spent", decided doc by doc AS THEY ARRIVE
+    * (CommonCrawl-style per-feed budgets; d66 picks by SCORE offline,
+    * an ingest gate can only pick by arrival). State per source is ONE
+    * long (tokens seen so far) via flatMapGroupsWithState — bounded by
+    * |sources| forever; every arriving doc counts against the budget
+    * (rejected docs were still crawled — the ledger tracks arrived
+    * volume), admit iff the whole doc fits. Arrival order within a
+    * micro-batch is doc_id order (the iterator is sorted — file feeds
+    * deliver in id order; the sort makes that explicit and
+    * deterministic), so stream ≡ the batch prefix-sum twin exactly. */
+  def ingestBudget(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    Corpus.normalized(docs)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        budgetGroup)
+      .toDF()
+  }
+
+  private def budgetGroup(source: String, docs: Iterator[BudgetDoc],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[BudgetOut] = {
+    var cum = state.getOption.getOrElse(0L)
+    val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+      val before = cum
+      cum += d.n_tokens
+      BudgetOut(d.doc_id, source, d.n_tokens, before,
+        before + d.n_tokens <= budgetTokens)
+    }
+    state.update(cum)
+    out.iterator
+  }
+
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
   def runToMemory(s: SparkSession, dir: String, name: String,

@@ -105,6 +105,33 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming crawl-budget gate equals the batch prefix-sum twin") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s25_test",
+      DocStream.ingestBudget, mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s25_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s25_stream_budget")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the budget must actually close on at least one source, and the
+    // admit rule must hold row by row
+    assert(batch.exists(!_.getBoolean(4)) && batch.exists(_.getBoolean(4)))
+    batch.foreach { r =>
+      assert(r.getBoolean(4) ==
+        (r.getLong(3) + r.getLong(2) <= DocStream.budgetTokens), s"admit law: $r")
+    }
+    // per source: cum_before is the running total of ALL arrived tokens
+    batch.groupBy(_.getString(1)).foreach { case (src, g) =>
+      val inOrder = g.sortBy(_.getLong(0))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getLong(3) == cum, s"$src ledger drift at doc ${r.getLong(0)}")
+        cum += r.getLong(2)
+      }
+    }
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s23_test",

@@ -164,14 +164,21 @@ class PlanAuditSpec extends SparkSpec {
       "d62_mmr_rerank" -> (0, 2),
       // d63: one persisted scored frame (anchors + broadcast corpus)
       // feeds the positive and both mining stages
-      "d63_neg_sampling" -> (0, 2))
+      "d63_neg_sampling" -> (0, 2),
+      // d66: score + rank + prefix-sum all ride one source-keyed
+      // exchange over one scan
+      "d66_quota_select" -> (1, 0),
+      // d67: the LSH pipeline's one checkpoint-loop scan (d24's,
+      // counted with countsDuring) + the score join's one
+      "d67_cluster_keep_best" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
       SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted,
       Seq("documents", "embeddings"),
       name =>
-        if (name == "d24_dup_clusters") ScanCount.countsDuring(spark, name, sf)
+        if (Set("d24_dup_clusters", "d67_cluster_keep_best")(name))
+          ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }
 
@@ -266,7 +273,16 @@ class PlanAuditSpec extends SparkSpec {
       // q29: rank + count windows + agg all share one exchange
       "q29_quartiles" -> Map("orders" -> 1),
       // q30: the melt expands the aggregated frame, not the table
-      "q30_unpivot" -> Map("orders" -> 1))
+      "q30_unpivot" -> Map("orders" -> 1),
+      // q31: ranked pass + the bin-totals pass over the 2-column
+      // pruned relation (d65's two-cheap-scans trade)
+      "q31_ntile" -> Map("orders" -> 2),
+      // q32: all three distinct panels ride ONE scan's Expand
+      "q32_multi_distinct" -> Map("orders" -> 1),
+      // b37: pure per-object aggregate — no survivor-set join at all
+      "b37_orphan_gc" -> Map("events" -> 1),
+      // q33: densification explodes the bounded aggregate, not the table
+      "q33_histogram" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
@@ -316,7 +332,9 @@ class PlanAuditSpec extends SparkSpec {
       "s22_stream_verify" -> Map("events" -> 1),
       "s23_stream_cms" -> Map("documents" -> 1),
       // s24: the arriving stream + the ingested-index side
-      "s24_stream_url" -> Map("documents" -> 2))
+      "s24_stream_url" -> Map("documents" -> 2),
+      // s25: one corpus scan through the per-source prefix-sum window
+      "s25_stream_budget" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
