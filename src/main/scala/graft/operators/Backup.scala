@@ -1072,6 +1072,30 @@ object Backup {
           asDouble(coalesce(sum(when(col("last_day") < cutoff, col("first_size"))),
             lit(0).cast("decimal(18,2)"))).as("bytes_reclaimed"))
         .orderBy("keyspace", "table_name")
+    },
+
+    // Backup-continuity streaks — the cadence report behind "has this
+    // node backed up EVERY day?": consecutive-snapshot-day runs per
+    // node via the gaps-and-islands anchor trick (day − row_number is
+    // CONSTANT within a consecutive run, so the island id falls out of
+    // one window + one agg — no self-join, no iteration). Rides the
+    // bounded (node, day) snapshots frame (the 2-column map-side
+    // distinct, never the manifest), one exchange on node_id; at 100 TB
+    // the window partitions are per-node day counts — topology-sized,
+    // not data-sized. The b35 RPO report says how STALE a node is now;
+    // this says how RELIABLE its cadence has been. Pin events=1.
+    "b38_backup_streaks" -> { (s, dir) =>
+      val w = Window.partitionBy("node_id").orderBy("snapshot_day")
+      snapshots(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("anchor", expr("date_sub(snapshot_day, rn)"))
+        .groupBy("node_id", "anchor")
+        .agg(
+          min(col("snapshot_day")).as("streak_start"),
+          max(col("snapshot_day")).as("streak_end"),
+          count(lit(1)).as("streak_len"))
+        .select("node_id", "streak_start", "streak_end", "streak_len")
+        .orderBy("node_id", "streak_start")
     }
   )
 
@@ -1643,6 +1667,17 @@ object Backup {
         |SELECT keyspace, table_name, COUNT(1) AS n_objects,
         |  COUNT(CASE WHEN last_day < DATE '2024-01-08' THEN 1 END) AS n_deletable,
         |  CAST(COALESCE(SUM(CASE WHEN last_day < DATE '2024-01-08' THEN first_size END), 0) AS DOUBLE) AS bytes_reclaimed
-        |FROM per_obj GROUP BY 1, 2 ORDER BY keyspace, table_name""".stripMargin)
+        |FROM per_obj GROUP BY 1, 2 ORDER BY keyspace, table_name""".stripMargin),
+
+    "b38_backup_streaks" -> (cte +
+      """, anchored AS (
+        |  SELECT node_id, snapshot_day,
+        |    snapshot_day - CAST(ROW_NUMBER() OVER (PARTITION BY node_id
+        |      ORDER BY snapshot_day) AS INT) AS anchor
+        |  FROM snapshots)
+        |SELECT node_id, min(snapshot_day) AS streak_start,
+        |  max(snapshot_day) AS streak_end, count(1) AS streak_len
+        |FROM anchored GROUP BY node_id, anchor
+        |ORDER BY node_id, streak_start""".stripMargin)
   )
 }

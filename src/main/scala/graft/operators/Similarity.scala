@@ -900,6 +900,63 @@ object Similarity {
         .select(col("a_id"), col("pos_id"), col("b_id").as("neg_id"),
           col("samp_rank"), col("hard_rank"), col("cos"))
         .orderBy("a_id", "hard_rank")
+    },
+
+    // ANN recall CURVE — the nprobe tuning report an IVF deployment
+    // reads before picking its latency/recall point (FAISS's
+    // nprobe sweep, run as ONE plan): recall@3 of the persisted-index
+    // probe at nprobe=1 and nprobe=2 against the exact brute-force
+    // top-3 (d06's declared-exact baseline at the same tie-break).
+    // The routed candidate stream is scored ONCE (cells tagged with
+    // their probe rank, frame persisted) and each curve point is a
+    // TopK over the probe_rank<=p slice — the sweep never re-routes
+    // or re-scores; the exact baseline is persisted for its two
+    // comparison consumers. Counts are exact integers; recall is the
+    // one-shot divide. This is d34's measure-don't-guess gate on the
+    // vector side: the artifact records MEASURED recall, not the
+    // folklore "nprobe=2 is enough". Pin embeddings=3 (exact pair a
+    // side + broadcast b side + the routed query side; postings and
+    // centroids are artifact read-backs).
+    "d68_ann_recall" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .select(col("vec_id").as("b_id"), col("cell"),
+          col("q").as("qb"), col("norm2").as("nb"))
+      val routed = assignTop2(Corpus.qvecs(s, dir), cents)
+        .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
+          posexplode(array(col("cell1"), col("cell2"))).as(Seq("pidx", "cell")))
+        .filter(col("cell") >= 0)
+        .withColumn("probe_rank", col("pidx") + 1)
+      val scored = routed.join(post, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
+        .withColumn("cos", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .select("a_id", "b_id", "cos", "probe_rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = Corpus.qvecs(s, dir)
+      val pairs = q.toDF("a_id", "qa", "na")
+        .join(broadcast(q.toDF("b_id", "qb", "nb")), col("a_id") =!= col("b_id"))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
+        .withColumn("cos", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      val exact = graft.plans.TopK.perGroup(pairs,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2).map { p =>
+        val ann = graft.plans.TopK.perGroup(
+            scored.filter(col("probe_rank") <= p),
+            Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+          .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+        exact.join(ann, Seq("a_id", "b_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(lit(p).as("nprobe"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double")
+              / greatest(col("n_exact"), lit(1L)).cast("double")).as("recall"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
     }
   )
 
@@ -1307,11 +1364,56 @@ object Similarity {
          |  FROM probes a JOIN post8 b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
 
+  /** d68's DuckDB twin: the same routed/scored stream ranked at both
+    * nprobe slices against the brute-force exact top-3. */
+  private def annRecallSql: String =
+    ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2, rn AS probe_rank FROM ranked WHERE rn <= 2),
+         |scored AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.probe_rank,
+         |    CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ann1 AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id ASC) AS rn
+         |    FROM scored WHERE probe_rank <= 1) t WHERE rn <= 3),
+         |ann2 AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id ASC) AS rn
+         |    FROM scored) t WHERE rn <= 3),
+         |exact AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |        b.vec_id ASC) AS rn
+         |    FROM qtab a JOIN qtab b ON a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3)
+         |SELECT 1 AS nprobe, count(1) AS n_exact, count(a1.b_id) AS n_hit,
+         |  CAST(count(a1.b_id) AS DOUBLE) / greatest(count(1), 1) AS recall
+         |FROM exact e LEFT JOIN ann1 a1 USING (a_id, b_id)
+         |UNION ALL
+         |SELECT 2 AS nprobe, count(1) AS n_exact, count(a2.b_id) AS n_hit,
+         |  CAST(count(a2.b_id) AS DOUBLE) / greatest(count(1), 1) AS recall
+         |FROM exact e LEFT JOIN ann2 a2 USING (a_id, b_id)
+         |ORDER BY nprobe""".stripMargin
+
   /** d50 reads the persisted index back, but the index IS the exact
     * d15 intermediate state, so the oracle is d15's verbatim. */
   val oracle: Map[String, String] =
     oracle0 +
       ("d50_ann_index_probe" -> oracle0("d15_ann_ivf")) +
       ("d52_ann_index_update" -> indexUpdateSql) +
-      ("d53_sq8_probe" -> sq8ProbeSql)
+      ("d53_sq8_probe" -> sq8ProbeSql) +
+      ("d68_ann_recall" -> annRecallSql)
 }

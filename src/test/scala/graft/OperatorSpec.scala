@@ -1121,6 +1121,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("b38 streaks: islands equal a brute-force consecutive-day scan") {
+    val rows = SparkEntry.queries("b38_backup_streaks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDate(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val days = graft.model.BackupLedger.snapshots(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLocalDate).sorted.toList).toMap
+    val want = days.toSeq.flatMap { case (node, ds) =>
+      // fold consecutive days into (start, end, len) islands
+      ds.foldLeft(List.empty[(java.time.LocalDate, java.time.LocalDate, Long)]) {
+        case ((s0, e0, n0) :: rest, d) if e0.plusDays(1) == d =>
+          (s0, d, n0 + 1) :: rest
+        case (acc, d) => (d, d, 1L) :: acc
+      }.reverse.map { case (st, en, n) =>
+        (node, java.sql.Date.valueOf(st), java.sql.Date.valueOf(en), n)
+      }
+    }.sortBy(t => (t._1, t._2.getTime))
+    assert(rows.toSeq == want, "streak islands drifted from brute force")
+    assert(rows.exists(_._4 > 1), "fixture has no multi-day streak")
+    assert(rows.groupBy(_._1).exists(_._2.length > 1),
+      "fixture has no node with a cadence gap")
+  }
+
+  test("d68 recall curve: widening the probe never loses recall, counts exact") {
+    val rows = SparkEntry.queries("d68_ann_recall")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    val nVec = graft.model.Corpus.qvecs(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3 * nVec, s"exact baseline not 3 per query: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1), s"recall law: $r")
+    }
+    assert(rows(1).getLong(2) >= rows(0).getLong(2),
+      "nprobe=2 found fewer exact neighbors than nprobe=1")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

@@ -170,7 +170,11 @@ class PlanAuditSpec extends SparkSpec {
       "d66_quota_select" -> (1, 0),
       // d67: the LSH pipeline's one checkpoint-loop scan (d24's,
       // counted with countsDuring) + the score join's one
-      "d67_cluster_keep_best" -> (2, 0))
+      "d67_cluster_keep_best" -> (2, 0),
+      // d68: exact-baseline pair sides (a + broadcast b, d06's shape)
+      // + the routed query side; postings/centroids are artifact
+      // read-backs and both TopK arms read the persisted scored frame
+      "d68_ann_recall" -> (0, 3))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -282,7 +286,9 @@ class PlanAuditSpec extends SparkSpec {
       // b37: pure per-object aggregate — no survivor-set join at all
       "b37_orphan_gc" -> Map("events" -> 1),
       // q33: densification explodes the bounded aggregate, not the table
-      "q33_histogram" -> Map("orders" -> 1))
+      "q33_histogram" -> Map("orders" -> 1),
+      // b38: rides the 2-column snapshots distinct, one node exchange
+      "b38_backup_streaks" -> Map("events" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
