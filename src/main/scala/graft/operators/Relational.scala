@@ -590,6 +590,32 @@ object Relational {
           when(col("bin") === col("obin"), col("n")).otherwise(0L).as("n_orders"),
           when(col("bin") === col("obin"), col("spend")).otherwise(0.0).as("total_spend"))
         .orderBy("bin")
+    },
+
+    // Latest-row-per-key WITHOUT a sort window — the agg-argmax form
+    // of q07's question: per customer, the newest order's key, date
+    // and price via max_by over an exact composite key (days since
+    // epoch × 10^10 + orderkey — unique, integer, identically ordered
+    // in both engines; the struct-ordering max_by Spark also supports
+    // has no DuckDB twin). Why it matters at 100 TB: row_number
+    // windows SORT every partition; max_by is a true aggregate with
+    // map-side partial merge — the exchange carries one candidate row
+    // per (customer, input partition) and nothing is ever sorted.
+    // This is THE pattern for "current state per key" over an event
+    // ledger at scale (b07's PIT question, answered shuffle-light).
+    // Pin orders=1.
+    "q34_argmax_latest" -> { (s, dir) =>
+      val k = expr(
+        "datediff(o_orderdate, DATE '1970-01-01') * CAST(10000000000 AS BIGINT) + o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("k", k)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), col("k")).as("last_orderkey"),
+          max_by(col("o_orderdate"), col("k")).as("last_orderdate"),
+          max_by(col("o_totalprice"), col("k")).as("last_totalprice"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -885,6 +911,19 @@ object Relational {
         |  CAST((b.bin + 1) * 512 AS DOUBLE) AS hi_edge,
         |  COALESCE(h.n_orders, 0) AS n_orders,
         |  CAST(COALESCE(h.total_spend, 0) AS DOUBLE) AS total_spend
-        |FROM b LEFT JOIN h USING (bin) ORDER BY b.bin""".stripMargin
+        |FROM b LEFT JOIN h USING (bin) ORDER BY b.bin""".stripMargin,
+
+    "q34_argmax_latest" ->
+      """WITH keyed AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      * 10000000000 + o_orderkey AS k
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  arg_max(o_orderkey, k) AS last_orderkey,
+        |  arg_max(o_orderdate, k) AS last_orderdate,
+        |  arg_max(o_totalprice, k) AS last_totalprice,
+        |  count(1) AS n_orders
+        |FROM keyed GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

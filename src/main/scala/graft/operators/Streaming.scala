@@ -288,6 +288,13 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Live upload-size histogram — the same bounded-bin transform the
+    // streaming job runs (complete mode, state = the histogram),
+    // applied to the batch table; stream ≡ batch in EventStreamSpec.
+    "s26_stream_sizehist" -> { (s, dir) =>
+      EventStream.sizeHistogram(Tables.events(s, dir)).orderBy("bin")
+    },
+
     // Per-source crawl-budget gate — DocStream.ingestBudget's batch
     // twin: the stream's one-long-per-source state IS a prefix sum in
     // arrival (doc_id) order, so the batch formulation is a per-source
@@ -527,6 +534,12 @@ object Streaming {
         |  FROM toks)
         |SELECT doc_id, source, n_tokens, cum_before,
         |  cum_before + n_tokens <= 600 AS admitted
-        |FROM cum ORDER BY doc_id""".stripMargin)
+        |FROM cum ORDER BY doc_id""".stripMargin),
+
+    "s26_stream_sizehist" ->
+      """SELECT CAST(floor(value / 16.0) AS BIGINT) AS bin,
+        |  count(1) AS n_uploads,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_bytes
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

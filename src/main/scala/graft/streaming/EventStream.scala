@@ -111,6 +111,22 @@ object EventStream {
       .select(col("window.start").cast("date").as("snapshot_day"),
         col("user_id").as("node_id"), col("n_uploads"), col("total_bytes"))
 
+  /** Live upload-size histogram (s26) — the size-distribution monitor
+    * feeding bandwidth/chunking planning (b09/b21's input, watched as
+    * uploads land): equi-width value bins in complete mode. State is
+    * the histogram itself — bounded at value-range/width counters
+    * FOREVER, the q33 argument made streaming: a histogram is the
+    * right live summary precisely because its state never grows with
+    * the stream. Identical transform over the batch table is the
+    * oracle (`s26_stream_sizehist`); stream ≡ batch in
+    * EventStreamSpec. */
+  def sizeHistogram(events: DataFrame): DataFrame =
+    events
+      .select(floor(col("value") / 16.0).cast("long").as("bin"), col("value"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_uploads"),
+        asDouble(sum(dec2(col("value")))).as("total_bytes"))
+
   /** Live upload-progress tracking — esop's tracker sessions
     * (`impl/AbstractTracker.java:43,152-158`, b26's batch twin) as a
     * stream: per-(day window, node) unit-state counts updating as

@@ -52,6 +52,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming size histogram equals the batch bins, state stays bounded") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s26_test",
+      EventStream.sizeHistogram, mode = "complete")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s26_test").orderBy("bin").collect()
+    val batch = SparkEntry.queries("s26_stream_sizehist")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the state bound: bins are value-range/width, not stream-length
+    assert(batch.length <= 64, s"histogram state grew to ${batch.length} bins")
+    assert(batch.map(_.getLong(1)).sum ==
+      Tables.events(spark, sf).count(), "mass not conserved")
+  }
+
   test("streaming progress tracker equals the batch report") {
     val q = EventStream.runToMemory(spark, sf, "graft_s09_test",
       EventStream.progressMonitor, mode = "complete")

@@ -1157,6 +1157,24 @@ class OperatorSpec extends SparkSpec {
       "nprobe=2 found fewer exact neighbors than nprobe=1")
   }
 
+  test("q34 agg-argmax equals the window formulation row for row") {
+    def epoch(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i).toEpochSecond(java.time.ZoneOffset.UTC)
+    val rows = SparkEntry.queries("q34_argmax_latest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCust = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect().groupBy(_.getLong(0))
+    assert(rows.length == byCust.size)
+    rows.foreach { r =>
+      val g = byCust(r.getLong(0))
+      val latest = g.maxBy(x => (epoch(x, 2), x.getLong(1)))
+      assert(r.getLong(1) == latest.getLong(1) && epoch(r, 2) == epoch(latest, 2)
+        && r.getDouble(3) == latest.getDouble(3) && r.getLong(4) == g.length,
+        s"argmax drift for customer ${r.getLong(0)}")
+    }
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

@@ -288,7 +288,9 @@ class PlanAuditSpec extends SparkSpec {
       // q33: densification explodes the bounded aggregate, not the table
       "q33_histogram" -> Map("orders" -> 1),
       // b38: rides the 2-column snapshots distinct, one node exchange
-      "b38_backup_streaks" -> Map("events" -> 1))
+      "b38_backup_streaks" -> Map("events" -> 1),
+      // q34: one scan, map-side-partial max_by (no sort window)
+      "q34_argmax_latest" -> Map("orders" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
@@ -340,7 +342,9 @@ class PlanAuditSpec extends SparkSpec {
       // s24: the arriving stream + the ingested-index side
       "s24_stream_url" -> Map("documents" -> 2),
       // s25: one corpus scan through the per-source prefix-sum window
-      "s25_stream_budget" -> Map("documents" -> 1))
+      "s25_stream_budget" -> Map("documents" -> 1),
+      // s26: one events scan into the bounded bin aggregate
+      "s26_stream_sizehist" -> Map("events" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
