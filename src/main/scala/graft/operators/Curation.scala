@@ -428,6 +428,33 @@ object Curation {
       loop
     })
 
+  /** The d51 mix plan (per-source shares, weights, epochs) — ONE
+    * definition shared by d51 (the report) and d69 (the execution):
+    * the epoch counts a sampler replays must come from the same frame
+    * the planner published. */
+  private def mixPlanFrame(s: SparkSession, dir: String): DataFrame = {
+    val per = Corpus.docs(s, dir)
+      .select(col("source"), size(col("ws")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w_raw",
+        pmod(hash32(concat(lit("mixplan#"), col("source"))), lit(1000L)) + lit(1L))
+      // materialize-once: the per-source table (bounded by the source
+      // domain) feeds BOTH the totals aggregate and the final join —
+      // without this the corpus scan + token reduction run twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"), sum("w_raw").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("actual_frac",
+        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("target_frac",
+        col("w_raw").cast("double") / col("tot_w").cast("double"))
+      .withColumn("weight", col("target_frac") / col("actual_frac"))
+      .withColumn("epochs", ceil(col("weight")).cast("long"))
+      .select("source", "n_docs", "n_tokens", "actual_frac",
+        "target_frac", "weight", "epochs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Benchmark decontamination ([[decontaminate]]) against the
@@ -675,27 +702,7 @@ object Curation {
     // planner's output is the config a weighted sampler (d23's shape)
     // consumes at 100 TB.
     "d51_mix_plan" -> { (s, dir) =>
-      val per = Corpus.docs(s, dir)
-        .select(col("source"), size(col("ws")).cast("long").as("n_tokens"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-        .withColumn("w_raw",
-          pmod(hash32(concat(lit("mixplan#"), col("source"))), lit(1000L)) + lit(1L))
-        // materialize-once: the per-source table (bounded by the source
-        // domain) feeds BOTH the totals aggregate and the final join —
-        // without this the corpus scan + token reduction run twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = per.agg(sum("n_tokens").as("tot_tokens"), sum("w_raw").as("tot_w"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("actual_frac",
-          col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
-        .withColumn("target_frac",
-          col("w_raw").cast("double") / col("tot_w").cast("double"))
-        .withColumn("weight", col("target_frac") / col("actual_frac"))
-        .withColumn("epochs", ceil(col("weight")).cast("long"))
-        .select("source", "n_docs", "n_tokens", "actual_frac",
-          "target_frac", "weight", "epochs")
-        .orderBy("source")
+      mixPlanFrame(s, dir).orderBy("source")
     },
 
     // Right-to-be-forgotten deletion PLAN — the data-governance sweep
@@ -910,6 +917,27 @@ object Curation {
           col("score"), col("keeper_id"),
           (col("doc_id") =!= col("keeper_id")).as("purge"))
         .orderBy("doc_id")
+    },
+
+    // Mix-plan EXECUTION — the replay manifest that turns d51's
+    // per-source epoch counts into the actual training stream: every
+    // doc replicated `epochs(source)` times with a deterministic
+    // replica index (the oversampling half of the DoReMi loop; d23 is
+    // the undersampling half). The plan is a bounded per-source frame
+    // joined BROADCAST, and the explode multiplies rows AFTER the
+    // join — the corpus is scanned once for the stream and once
+    // (reduced map-side) for the plan (pin documents=2); no shuffle
+    // anywhere, the manifest inherits the scan's partitioning. A
+    // dataloader consumes (doc_id, replica) as its sample list;
+    // replica is in the key so shuffling the manifest never collides
+    // copies.
+    "d69_mix_execute" -> { (s, dir) =>
+      val plan = mixPlanFrame(s, dir).select("source", "epochs")
+      Corpus.docs(s, dir).select("doc_id", "source")
+        .join(broadcast(plan), Seq("source"))
+        .withColumn("replica", explode(expr("sequence(1, epochs)")))
+        .select("doc_id", "source", "replica", "epochs")
+        .orderBy("doc_id", "replica")
     }
   )
 
@@ -1221,6 +1249,23 @@ object Curation {
          |  FROM j)
          |SELECT doc_id, cluster_id, cluster_size, score, keeper_id,
          |  doc_id <> keeper_id AS purge
-         |FROM k ORDER BY doc_id""".stripMargin)
+         |FROM k ORDER BY doc_id""".stripMargin),
+
+    "d69_mix_execute" -> (Corpus.docsCte +
+      s""", per AS (
+         |  SELECT source, CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+         |    (${Corpus.hash32Sql("'mixplan#' || source")} % 1000) + 1 AS w_raw
+         |  FROM docs GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |    CAST(sum(w_raw) AS BIGINT) AS tot_w FROM per),
+         |plan AS (
+         |  SELECT source,
+         |    CAST(ceil((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |      / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS BIGINT) AS epochs
+         |  FROM per CROSS JOIN tot)
+         |SELECT d.doc_id, d.source, CAST(t.r AS BIGINT) AS replica, p.epochs
+         |FROM docs d JOIN plan p USING (source), UNNEST(range(1, p.epochs + 1)) t(r)
+         |ORDER BY doc_id, replica""".stripMargin)
   )
 }

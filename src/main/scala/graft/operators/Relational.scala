@@ -616,6 +616,30 @@ object Relational {
           max_by(col("o_totalprice"), col("k")).as("last_totalprice"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey")
+    },
+
+    // Semi-structured extraction — the JSON payload column every event
+    // ledger carries (esop's manifests ARE json documents; b22 ingests
+    // whole files, this parses the per-row payload): a TYPED
+    // from_json with an explicit schema, not schema inference — at
+    // 100 TB schema_of_json sampling is a separate job, and an
+    // explicit schema keeps the parse a per-row projection with
+    // column pruning intact (the parser only materializes requested
+    // fields). Parsed key rolls up per bucket in the same pass. Pin
+    // events=1.
+    "q35_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long"))
+        .withColumn("k_bucket", expr("k div 10"))
+        .groupBy("k_bucket")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("k")).as("n_keys"),
+          asDouble(sum(dec2(col("value")))).as("total_value"))
+        .orderBy("k_bucket")
     }
   )
 
@@ -924,6 +948,14 @@ object Relational {
         |  arg_max(o_orderdate, k) AS last_orderdate,
         |  arg_max(o_totalprice, k) AS last_totalprice,
         |  count(1) AS n_orders
-        |FROM keyed GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM keyed GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q35_json_extract" ->
+      """WITH parsed AS (
+        |  SELECT CAST(props->>'k' AS BIGINT) AS k, value FROM events)
+        |SELECT k // 10 AS k_bucket, count(1) AS n_events,
+        |  count(DISTINCT k) AS n_keys,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM parsed GROUP BY 1 ORDER BY k_bucket""".stripMargin
   )
 }

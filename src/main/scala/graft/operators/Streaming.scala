@@ -288,6 +288,16 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming as-of lookup — the same broadcast SCD-2 probe the
+    // streaming job runs (pre-intervalized dimension, stateless
+    // per-row), applied to the batch table; stream ≡ batch in
+    // EventStreamSpec.
+    "s27_stream_asof" -> { (s, dir) =>
+      EventStream.scdLookup(EventStream.restorableDim(s, dir))(
+          Tables.events(s, dir))
+        .orderBy("event_id")
+    },
+
     // Live upload-size histogram — the same bounded-bin transform the
     // streaming job runs (complete mode, state = the histogram),
     // applied to the batch table; stream ≡ batch in EventStreamSpec.
@@ -540,6 +550,22 @@ object Streaming {
       """SELECT CAST(floor(value / 16.0) AS BIGINT) AS bin,
         |  count(1) AS n_uploads,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_bytes
-        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "s27_stream_asof" -> (graft.model.BackupLedger.oracleCte +
+      """, dim AS (
+        |  SELECT node_id AS dim_node, snapshot_day AS valid_from,
+        |    LEAD(snapshot_day) OVER (PARTITION BY node_id
+        |      ORDER BY snapshot_day) AS valid_to
+        |  FROM snapshots
+        |  WHERE date_diff('day', DATE '2020-01-01', snapshot_day) % 3 <> 0)
+        |SELECT e.event_id, e.node_id, e.snapshot_day AS event_day,
+        |  d.valid_from AS snapshot_day,
+        |  date_diff('day', d.valid_from, e.snapshot_day) AS lag_days
+        |FROM ledger e
+        |LEFT JOIN dim d ON d.dim_node = e.node_id
+        |  AND e.snapshot_day >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.snapshot_day < d.valid_to)
+        |ORDER BY event_id""".stripMargin)
   )
 }

@@ -111,6 +111,45 @@ object EventStream {
       .select(col("window.start").cast("date").as("snapshot_day"),
         col("user_id").as("node_id"), col("n_uploads"), col("total_bytes"))
 
+  /** s27's static side — the restorable-snapshot dimension with SCD-2
+    * validity intervals: only FULL backups are restorable (the
+    * every-third-day fixture drops ~1/3 of snapshot days — including every node's FIRST day, so the unrestorable branch is exercised — and lookups
+    * genuinely resolve BACKWARD), and each row carries
+    * [valid_from, valid_to) from a lead window over the bounded
+    * (node, day) frame. Built once, broadcast to every micro-batch. */
+  def restorableDim(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node_id").orderBy("snapshot_day")
+    graft.model.BackupLedger.snapshots(s, dir)
+      .filter(datediff(col("snapshot_day"), lit("2020-01-01").cast("date")) % 3 =!= 0)
+      .withColumn("valid_to", lead(col("snapshot_day"), 1).over(w))
+      .select(col("node_id").as("dim_node"),
+        col("snapshot_day").as("valid_from"), col("valid_to"))
+  }
+
+  /** s27 — streaming AS-OF lookup (SCD Type 2): each arriving event
+    * resolves the snapshot in effect at its day. b12 answers as-of in
+    * batch by merging BOTH sides through a union window — the right
+    * call when both sides are big; a STREAM can't sort into a merge,
+    * so the dimension is pre-intervalized once ([valid_from,
+    * valid_to) rows) and each event is a per-row broadcast probe:
+    * equi on node + range residual, stateless append mode, no state
+    * store at any event rate. LEFT join — events before a node's
+    * first restorable snapshot survive with a null resolution (the
+    * report must SHOW unrestorable events, not drop them). */
+  def scdLookup(dim: DataFrame)(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id").as("node_id"),
+        date_trunc("day", col("ts")).cast("date").as("event_day"))
+      .join(broadcast(dim),
+        col("node_id") === col("dim_node")
+          && col("event_day") >= col("valid_from")
+          && (col("valid_to").isNull || col("event_day") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("node_id"), col("event_day"),
+        col("valid_from").as("snapshot_day"),
+        datediff(col("event_day"), col("valid_from")).as("lag_days"))
+
   /** Live upload-size histogram (s26) — the size-distribution monitor
     * feeding bandwidth/chunking planning (b09/b21's input, watched as
     * uploads land): equi-width value bins in complete mode. State is

@@ -52,6 +52,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming as-of lookup equals batch, resolves backward and flags unrestorable") {
+    val dim = EventStream.restorableDim(spark, sf)
+    val q = EventStream.runToMemory(spark, sf, "graft_s27_test",
+      EventStream.scdLookup(dim), mode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_s27_test").orderBy("event_id").collect()
+    val batch = SparkEntry.queries("s27_stream_asof")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // as-of law: resolution = latest restorable day <= event day
+    val restorable = dim.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    batch.foreach { r =>
+      val cand = restorable(r.getLong(1))
+        .filter(!_.isAfter(r.getDate(2).toLocalDate))
+      if (r.isNullAt(3)) assert(cand.isEmpty, s"missed a restorable day: $r")
+      else {
+        assert(r.getDate(3).toLocalDate == cand.maxBy(_.toEpochDay),
+          s"not the as-of max: $r")
+        assert(r.getInt(4) >= 0)
+      }
+    }
+    // the fixture must exercise all three outcomes
+    assert(batch.exists(_.isNullAt(3)), "no unrestorable event")
+    assert(batch.exists(r => !r.isNullAt(4) && r.getInt(4) > 0),
+      "no backward resolution")
+    assert(batch.exists(r => !r.isNullAt(4) && r.getInt(4) == 0),
+      "no same-day resolution")
+  }
+
   test("streaming size histogram equals the batch bins, state stays bounded") {
     val q = EventStream.runToMemory(spark, sf, "graft_s26_test",
       EventStream.sizeHistogram, mode = "complete")

@@ -1175,6 +1175,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q35 typed JSON parse agrees with the raw payload, mass conserved") {
+    val rows = SparkEntry.queries("q35_json_extract")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.events(spark, sf)
+      .selectExpr("CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k")
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == raw.length, "event mass not conserved")
+    val want = raw.groupBy(_ / 10)
+    rows.foreach { r =>
+      val g = want(r.getLong(0))
+      assert(r.getLong(1) == g.length && r.getLong(2) == g.distinct.length,
+        s"bucket ${r.getLong(0)} drifted from the raw-payload recount")
+    }
+  }
+
+  test("d69 replay manifest: every doc appears exactly epochs(source) times") {
+    val rows = SparkEntry.queries("d69_mix_execute")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val plan = SparkEntry.queries("d51_mix_plan")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, g) =>
+      val src = g.head.getString(1)
+      assert(g.forall(_.getLong(3) == plan(src)),
+        s"doc $doc carries an epochs value drifting from the d51 plan")
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to plan(src)),
+        s"doc $doc replicas are not exactly 1..epochs")
+    }
+    assert(rows.exists(_.getLong(3) > 1), "no source oversampled at this SF")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

@@ -174,7 +174,10 @@ class PlanAuditSpec extends SparkSpec {
       // d68: exact-baseline pair sides (a + broadcast b, d06's shape)
       // + the routed query side; postings/centroids are artifact
       // read-backs and both TopK arms read the persisted scored frame
-      "d68_ann_recall" -> (0, 3))
+      "d68_ann_recall" -> (0, 3),
+      // d69: the manifest stream's scan + the plan's map-side-reduced
+      // scan (d51's persisted per-source frame)
+      "d69_mix_execute" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -290,7 +293,9 @@ class PlanAuditSpec extends SparkSpec {
       // b38: rides the 2-column snapshots distinct, one node exchange
       "b38_backup_streaks" -> Map("events" -> 1),
       // q34: one scan, map-side-partial max_by (no sort window)
-      "q34_argmax_latest" -> Map("orders" -> 1))
+      "q34_argmax_latest" -> Map("orders" -> 1),
+      // q35: typed per-row parse + bucket agg in one pass
+      "q35_json_extract" -> Map("events" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
@@ -344,7 +349,9 @@ class PlanAuditSpec extends SparkSpec {
       // s25: one corpus scan through the per-source prefix-sum window
       "s25_stream_budget" -> Map("documents" -> 1),
       // s26: one events scan into the bounded bin aggregate
-      "s26_stream_sizehist" -> Map("events" -> 1))
+      "s26_stream_sizehist" -> Map("events" -> 1),
+      // s27: event probe side + the bounded dimension's build side
+      "s27_stream_asof" -> Map("events" -> 2))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
