@@ -248,6 +248,43 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // Column PROFILE — the ANALYZE-style schema report run before a
+    // corpus is trusted (null fractions, cardinalities, value widths
+    // per column): ALL columns profile in ONE scan — the per-column
+    // non-null/distinct/width aggregates ride a single pass (the
+    // multi-distinct Expand, q32's machinery, fans each row once per
+    // distinct panel AFTER column pruning), and the per-column report
+    // rows come from exploding a 5-struct array over the 1-row
+    // aggregate — the melt never touches the table. Exact distincts
+    // are the declared baseline; at 100 TB the same report downgrades
+    // to approx_count_distinct per column (mergeable HLL, no Expand).
+    // Pin documents=1.
+    "d70_profile" -> { (s, dir) =>
+      val d = graft.sources.Tables.documents(s, dir)
+      def cols3(c: String, strForm: org.apache.spark.sql.Column) = Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        sum(length(strForm)).as(s"len_$c"))
+      val agg = d.agg(
+        count(lit(1)).as("n_rows"),
+        cols3("doc_id", col("doc_id").cast("string")) ++
+          cols3("text", col("text")) ++
+          cols3("lang", col("lang")) ++
+          cols3("source", col("source")) ++
+          cols3("n_chars", col("n_chars").cast("string")): _*)
+      val percol = Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"), col(s"len_$c").as("sum_len")))
+      agg.select(col("n_rows"), explode(array(percol: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_nonnull").as("n_nonnull"), col("p.n_distinct").as("n_distinct"),
+          ((col("n_rows") - col("p.n_nonnull")).cast("double")
+            / col("n_rows").cast("double")).as("null_frac"),
+          (col("p.sum_len").cast("double")
+            / greatest(col("p.n_nonnull"), lit(1L)).cast("double")).as("avg_len"))
+        .orderBy("col_name")
+    },
+
     // GROUPED distinct-count sketches in ONE pass: per-source
     // distinct-word estimates via the KMV TypedImperativeAggregate
     // (x06). Where d20's global formulation shuffles every distinct
@@ -591,6 +628,31 @@ object TextAnalysis {
         |  CAST(r.c AS DOUBLE) / n.n_bigrams >= 0.2 AS repetitive
         |FROM ranked r JOIN nb n USING (doc_id)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    "d70_profile" ->
+      """WITH a AS (
+        |  SELECT count(1) AS n_rows,
+        |    count(doc_id) AS nn_doc_id, count(DISTINCT doc_id) AS nd_doc_id,
+        |    CAST(sum(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS len_doc_id,
+        |    count(text) AS nn_text, count(DISTINCT text) AS nd_text,
+        |    CAST(sum(length(text)) AS BIGINT) AS len_text,
+        |    count(lang) AS nn_lang, count(DISTINCT lang) AS nd_lang,
+        |    CAST(sum(length(lang)) AS BIGINT) AS len_lang,
+        |    count(source) AS nn_source, count(DISTINCT source) AS nd_source,
+        |    CAST(sum(length(source)) AS BIGINT) AS len_source,
+        |    count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nd_n_chars,
+        |    CAST(sum(length(CAST(n_chars AS VARCHAR))) AS BIGINT) AS len_n_chars
+        |  FROM documents)
+        |SELECT col_name, n_rows, n_nonnull, n_distinct,
+        |  CAST(n_rows - n_nonnull AS DOUBLE) / n_rows AS null_frac,
+        |  CAST(sum_len AS DOUBLE) / greatest(n_nonnull, 1) AS avg_len
+        |FROM (
+        |  SELECT 'doc_id' AS col_name, n_rows, nn_doc_id AS n_nonnull, nd_doc_id AS n_distinct, len_doc_id AS sum_len FROM a
+        |  UNION ALL SELECT 'text', n_rows, nn_text, nd_text, len_text FROM a
+        |  UNION ALL SELECT 'lang', n_rows, nn_lang, nd_lang, len_lang FROM a
+        |  UNION ALL SELECT 'source', n_rows, nn_source, nd_source, len_source FROM a
+        |  UNION ALL SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars, len_n_chars FROM a)
+        |ORDER BY col_name""".stripMargin,
 
     "d28_corpus_stats" ->
       """SELECT lang, COUNT(1) AS n_docs,

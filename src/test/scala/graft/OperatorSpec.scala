@@ -1205,6 +1205,26 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 1), "no source oversampled at this SF")
   }
 
+  test("d70 profile: one row per column, panels match per-column recounts") {
+    val rows = SparkEntry.queries("d70_profile")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val d = graft.sources.Tables.documents(spark, sf).collect()
+    rows.foreach { r =>
+      val vals = d.map(_.getAs[Any](r.getString(0))).toSeq
+      val nonnull = vals.filter(_ != null)
+      assert(r.getLong(1) == d.length && r.getLong(2) == nonnull.length)
+      assert(r.getLong(3) == nonnull.distinct.length,
+        s"${r.getString(0)} distinct drifted")
+      assert(r.getDouble(4) ==
+        (d.length - nonnull.length).toDouble / d.length)
+    }
+    // the synthetic corpus is fully populated: the profile must SAY so
+    assert(rows.forall(_.getDouble(4) == 0.0))
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "no low-cardinality column detected")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

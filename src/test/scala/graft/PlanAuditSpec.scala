@@ -177,7 +177,10 @@ class PlanAuditSpec extends SparkSpec {
       "d68_ann_recall" -> (0, 3),
       // d69: the manifest stream's scan + the plan's map-side-reduced
       // scan (d51's persisted per-source frame)
-      "d69_mix_execute" -> (2, 0))
+      "d69_mix_execute" -> (2, 0),
+      // d70: all five column panels ride ONE scan's Expand; the melt
+      // explodes the 1-row aggregate
+      "d70_profile" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
