@@ -117,9 +117,15 @@ object Bench {
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       "short query ids collide — two SURVEY ids share a prefix")
-    val qs = shortIds.zip(results.map(_._2._1)).map { case (k, v) =>
-      "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Per-query timings as PARALLEL ARRAYS — ids space-joined in one
+    // string, values as CENTISECOND ints (170 queries broke the old
+    // "q01":1.234 map form: 2210 chars > the ~1920 usable window; the
+    // array form costs ~8 chars/query, headroom for ~35 more). A
+    // failed query records -100 (the old -1.0s). tools/bench_compare
+    // `load()` reconstructs the seconds map from qk/qv_cs.
+    val qk = shortIds.mkString("\"", " ", "\"")
+    val qvCs = results.map(r => math.round(r._2._1 * 100))
+      .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // Dispersion: median relative spread over all queries, plus as many
     // per-query spreads (noisiest first) as fit the line budget, with
@@ -137,12 +143,13 @@ object Bench {
     val bySpread = shortIds.zip(results.map(_._2._2))
       .filter(_._2 >= 0).sortBy(-_._2)
     val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val sfShort = new java.io.File(sfDir).getName
     def render(k: Int): String = {
       val hi = bySpread.take(k)
         .map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val floor = if (k < bySpread.size) bySpread(k)._2 else 0.0
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","qk":$qk,"qv_cs":$qvCs,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfShort"}"""
     }
     // Largest spread set that still fits the ~2000-char tail capture;
     // worst case k=0 keeps the floor (= the max spread) as the bound.

@@ -31,6 +31,18 @@ spread that covers the move.
 import json, sys
 
 
+def _normalize(doc):
+    """Accept both bench line formats: the legacy "queries" seconds map
+    and the compact round-12 form (qk = space-joined short ids,
+    qv_cs = centisecond ints; -100 marks a failed query, the old -1.0s).
+    Always returns a doc with a "queries" seconds map."""
+    if "queries" not in doc and "qk" in doc and "qv_cs" in doc:
+        ids = doc["qk"].split()
+        doc = dict(doc)
+        doc["queries"] = {k: v / 100.0 for k, v in zip(ids, doc["qv_cs"])}
+    return doc
+
+
 def load(path):
     with open(path) as f:
         txt = f.read().strip()
@@ -38,14 +50,14 @@ def load(path):
     # "parsed") or a raw single-line bench print
     try:
         doc = json.loads(txt)
-        return doc.get("parsed", doc)
+        return _normalize(doc.get("parsed", doc))
     except json.JSONDecodeError:
         pass
     for line in txt.splitlines():
         line = line.strip()
         if line.startswith('{"'):
             doc = json.loads(line)
-            return doc.get("parsed", doc)
+            return _normalize(doc.get("parsed", doc))
     raise SystemExit(f"no JSON object found in {path}")
 
 
