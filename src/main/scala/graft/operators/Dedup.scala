@@ -70,7 +70,17 @@ object Dedup {
       val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
       s"$b, concat_ws(',', $ms)"
     }.mkString("stack(4, ", ", ", ") AS (band, sig)")
+    // persist the signature frame: the self-join's two sides otherwise
+    // depend on AQE exchange reuse, which is BEST-EFFORT — when both
+    // identical stages submit concurrently each materializes its own
+    // copy (observed as a rare extra documents scan flipping the
+    // d24/d67 scan-count ratchet). The cache makes the
+    // one-corpus-scan guarantee structural: block-level
+    // getOrElseUpdate dedupes concurrent materialization. The frame
+    // is 4 band rows per doc (signatures only), far smaller than the
+    // corpus; callers release it via the Verify/Bench cache lifecycle.
     val sig = minhashWide(s, dir).selectExpr("doc_id", bandStack)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.toDF("a_id", "band", "sig")
     val b = sig.toDF("b_id", "band", "sig")
     a.join(b, Seq("band", "sig"))

@@ -64,7 +64,7 @@ class AnnIndexSpec extends SparkSpec {
     val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
     val q = VecStream.runToMemory(spark, sf, "graft_s17_test",
       df => Similarity.annRoute(cents)(Corpus.qvecsOf(df)))
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = rows(spark.table("graft_s17_test").orderBy("vec_id"))
     val batch = rows(SparkEntry.queries("s17_stream_ann_route")(spark, sf))
     assert(streamed == batch, "streamed routing diverges from batch routing")
@@ -76,7 +76,7 @@ class AnnIndexSpec extends SparkSpec {
     val q = VecStream.runToMemory(spark, sf, "graft_s18_test",
       df => Similarity.indexUpdate(
         Corpus.qvecsOf(df).filter(Similarity.arrivingCond), post, cents))
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = rows(spark.table("graft_s18_test").orderBy("vec_id"))
     val batch = rows(SparkEntry.queries("s18_stream_index_update")(spark, sf))
     assert(streamed == batch, "streamed index update diverges from batch update")

@@ -75,7 +75,7 @@ class EventLayoutSpec extends SparkSpec {
     for ((dir, label) <- Seq(ntzDir -> "ntz-us", nsLongDir -> "ns-long")) {
       val name = s"graft_layout_${label.replace('-', '_')}"
       val q = EventStream.runToMemory(spark, dir, name, identity)
-      q.awaitTermination(120000)
+      q.awaitTermination(120000); q.stop()
       assert(rows(spark.table(name)) == expected,
         s"$label layout: streamed rows diverge from canonical batch rows")
     }

@@ -13,7 +13,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming hourly agg equals batch hourly agg") {
     val q = EventStream.runToMemory(spark, sf, "graft_s01_test",
       EventStream.hourlyAgg, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s01_test")
       .orderBy("hour", "event_type").collect()
     val batch = EventStream.hourlyAgg(Tables.events(spark, sf))
@@ -25,7 +25,7 @@ class EventStreamSpec extends SparkSpec {
   test("custom-state sessionization matches the batch window twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s03_test",
       df => EventStream.sessionize(df).toDF())
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s03_test")
       .select("user_id", "session_start", "n_events")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
@@ -43,7 +43,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming sliding-window agg equals batch sliding agg") {
     val q = EventStream.runToMemory(spark, sf, "graft_s05_test",
       EventStream.slidingAgg, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s05_test")
       .orderBy("win_start", "event_type").collect()
     val batch = EventStream.slidingAgg(Tables.events(spark, sf))
@@ -56,7 +56,7 @@ class EventStreamSpec extends SparkSpec {
     val dim = EventStream.restorableDim(spark, sf)
     val q = EventStream.runToMemory(spark, sf, "graft_s27_test",
       EventStream.scdLookup(dim), mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s27_test").orderBy("event_id").collect()
     val batch = SparkEntry.queries("s27_stream_asof")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -86,7 +86,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming size histogram equals the batch bins, state stays bounded") {
     val q = EventStream.runToMemory(spark, sf, "graft_s26_test",
       EventStream.sizeHistogram, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s26_test").orderBy("bin").collect()
     val batch = SparkEntry.queries("s26_stream_sizehist")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -100,7 +100,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming progress tracker equals the batch report") {
     val q = EventStream.runToMemory(spark, sf, "graft_s09_test",
       EventStream.progressMonitor, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s09_test")
       .orderBy("snapshot_day", "node_id").collect()
     val batch = SparkEntry.queries("s09_stream_progress")(spark, sf).collect()
@@ -111,7 +111,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming backup monitor equals the batch ledger report") {
     val q = EventStream.runToMemory(spark, sf, "graft_s07_test",
       EventStream.backupMonitor, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s07_test")
       .orderBy("snapshot_day", "node_id").collect()
     val batch = SparkEntry.queries("s07_backup_monitor")(spark, sf).collect()
@@ -122,7 +122,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming day-verification gate equals the batch verdicts") {
     val q = EventStream.runToMemory(spark, sf, "graft_s22_test",
       EventStream.verifyDayGate, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s22_test")
       .orderBy("snapshot_day", "node_id", "keyspace").collect()
     val batch = SparkEntry.queries("s22_stream_verify")(spark, sf).collect()
@@ -136,7 +136,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s24_test",
       DocStream.urlGate(DocStream.urlIndex(spark, sf)), mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s24_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("s24_stream_url")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -154,7 +154,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s25_test",
       DocStream.ingestBudget, mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s25_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("s25_stream_budget")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -181,7 +181,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s23_test",
       DocStream.cmsSketch, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s23_test")
       .orderBy("i", "cell").collect()
     val batch = SparkEntry.queries("s23_stream_cms")(spark, sf).collect()
@@ -196,7 +196,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s08_test",
       DocStream.curate, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s08_test")
       .orderBy("lang", "source").collect()
     val batch = SparkEntry.queries("s08_corpus_curate")(spark, sf).collect()
@@ -208,7 +208,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s13_test",
       DocStream.deconGate(DocStream.benchGramIndex(spark, sf)), mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s13_test").orderBy("doc_id").collect()
     // compare against d22 ITSELF (broadcast gram join + groupBy), not
     // just the s13 batch twin — the per-row kernel probe must
@@ -225,7 +225,7 @@ class EventStreamSpec extends SparkSpec {
       docs => graft.operators.Multimodal.quarantineAudit(
         graft.operators.Multimodal.packDamagedFixture(docs)),
       mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s14_test").orderBy("err_kind").collect()
     val batch = SparkEntry.queries("d44_media_quarantine")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -239,7 +239,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s15_test",
       graft.operators.Multimodal.dimsSweep, mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s15_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("d47_media_dims")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -252,7 +252,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s19_test",
       graft.operators.Curation.chunkDocs, mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s19_test")
       .orderBy("doc_id", "chunk_idx").collect()
     val batch = SparkEntry.queries("s19_stream_chunk")(spark, sf).collect()
@@ -264,7 +264,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s21_test",
       graft.operators.Curation.splitAssign, mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s21_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("s21_stream_split")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -281,7 +281,7 @@ class EventStreamSpec extends SparkSpec {
     val m = Curation.denyBits(spark, sf)
     val q = DocStream.runToMemory(spark, sf, "graft_s20_test",
       docs => Curation.blocklistGate(docs, deny, m), mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s20_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("s20_stream_blocklist")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -296,7 +296,7 @@ class EventStreamSpec extends SparkSpec {
     val q = DocStream.runToMemory(spark, sf, "graft_s16_test",
       docs => graft.operators.Curation.incrementalIngest(docs, ledger),
       mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s16_test").orderBy("doc_id").collect()
     val batch = SparkEntry.queries("d49_incremental_ingest")(spark, sf).collect()
     assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
@@ -306,7 +306,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming PIT tracker equals the batch b07 window formulation") {
     val q = EventStream.runToMemory(spark, sf, "graft_s11_test",
       EventStream.pitTracker, mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s11_test")
       .orderBy("node_id", "k").collect()
     // compare against b07 ITSELF (row_number window), not just the s11
@@ -320,7 +320,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s12_test",
       graft.operators.Multimodal.frameSample, mode = "append")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s12_test")
       .orderBy("doc_id", "frame_idx").collect()
     val batch = SparkEntry.queries("d18_frame_sample")(spark, sf).collect()
@@ -332,7 +332,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s10_test",
       DocStream.boilerplateGate(DocStream.tileIndex(spark, sf)), mode = "complete")
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s10_test")
       .orderBy("lang", "source").collect()
     val batch = SparkEntry.queries("s10_stream_boilerplate")(spark, sf).collect()
@@ -345,7 +345,7 @@ class EventStreamSpec extends SparkSpec {
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.runToMemory(spark, sf, "graft_s04_test",
       df => EventStream.clickErrorJoin(df, df))
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val streamed = spark.table("graft_s04_test")
       .select("error_id", "click_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -359,7 +359,7 @@ class EventStreamSpec extends SparkSpec {
   test("stream-static enrichment joins every event to its dimension row") {
     val q = EventStream.runToMemory(spark, sf, "graft_s06_test",
       df => EventStream.enrich(df, Tables.nation(spark, sf)))
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("event_id", "n_name")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -373,7 +373,7 @@ class EventStreamSpec extends SparkSpec {
   test("foreachBatch parquet sink lands every event durably") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val q = EventStream.runToParquet(spark, sf, tmp, identity)
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     // glob over ALL batch dirs: AvailableNow may split multi-file
     // sources into several micro-batches; durability = union matches
     val landed = spark.read.parquet(s"$tmp/batch_*")
@@ -386,7 +386,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming dedup emits at most one row per key") {
     val q = EventStream.runToMemory(spark, sf, "graft_s02_test",
       EventStream.dedupStream)
-    q.awaitTermination(120000)
+    q.awaitTermination(120000); q.stop()
     val out = spark.table("graft_s02_test")
     val dupes = out.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)

@@ -55,8 +55,14 @@ class PlanAuditSpec extends SparkSpec {
     test(s"$q self-join reuses the build-side computation") {
       val p = audit(q)
       info(s"$q: ReusedExchange=" + p.contains("ReusedExchange")
+        + " InMemoryTableScan=" + p.contains("InMemoryTableScan")
         + " scans=" + "FileScan".r.findAllIn(p).length)
-      assert(p.contains("ReusedExchange") || "FileScan".r.findAllIn(p).length <= 2, p)
+      // three acceptable proofs of single computation: a reused
+      // exchange, a persisted build side (d04: the sig cache makes the
+      // dedup structural instead of AQE's best-effort runtime reuse),
+      // or at most one scan per AQE plan copy
+      assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan")
+        || "FileScan".r.findAllIn(p).length <= 2, p)
     }
   }
 

@@ -488,4 +488,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("IsNotNull(text)"),
       s"text filter not pushed to the corpus scan:\n$p")
   }
+
+  test("q31 bin-offsets join back broadcast (the data side never re-sorts globally)") {
+    val p = plan("q31_ntile")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rank join fell back to a shuffle merge:\n$p")
+  }
+
+  test("q34 argmax aggregates partially before the shuffle (no sort window)") {
+    val p = plan("q34_argmax_latest")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || "HashAggregate.*max_by".r.findFirstIn(p).isDefined,
+      s"max_by did not plan as a partial-merge aggregate:\n$p")
+    assert(!p.contains("Window"), s"argmax fell back to a window sort:\n$p")
+  }
+
+  test("s27 as-of probe is a broadcast lookup (no state, no shuffle of events)") {
+    val p = SparkEntry.queries("s27_stream_asof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"SCD lookup is not a broadcast left join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the event stream shuffled for the dimension probe:\n$p")
+  }
+
+  test("d69 replay manifest joins the plan broadcast and explodes after the join") {
+    val p = SparkEntry.queries("d69_mix_execute")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan join not broadcast:\n$p")
+    assert(p.contains("Generate explode"), s"no post-join explode:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus shuffled for the plan join:\n$p")
+  }
 }

@@ -43,8 +43,16 @@ object ScanCount {
   }
 
   /** Scan counts visible in the FINAL executed plan (collect + walk). */
+  /** A streaming query left running by an earlier suite (e.g. an
+    * awaitTermination that hit its timeout) would keep firing
+    * executions into the shared session while we count — stop any
+    * stragglers before measuring. */
+  private def quiesce(s: org.apache.spark.sql.SparkSession): Unit =
+    s.streams.active.foreach(_.stop())
+
   def counts(s: org.apache.spark.sql.SparkSession, name: String, sf: String,
       tables: Seq[String] = Seq("documents", "embeddings")): Map[String, Int] = {
+    quiesce(s)
     s.catalog.clearCache()
     val df = SparkEntry.queries(name)(s, sf)
     df.collect()
@@ -66,7 +74,14 @@ object ScanCount {
     * later ones still counts once. */
   def countsDuring(s: org.apache.spark.sql.SparkSession, name: String, sf: String,
       tables: Seq[String] = Seq("documents", "embeddings")): Map[String, Int] = {
+    quiesce(s)
     s.catalog.clearCache()
+    // drain the async listener bus BEFORE registering: execution
+    // events still queued from PRECEDING queries would otherwise
+    // deliver to the new listener and be counted into THIS query (the
+    // full-suite-order "+1 documents" flake — the previous query's one
+    // scan arriving late)
+    org.apache.spark.GraftTestBus.flush(s.sparkContext)
     val seenCaches = scala.collection.mutable.Set[Int]()
     val acc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
