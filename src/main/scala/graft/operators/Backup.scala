@@ -1096,6 +1096,38 @@ object Backup {
           count(lit(1)).as("streak_len"))
         .select("node_id", "streak_start", "streak_end", "streak_len")
         .orderBy("node_id", "streak_start")
+    },
+
+    // Manifest EXPORT — the write-side dual of b22's ingest, closing
+    // the esop manifest lifecycle (Manifest.java:47-54 serializes one
+    // JSON document per backup): each (node, snapshot) renders its
+    // entries into the canonical manifest JSON — entries sorted, all
+    // string building deterministic concat (no engine JSON serializer:
+    // key order and whitespace would differ cross-engine; a canonical
+    // byte form is also what makes manifest md5s COMPARABLE, the b15
+    // sorted-list-hash argument applied to whole documents). One
+    // manifest-keyed agg (pin events=1); collect_list is bounded by
+    // the per-backup file count — exactly what esop holds in memory to
+    // write the same file. Output carries the doc's length + md5, the
+    // upload-integrity record a registry keeps per manifest.
+    "b39_manifest_export" -> { (s, dir) =>
+      val entry = concat(lit("{\"key\":\""), col("object_key"),
+        lit("\",\"size\":"), col("size").cast("string"),
+        lit(",\"hash\":\""), col("upload_hash"), lit("\"}"))
+      manifest(s, dir)
+        .withColumn("e", entry)
+        .groupBy("node_id", "snapshot_day")
+        .agg(count(lit(1)).as("n_entries"),
+          concat_ws(",", array_sort(collect_list(col("e")))).as("ej"))
+        .withColumn("doc", concat(
+          lit("{\"snapshot\":\"snap-"), col("snapshot_day").cast("string"),
+          lit("\",\"node\":"), col("node_id").cast("string"),
+          lit(",\"schemaVersion\":\""), expr(schemaVerSpark),
+          lit("\",\"entries\":["), col("ej"), lit("]}")))
+        .select(col("node_id"), col("snapshot_day"), col("n_entries"),
+          length(col("doc")).cast("long").as("manifest_len"),
+          md5(col("doc")).as("manifest_md5"))
+        .orderBy("node_id", "snapshot_day")
     }
   )
 
@@ -1678,6 +1710,27 @@ object Backup {
         |SELECT node_id, min(snapshot_day) AS streak_start,
         |  max(snapshot_day) AS streak_end, count(1) AS streak_len
         |FROM anchored GROUP BY node_id, anchor
-        |ORDER BY node_id, streak_start""".stripMargin)
+        |ORDER BY node_id, streak_start""".stripMargin),
+
+    "b39_manifest_export" -> (cte +
+      s""", ent AS (
+         |  SELECT node_id, snapshot_day,
+         |    '{"key":"' || object_key || '","size":' || CAST(size AS VARCHAR)
+         |      || ',"hash":"' || upload_hash || '"}' AS e
+         |  FROM manifest),
+         |agg AS (
+         |  SELECT node_id, snapshot_day, count(1) AS n_entries,
+         |    string_agg(e, ',' ORDER BY e) AS ej
+         |  FROM ent GROUP BY 1, 2),
+         |docs2 AS (
+         |  SELECT node_id, snapshot_day, n_entries,
+         |    '{"snapshot":"snap-' || CAST(snapshot_day AS VARCHAR)
+         |      || '","node":' || CAST(node_id AS VARCHAR)
+         |      || ',"schemaVersion":"' || $schemaVerDuck
+         |      || '","entries":[' || ej || ']}' AS doc
+         |  FROM agg)
+         |SELECT node_id, snapshot_day, n_entries,
+         |  CAST(length(doc) AS BIGINT) AS manifest_len, md5(doc) AS manifest_md5
+         |FROM docs2 ORDER BY node_id, snapshot_day""".stripMargin)
   )
 }

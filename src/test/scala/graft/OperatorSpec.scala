@@ -1225,6 +1225,46 @@ class OperatorSpec extends SparkSpec {
       "no low-cardinality column detected")
   }
 
+  test("b39 manifest export: doc rebuilds byte-identically and parses as JSON") {
+    val rows = SparkEntry.queries("b39_manifest_export")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byGroup = graft.model.BackupLedger.manifest(spark, sf)
+      .selectExpr("node_id", "snapshot_day", "object_key",
+        "CAST(size AS STRING) AS size_s", "upload_hash").collect()
+      .groupBy(r => (r.getLong(0), r.getDate(1)))
+    assert(rows.length == byGroup.size)
+    val epoch = java.time.LocalDate.parse("2020-01-01")
+    rows.take(5).foreach { r =>
+      val (node, day) = (r.getLong(0), r.getDate(1))
+      val g = byGroup((node, day))
+      assert(r.getLong(2) == g.length, s"entry count drift for ($node, $day)")
+      // full scala re-derivation of the canonical byte form
+      val entries = g.map(e =>
+        s"""{"key":"${e.getString(2)}","size":${e.getString(3)},"hash":"${e.getString(4)}"}""")
+        .sorted.mkString(",")
+      val wk0 = java.time.temporal.ChronoUnit.DAYS.between(epoch, day.toLocalDate) / 7
+      val wk = if (node % 7 == 0) wk0 - 1 else wk0
+      val ver = "v" + md5hex(s"schema$wk").substring(0, 6)
+      val doc = s"""{"snapshot":"snap-$day","node":$node,"schemaVersion":"$ver","entries":[$entries]}"""
+      assert(r.getLong(3) == doc.length, s"manifest_len drift for ($node, $day)")
+      assert(r.getString(4) == md5hex(doc), s"manifest_md5 drift for ($node, $day)")
+      // the canonical form must be real JSON a reader can load back
+      val parsed = spark.range(1)
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.lit(doc),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "snapshot STRING, node BIGINT, schemaVersion STRING, " +
+              "entries ARRAY<STRUCT<key: STRING, size: DOUBLE, hash: STRING>>"))
+          .as("m"))
+        .selectExpr("m.snapshot", "size(m.entries) AS n").collect().head
+      assert(parsed.getString(0) == s"snap-$day" && parsed.getInt(1) == g.length,
+        s"exported doc does not round-trip through a JSON reader: ($node, $day)")
+    }
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

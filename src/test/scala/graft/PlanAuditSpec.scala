@@ -304,7 +304,9 @@ class PlanAuditSpec extends SparkSpec {
       // q34: one scan, map-side-partial max_by (no sort window)
       "q34_argmax_latest" -> Map("orders" -> 1),
       // q35: typed per-row parse + bucket agg in one pass
-      "q35_json_extract" -> Map("events" -> 1))
+      "q35_json_extract" -> Map("events" -> 1),
+      // b39: one manifest-keyed agg renders every backup's document
+      "b39_manifest_export" -> Map("events" -> 1))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
