@@ -161,6 +161,34 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Dedup-yield THRESHOLD CURVE — the tuning sweep run before fixing
+    // a near-dup cutoff (d68's nprobe curve, asked of the text side):
+    // at Jaccard ≥ 0.5 / 0.95 / 0.98 (the corpus dup fixture is near-
+    // identical copies, so the interesting cutoffs sit NEAR 1 — itself
+    // a finding the curve surfaces), how many exact near-dup pairs
+    // exist and how many docs are touched by at least one? The exact
+    // pair stream is computed ONCE (the d34 baseline pipeline,
+    // persisted), each pair fans out to its qualifying thresholds ×
+    // both endpoints, and ONE aggregate yields pairs (= doc rows div
+    // 2, exact) and distinct affected docs per threshold — the sweep
+    // never recomputes a join. Jaccard is the one-shot divide of
+    // exact integer counts, so the ≥t comparisons are bit-identical
+    // cross-engine. This is what turns "0.8 feels right" into a
+    // measured pairs/docs trade at each candidate cutoff.
+    "d71_dedup_curve" -> { (s, dir) =>
+      val p = jaccardPairs(s, dir)
+        .select("a_id", "b_id", "jaccard")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.select(col("a_id"), col("b_id"), col("jaccard"),
+          explode(array(lit(0.5), lit(0.95), lit(0.98))).as("t"))
+        .filter(col("jaccard") >= col("t"))
+        .select(col("t"), explode(array(col("a_id"), col("b_id"))).as("doc"))
+        .groupBy("t")
+        .agg(expr("count(1) div 2").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs"))
+        .orderBy("t")
+    },
+
     // Exact dedup: md5 over normalized text; min doc_id is the keeper.
     "d01_dedup_exact" -> { (s, dir) =>
       Corpus.docs(s, dir)
@@ -330,6 +358,25 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d71_dedup_curve" -> (Corpus.docsCte +
+      """, sizes AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1),
+        |pj AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(1) AS DOUBLE)
+        |      / (any_value(sa.n) + any_value(sb.n) - count(1)) AS j
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING CAST(count(1) AS DOUBLE)
+        |    / (any_value(sa.n) + any_value(sb.n) - count(1)) >= 0.5),
+        |th AS (SELECT unnest(CAST([0.5, 0.95, 0.98] AS DOUBLE[])) AS t),
+        |ex AS (SELECT th.t, pj.a_id, pj.b_id FROM pj JOIN th ON pj.j >= th.t),
+        |docstream AS (
+        |  SELECT t, unnest([a_id, b_id]) AS doc FROM ex)
+        |SELECT t, count(1) // 2 AS n_pairs, count(DISTINCT doc) AS n_docs
+        |FROM docstream GROUP BY t ORDER BY t""".stripMargin),
+
     "d01_dedup_exact" -> (Corpus.docsCte +
       """SELECT md5(norm) AS content_hash, min(doc_id) AS keep_doc, count(1) AS n_docs
         |FROM docs GROUP BY 1 ORDER BY content_hash""".stripMargin),

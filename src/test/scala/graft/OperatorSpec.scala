@@ -1265,6 +1265,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d71 dedup curve: monotone in the threshold, pair/doc counts consistent") {
+    val rows = SparkEntry.queries("d71_dedup_curve")(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.95, 0.98))
+    // tightening the cutoff can only shrink both counts
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1) && lo.getLong(2) >= hi.getLong(2),
+        s"curve not monotone: $lo -> $hi")
+    }
+    rows.foreach { r =>
+      // every pair touches <= 2 docs; n_docs can't exceed 2*pairs and a
+      // nonempty pair set touches >= 2 docs
+      assert(r.getLong(2) <= 2 * r.getLong(1))
+      if (r.getLong(1) > 0) assert(r.getLong(2) >= 2)
+    }
+    // the sweep must actually discriminate at this SF
+    assert(rows.head.getLong(1) > rows.last.getLong(1),
+      "all thresholds equal — fixture does not exercise the curve")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

@@ -186,7 +186,11 @@ class PlanAuditSpec extends SparkSpec {
       "d69_mix_execute" -> (2, 0),
       // d70: all five column panels ride ONE scan's Expand; the melt
       // explodes the 1-row aggregate
-      "d70_profile" -> (1, 0))
+      "d70_profile" -> (1, 0),
+      // d71: the exact-pair pipeline's three gram passes (pair sides
+      // + sizes, the d34 baseline); the threshold sweep reads the
+      // persisted pair frame, never the corpus
+      "d71_dedup_curve" -> (3, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
