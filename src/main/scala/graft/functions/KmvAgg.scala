@@ -132,3 +132,71 @@ object KmvSketchAgg {
     GraftBridge.column(
       new KmvSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
 }
+
+/** The PAYLOAD form of [[KmvSketchAgg]] — same bounded TreeSet buffer,
+  * same merge law, but `eval` emits the sketch VALUES (the ≤k smallest
+  * distinct hashes, ascending) instead of just the summary statistic.
+  *
+  * This is what makes KMV a sketch ALGEBRA rather than a one-shot
+  * estimator: two emitted sketches union-merge downstream with plain
+  * `array` ops (sorted-distinct union, keep the k smallest), and the
+  * union sketch estimates |A∪B| — hence |A∩B| and Jaccard — without
+  * ever revisiting the data (d73). At 100 TB the per-group payload is
+  * ≤ k longs, so the overlap matrix for S sources costs one corpus
+  * pass + an S²-row driver-free cross of bounded arrays. */
+case class KmvValuesAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 1, s"graft_kmv_values needs k > 1, got $k")
+
+  private val inner = KmvSketchAgg(child, k)
+
+  override def prettyName: String = "graft_kmv_values"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = inner.checkInputDataTypes()
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(
+      b: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    inner.update(b, input)
+  override def merge(
+      b: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(b, other)
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](b.size())
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvValuesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvValuesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvValuesAgg =
+    copy(child = newChild)
+}
+
+object KmvValuesAgg {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(
+      new KmvValuesAgg(GraftBridge.expression(c), k).toAggregateExpression())
+}

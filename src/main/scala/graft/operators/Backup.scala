@@ -129,6 +129,59 @@ object Backup {
         .orderBy("snapshot_day")
     },
 
+    // Replica-spread audit — esop's topology concern asked of the data
+    // itself (`impl/CassandraClusterTopology` records the ring; this
+    // checks the BACKUP actually spans it): per logical sstable
+    // (keyspace/table/sst number, node prefix stripped), how many
+    // distinct nodes hold a copy in the LATEST snapshot, and which
+    // fall below RF=2. The latest day is a 1-row partial-agg max
+    // broadcast into the join (never a global window over the
+    // manifest), and the rollup groups the bounded (ks, tab, sst) key
+    // space — at 100 TB this is one manifest pass + one bounded agg.
+    "b40_replica_spread" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val latest = m.agg(max(col("snapshot_day")).as("latest_day"))
+      m.join(broadcast(latest), col("snapshot_day") === col("latest_day"))
+        .withColumn("sst",
+          regexp_extract(col("object_key"), "sst_([0-9]+)$", 1).cast("long"))
+        .groupBy("keyspace", "table_name", "sst")
+        .agg(countDistinct(col("node_id")).as("n_replicas"),
+          asDouble(sum(col("size"))).as("total_size"))
+        .withColumn("under_replicated", col("n_replicas") < 2)
+        .orderBy("keyspace", "table_name", "sst")
+    },
+
+    // Retention-policy WHAT-IF curve — b05/b06/b37 decide under ONE
+    // policy; this prices the policy space before an operator picks
+    // one (the d71 threshold-curve idea on the backup side): for
+    // keep-last-k ∈ {1,2,3,5}, how many physical objects become
+    // deletable under esop's shared-file rule (an object dies only
+    // when EVERY referencing snapshot is removed — min over its
+    // snapshots' recency ranks > k) and how many bytes return. Ranks
+    // come from the BOUNDED snapshots frame (broadcast into the
+    // manifest pass), per-object stats compute ONCE, and the 4-point
+    // sweep is a bounded explode over the per-object frame — the
+    // manifest is never re-scanned per policy.
+    "b41_retention_curve" -> { (s, dir) =>
+      val rankW = Window.partitionBy("node_id").orderBy(col("snapshot_day").desc)
+      val snapRank = snapshots(s, dir).withColumn("rk", row_number().over(rankW))
+      val objStats = manifest(s, dir)
+        .join(broadcast(snapRank), Seq("node_id", "snapshot_day"))
+        .groupBy("object_key")
+        .agg(min(col("rk")).as("min_rk"),
+          min_by(col("size"), col("rk")).as("latest_size"))
+      objStats
+        .select(col("min_rk"), col("latest_size"),
+          explode(array(lit(1), lit(2), lit(3), lit(5))).as("keep_last"))
+        .groupBy("keep_last")
+        .agg(
+          count(when(col("min_rk") > col("keep_last"), lit(1))).as("n_reclaimable"),
+          asDouble(coalesce(
+            sum(when(col("min_rk") > col("keep_last"), col("latest_size"))),
+            lit(0).cast("decimal(18,2)"))).as("reclaim_bytes"))
+        .orderBy("keep_last")
+    },
+
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
     "b06_retention" -> { (s, dir) =>
       manifest(s, dir)
@@ -1174,6 +1227,34 @@ object Backup {
         |  CAST(SUM(size) AS DOUBLE) AS total_size
         |FROM manifest WHERE snapshot_day < DATE '2024-01-08'
         |GROUP BY snapshot_day ORDER BY snapshot_day""".stripMargin),
+
+    "b40_replica_spread" -> (cte +
+      """SELECT keyspace, table_name,
+        |  CAST(regexp_extract(object_key, 'sst_([0-9]+)$', 1) AS BIGINT) AS sst,
+        |  count(DISTINCT node_id) AS n_replicas,
+        |  CAST(sum(size) AS DOUBLE) AS total_size,
+        |  count(DISTINCT node_id) < 2 AS under_replicated
+        |FROM manifest
+        |WHERE snapshot_day = (SELECT max(snapshot_day) FROM manifest)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "b41_retention_curve" -> (cte +
+      """, ranked AS (
+        |  SELECT node_id, snapshot_day,
+        |    row_number() OVER (PARTITION BY node_id ORDER BY snapshot_day DESC) AS rk
+        |  FROM snapshots),
+        |om AS (
+        |  SELECT m.object_key, min(r.rk) AS min_rk, arg_min(m.size, r.rk) AS latest_size
+        |  FROM manifest m
+        |  JOIN ranked r ON m.node_id = r.node_id AND m.snapshot_day = r.snapshot_day
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT om.min_rk, om.latest_size, k.keep_last
+        |  FROM om, UNNEST([1, 2, 3, 5]) AS k(keep_last))
+        |SELECT keep_last,
+        |  count(CASE WHEN min_rk > keep_last THEN 1 END) AS n_reclaimable,
+        |  CAST(COALESCE(sum(CASE WHEN min_rk > keep_last THEN latest_size END), 0) AS DOUBLE) AS reclaim_bytes
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "b07_pit_state" -> (cte +
       """SELECT node_id, k, event_id, CAST(size AS DOUBLE) AS size FROM (

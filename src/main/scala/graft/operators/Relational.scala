@@ -640,6 +640,52 @@ object Relational {
           countDistinct(col("k")).as("n_keys"),
           asDouble(sum(dec2(col("value")))).as("total_value"))
         .orderBy("k_bucket")
+    },
+
+    // MERGE/upsert semantics — apply a change-data delta onto a base
+    // table (the ANSI MERGE statement Spark SQL lacks, as a plan):
+    // updates override, inserts append, untouched rows keep, and each
+    // output row is tagged with its action. The delta is synthesized
+    // deterministically from ONE extra scan (every 7th order becomes a
+    // status/price update, every 1000th spawns an insert under a new
+    // key — a row can legitimately source both, via per-row bounded
+    // explode); in production the delta is an external CDC feed, so
+    // the shape that matters is the merge itself: ONE full-outer
+    // shuffle join on the key — both sides exchange once, Catalyst
+    // plans a sort-merge join, and at 100 TB a base table bucketed on
+    // the key would merge with zero base-side exchange. Full-outer is
+    // required (inserts live only on the delta side, keeps only on the
+    // base side); prices stay DECIMAL throughout so updated values are
+    // exact cross-engine.
+    "q36_merge_upsert" -> { (s, dir) =>
+      val pdec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("o_price"))
+      val delta = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 1000 === 1)
+        .select(explode(concat(
+          when(col("o_orderkey") % 7 === 0, array(struct(
+            col("o_orderkey").as("o_orderkey"),
+            lit("U").as("d_status"),
+            (dec2(col("o_totalprice")) + dec2(lit(100.0))).cast(pdec).as("d_price"))))
+            .otherwise(array().cast(s"array<struct<o_orderkey:bigint,d_status:string,d_price:decimal(18,2)>>")),
+          when(col("o_orderkey") % 1000 === 1, array(struct(
+            (col("o_orderkey") + lit(1000000L)).as("o_orderkey"),
+            lit("N").as("d_status"),
+            dec2(lit(1.0)).as("d_price"))))
+            .otherwise(array().cast(s"array<struct<o_orderkey:bigint,d_status:string,d_price:decimal(18,2)>>"))
+        )).as("r"))
+        .select(col("r.o_orderkey").as("o_orderkey"),
+          col("r.d_status").as("d_status"), col("r.d_price").as("d_price"))
+      base.join(delta, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("d_status"), col("o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("d_price"), col("o_price")).as("o_price"),
+          when(col("o_orderstatus").isNull, "insert")
+            .when(col("d_status").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -956,6 +1002,27 @@ object Relational {
         |SELECT k // 10 AS k_bucket, count(1) AS n_events,
         |  count(DISTINCT k) AS n_keys,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM parsed GROUP BY 1 ORDER BY k_bucket""".stripMargin
+        |FROM parsed GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q36_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey, 'U' AS d_status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |         + CAST(100.0 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'N', CAST(1.0 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 1000 = 1)
+        |SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |  COALESCE(d.d_status, b.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(d.d_price, b.o_price) AS o_price,
+        |  CASE WHEN b.o_orderstatus IS NULL THEN 'insert'
+        |       WHEN d.d_status IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

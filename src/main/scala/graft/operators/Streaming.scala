@@ -225,6 +225,19 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming domain-reputation gate — d72's index consumed at the
+    // door: each arriving doc's cited domains probed per row against
+    // the broadcast low-tier deny set (stateless append mode, no
+    // state store; the provenance twin of s20's content deny list).
+    // Batch twin of the exact transform the streaming job runs;
+    // stream ≡ batch proven in EventStreamSpec.
+    "s28_stream_reputation" -> { (s, dir) =>
+      graft.streaming.DocStream.reputationGate(
+          graft.streaming.DocStream.repDenyIndex(s, dir))(
+          Tables.documents(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Stream-stream interval join — the same transform the streaming
     // job runs (watermarks are no-ops on batch input); in batch Spark
     // plans it as an equi-join on user plus the range predicate.
@@ -416,6 +429,21 @@ object Streaming {
     // (broadcast bloom + stream-static verify against the same
     // persisted deny store)
     "s20_stream_blocklist" -> Curation.oracle("d55_blocklist_bloom"),
+
+    "s28_stream_reputation" -> (graft.model.Corpus.docsCte + ", " +
+      TextAnalysis.rawsCteSql + ",\n" + TextAnalysis.domainRepCteSql +
+      s""",
+         |lowarr AS (
+         |  SELECT COALESCE(list(domain ORDER BY domain), []) AS deny
+         |  FROM ranked WHERE q_rank * 4 <= nd),
+         |doms AS (
+         |  SELECT doc_id, regexp_extract_all(raw, '${TextAnalysis.urlRe}', 1) AS domains
+         |  FROM raws)
+         |SELECT doc_id, CAST(len(domains) AS BIGINT) AS n_domains,
+         |  CAST(len(list_filter(domains, x -> list_contains(deny, x))) AS BIGINT) AS n_low,
+         |  CASE WHEN len(list_filter(domains, x -> list_contains(deny, x))) > 0
+         |       THEN 'review' ELSE 'accept' END AS verdict
+         |FROM doms, lowarr ORDER BY doc_id""".stripMargin),
 
     // the streaming split stamp is the d57 transform verbatim
     // (pure per-row content function)

@@ -55,7 +55,69 @@ object TextAnalysis {
 
   /** URL pattern (Java-regex ∩ RE2 common subset, as d25's patterns):
     * group 1 = domain, group 2 = path segment. */
-  private val urlRe = """https?://([a-z0-9.]+)/([a-z0-9]+)"""
+  private[graft] val urlRe = """https?://([a-z0-9.]+)/([a-z0-9]+)"""
+
+  /** Deterministic in-text URL injection shared by d31 (domain
+    * inventory) and d72 (domain reputation): every 3rd doc cites a
+    * `site<id%50>.example.com` page, every 13th a `cdn<id%7>
+    * .example.org` asset — the corpus text is synthetic word salad, so
+    * provenance is INJECTED from doc_id (the d25 PII pattern) and the
+    * operators under test are the extract→rollup pipelines. Mirrored
+    * verbatim by [[rawsCteSql]]. */
+  private[graft] def withInjectedUrls(df: DataFrame): DataFrame =
+    df.withColumn("raw", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" http://site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 97).cast("string")))
+        .otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" https://cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/x"), (col("doc_id") % 31).cast("string")))
+        .otherwise("")))
+
+  /** DuckDB twin of [[withInjectedUrls]] over `documents` — a CTE body
+    * yielding raws(doc_id, raw) (plus whatever columns the enclosing
+    * query re-joins). */
+  private[graft] val rawsCteSql: String =
+    """raws AS (
+      |  SELECT doc_id, concat(text,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |              '.example.com/p' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN ' https://cdn' || CAST(doc_id % 7 AS VARCHAR) ||
+      |              '.example.org/x' || CAST(doc_id % 31 AS VARCHAR) ELSE '' END) AS raw
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[domainReputation]] minus the final tiering
+    * SELECT — a CTE chain (scored → links → dom → ranked) appended
+    * after `docs` + `raws`; shared by the d72 oracle and s28's
+    * streaming-gate oracle. */
+  private[graft] lazy val domainRepCteSql: String =
+    s"""scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(ws, w -> list_contains($enStopSqlList, w))) AS DOUBLE)
+       |      / greatest(len(ws), 1)
+       |    - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1)
+       |    + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality
+       |  FROM docs),
+       |links AS (
+       |  SELECT r.doc_id, s.quality, regexp_extract(t.url, '$urlRe', 1) AS domain
+       |  FROM raws r
+       |  JOIN scored s ON s.doc_id = r.doc_id,
+       |  UNNEST(regexp_extract_all(r.raw, '$urlRe')) t(url)),
+       |dom AS (
+       |  SELECT domain, count(1) AS n_docs,
+       |    SUM(CAST(quality AS DECIMAL(28,12))) AS q_sum
+       |  FROM links GROUP BY 1),
+       |ranked AS (
+       |  SELECT domain, n_docs,
+       |    CAST(q_sum AS DOUBLE) / n_docs AS avg_quality,
+       |    row_number() OVER (ORDER BY CAST(q_sum AS DOUBLE) / n_docs ASC, domain ASC) AS q_rank,
+       |    count(1) OVER () AS nd
+       |  FROM dom)""".stripMargin
 
   /** Deterministic crawl URL fixture: the canonical page
     * `site<id%5>.example.com/p<id%23>` decorated with a variant
@@ -79,6 +141,38 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       lower(url),
       "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
+
+  /** d72's doc→domain link stream: one corpus scan, the d09 quality
+    * score attached per row, one link row per extracted URL. */
+  private def domainLinks(s: SparkSession, dir: String): DataFrame =
+    qualityCols(withInjectedUrls(Corpus.docs(s, dir)))
+      .select(col("doc_id"), col("quality"),
+        explode(regexp_extract_all(col("raw"), lit(urlRe), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), urlRe, 1))
+
+  /** The d72 domain-reputation index (domain, n_docs, avg_quality,
+    * q_rank, tier) — shared with s28's streaming ingest gate. Quality
+    * sums are exact DECIMALs (one cast per row, associative-exact
+    * aggregation, one final divide), and the quartile tiering is a
+    * rank window over the BOUNDED domain table (rank 1 = worst):
+    * bottom quartile = "low", top quartile = "high". */
+  private[graft] def domainReputation(s: SparkSession, dir: String): DataFrame = {
+    val byQ = Window.orderBy(col("avg_quality").asc, col("domain").asc)
+    domainLinks(s, dir)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("q_sum"))
+      .withColumn("avg_quality", col("q_sum").cast("double") / col("n_docs"))
+      .withColumn("q_rank", row_number().over(byQ))
+      .withColumn("nd",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("tier",
+        when(col("q_rank") * 4 <= col("nd"), "low")
+          .when(col("q_rank") * 4 > col("nd") * 3, "high")
+          .otherwise("mid"))
+      .select("domain", "n_docs", "avg_quality", "q_rank", "tier")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -352,17 +446,7 @@ object TextAnalysis {
     // over the extracted URL stream (≤2 rows/doc by construction, and
     // in a real crawl |urls| ≪ |text bytes|), never the corpus scan.
     "d31_url_extract" -> { (s, dir) =>
-      val raw = graft.sources.Tables.documents(s, dir)
-        .withColumn("raw", concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" http://site"), (col("doc_id") % 50).cast("string"),
-              lit(".example.com/p"), (col("doc_id") % 97).cast("string")))
-            .otherwise(""),
-          when(col("doc_id") % 13 === 0,
-            concat(lit(" https://cdn"), (col("doc_id") % 7).cast("string"),
-              lit(".example.org/x"), (col("doc_id") % 31).cast("string")))
-            .otherwise("")))
+      val raw = withInjectedUrls(graft.sources.Tables.documents(s, dir))
       raw.select(col("doc_id"),
           explode(regexp_extract_all(col("raw"), lit(urlRe), lit(0))).as("url"))
         .withColumn("domain", regexp_extract(col("url"), urlRe, 1))
@@ -372,6 +456,62 @@ object TextAnalysis {
           countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("path")).as("n_paths"))
         .orderBy("domain")
+    },
+
+    // Domain REPUTATION index — the filter table a web corpus builds
+    // from d31's provenance: per domain, how good are the documents
+    // citing it, and where does it rank? One corpus scan builds the
+    // doc→domain link stream with the d09 quality score already
+    // attached per row; the per-domain aggregate is bounded (domains ≪
+    // docs) with exact DECIMAL quality sums (no float summation-order
+    // drift), and the quartile tiering is a rank window over the
+    // BOUNDED domain table only — rank-based tiers (bottom quartile =
+    // "low") stay discriminative at every corpus size where absolute
+    // cutoffs drift with the mix. s28 consumes this index as the
+    // streaming ingest gate.
+    "d72_domain_reputation" -> { (s, dir) =>
+      domainReputation(s, dir).orderBy("domain")
+    },
+
+    // Source-overlap MATRIX via mergeable KMV sketch algebra — "how
+    // much content do my ingest sources share?" asked WITHOUT an
+    // all-pairs content join: one corpus pass folds each source's
+    // word-3-gram stream into a ≤k-value sketch (the x06 aggregate's
+    // payload form — the shuffle carries ≤k longs per source per
+    // partition), then every source PAIR union-merges two bounded
+    // arrays: the k smallest of the merged sketches is a valid sketch
+    // of the union, so |A∪B|, |A∩B| and Jaccard fall out of pure
+    // array arithmetic on 20 rows — no second data pass, no gram
+    // rejoin. At 100 TB this is the only affordable shape for an S²
+    // overlap report. Estimates are the d26 KMV law (exact when a
+    // sketch never filled); every double derives from one division of
+    // exact integers, so the matrix is bit-identical cross-engine.
+    "d73_source_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.Column
+      val k = 64
+      val sk = Corpus.docs(s, dir)
+        .select(col("source"), explode(Corpus.gramsArr).as("gram"))
+        .select(col("source"), hash32(col("gram")).as("h"))
+        .groupBy("source")
+        .agg(KmvValuesAgg(col("h"), k).as("hs"))
+      val a = sk.select(col("source").as("a_source"), col("hs").as("a_hs"))
+      val b = sk.select(col("source").as("b_source"), col("hs").as("b_hs"))
+      def est(hs: Column): Column =
+        when(size(hs) < k, size(hs).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0)
+            / element_at(hs, size(hs)).cast("double"))
+      a.join(broadcast(b), col("a_source") < col("b_source"))
+        .withColumn("u_hs",
+          slice(array_sort(array_union(col("a_hs"), col("b_hs"))), 1, k))
+        .withColumn("est_a", est(col("a_hs")))
+        .withColumn("est_b", est(col("b_hs")))
+        .withColumn("est_union", est(col("u_hs")))
+        .withColumn("est_inter",
+          greatest(lit(0.0), (col("est_a") + col("est_b")) - col("est_union")))
+        .withColumn("jaccard_est", col("est_inter") / col("est_union"))
+        .select("a_source", "b_source", "est_a", "est_b", "est_union",
+          "est_inter", "jaccard_est")
+        .orderBy("a_source", "b_source")
     },
 
     // Z-order data layout (x07 kernel in production): a 32-bit Morton
@@ -706,15 +846,7 @@ object TextAnalysis {
          |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "d31_url_extract" ->
-      s"""WITH raws AS (
-         |  SELECT doc_id, concat(text,
-         |    CASE WHEN doc_id % 3 = 0
-         |         THEN ' http://site' || CAST(doc_id % 50 AS VARCHAR)
-         |              || '.example.com/p' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END,
-         |    CASE WHEN doc_id % 13 = 0
-         |         THEN ' https://cdn' || CAST(doc_id % 7 AS VARCHAR)
-         |              || '.example.org/x' || CAST(doc_id % 31 AS VARCHAR) ELSE '' END) AS raw
-         |  FROM documents),
+      s"""WITH $rawsCteSql,
          |urls AS (
          |  SELECT doc_id, unnest(regexp_extract_all(raw, '$urlRe')) AS url FROM raws)
          |SELECT regexp_extract(url, '$urlRe', 1) AS domain,
@@ -722,6 +854,50 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs,
          |  count(DISTINCT regexp_extract(url, '$urlRe', 2)) AS n_paths
          |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "d72_domain_reputation" -> (Corpus.docsCte + ", " + rawsCteSql + ",\n" +
+      domainRepCteSql +
+      """
+        |SELECT domain, n_docs, avg_quality, q_rank,
+        |  CASE WHEN q_rank * 4 <= nd THEN 'low'
+        |       WHEN q_rank * 4 > nd * 3 THEN 'high'
+        |       ELSE 'mid' END AS tier
+        |FROM ranked ORDER BY domain""".stripMargin),
+
+    "d73_source_overlap" -> (Corpus.docsCte + {
+      val h = Corpus.hash32Sql("g.gram")
+      s""", sg AS (
+         |  SELECT DISTINCT d2.source, $h AS h
+         |  FROM grams g JOIN documents d2 USING (doc_id)),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM sg),
+         |sk AS (
+         |  SELECT source, list(h ORDER BY h) AS hs
+         |  FROM r WHERE rn <= 64 GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS a_source, b.source AS b_source,
+         |         a.hs AS a_hs, b.hs AS b_hs
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |m AS (
+         |  SELECT *, (list_sort(list_distinct(list_concat(a_hs, b_hs))))[1:64] AS u_hs
+         |  FROM p),
+         |e AS (
+         |  SELECT a_source, b_source,
+         |    CASE WHEN len(a_hs) < 64 THEN CAST(len(a_hs) AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 / CAST(a_hs[64] AS DOUBLE) END AS est_a,
+         |    CASE WHEN len(b_hs) < 64 THEN CAST(len(b_hs) AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 / CAST(b_hs[64] AS DOUBLE) END AS est_b,
+         |    CASE WHEN len(u_hs) < 64 THEN CAST(len(u_hs) AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 / CAST(u_hs[64] AS DOUBLE) END AS est_union
+         |  FROM m),
+         |f AS (
+         |  SELECT *, greatest(0.0, (est_a + est_b) - est_union) AS est_inter FROM e)
+         |SELECT a_source, b_source, est_a, est_b, est_union, est_inter,
+         |  est_inter / est_union AS jaccard_est
+         |FROM f ORDER BY a_source, b_source""".stripMargin
+    }),
 
     "d33_zorder" ->
       s"""WITH zt AS (

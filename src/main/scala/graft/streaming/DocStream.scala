@@ -196,6 +196,37 @@ object DocStream {
     out.iterator
   }
 
+  /** s28's static side — the d72 domain-reputation index reduced to
+    * its deny set (the "low" reputation tier) as ONE sorted array row,
+    * the startup-loaded broadcast shape every stateless gate here uses
+    * (benchGramIndex's form). Domains are bounded, so the array is KBs
+    * at any corpus size. */
+  def repDenyIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainReputation(s, dir)
+      .filter(col("tier") === "low")
+      .agg(coalesce(array_sort(collect_list(col("domain"))),
+        expr("CAST(array() AS ARRAY<STRING>)")).as("deny"))
+
+  /** s28 — streaming domain-REPUTATION gate: each arriving doc's cited
+    * domains are extracted per row and probed against the broadcast
+    * low-tier deny set; docs citing any denied domain route to review.
+    * Entirely STATELESS (append mode, no watermark, no state store):
+    * the domain array is a per-row regexp projection and the probe is
+    * an array-membership filter against the single broadcast row — the
+    * d55/s20 two-stage deny-list idea applied to PROVENANCE instead of
+    * content. */
+  def reputationGate(deny: DataFrame)(docs: DataFrame): DataFrame =
+    TextAnalysis.withInjectedUrls(docs)
+      .withColumn("domains",
+        expr(s"regexp_extract_all(raw, '${TextAnalysis.urlRe}', 1)"))
+      .crossJoin(broadcast(deny))
+      .withColumn("n_domains", size(col("domains")).cast("long"))
+      .withColumn("n_low",
+        size(filter(col("domains"), d => array_contains(col("deny"), d))).cast("long"))
+      .withColumn("verdict",
+        when(col("n_low") > 0, "review").otherwise("accept"))
+      .select("doc_id", "n_domains", "n_low", "verdict")
+
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
   def runToMemory(s: SparkSession, dir: String, name: String,

@@ -132,6 +132,28 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
   }
 
+  test("streaming reputation gate equals the batch domain-tier decision") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s28_test",
+      DocStream.reputationGate(DocStream.repDenyIndex(spark, sf)), mode = "append")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s28_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s28_stream_reputation")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the gate must discriminate: both verdicts occur, URL-less docs accept
+    assert(batch.exists(_.getString(3) == "review")
+      && batch.exists(_.getString(3) == "accept"))
+    batch.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getString(3) == "accept" && r.getLong(2) == 0)
+    }
+    // n_low never exceeds n_domains; review iff n_low > 0
+    batch.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert((r.getString(3) == "review") == (r.getLong(2) > 0))
+    }
+  }
+
   test("streaming URL ingest gate equals the batch decision") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s24_test",

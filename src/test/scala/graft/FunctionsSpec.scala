@@ -210,6 +210,32 @@ class FunctionsSpec extends SparkSpec {
     assert(run(1) == got && run(32) == got)
   }
 
+  test("x06: KMV values form emits the sorted k-minimum distinct set, partition-invariant") {
+    import graft.functions.KmvValuesAgg
+    val df = spark.range(2000).selectExpr(
+      "CAST(id % 3 AS STRING) AS g",
+      "CAST((id % 311) * 2654435761 % 4294967296 AS LONG) AS h")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(KmvValuesAgg(col("h"), 16).as("hs"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val got = run(7)
+    // exact reference: per group, the 16 smallest distinct hashes ascending
+    val want = df.distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(16).toList).toMap
+    assert(got == want)
+    assert(run(1) == got && run(32) == got)
+    // the summary form is a projection of the values form
+    import graft.functions.KmvSketchAgg
+    val summary = df.groupBy("g").agg(KmvSketchAgg(col("h"), 16).as("kmv"))
+      .selectExpr("g", "kmv.k_actual", "kmv.h_k").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (g, hs) =>
+      assert(summary(g) == ((hs.length.toLong, hs.last)))
+    }
+  }
+
   test("x06: graft_kmv registered as a SQL function, k must be a literal") {
     val est = spark.sql(
       "SELECT graft_kmv(CAST(id AS LONG), 8).k_actual AS ka FROM range(5)")

@@ -1311,4 +1311,124 @@ class OperatorSpec extends SparkSpec {
       (ids -- admitted.getOrElse(src, Set.empty)).nonEmpty
     }, "quota never binds at this SF — raise corpus or lower quota")
   }
+
+  test("q36 merge upsert: action partition, update arithmetic, insert keys disjoint") {
+    // (o_orderkey, o_orderstatus, o_price, action)
+    val rows = SparkEntry.queries("q36_merge_upsert")(spark, sf).collect()
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS p").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDecimal(2))).toMap
+    val byKey = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byKey.size == rows.length, "merge emitted a duplicate key")
+    // every base key survives the merge; every action is lawful
+    assert(base.keySet.subsetOf(byKey.keySet))
+    rows.foreach { r =>
+      val (k, st, p, act) =
+        (r.getLong(0), r.getString(1), r.getDecimal(2), r.getString(3))
+      act match {
+        case "keep" =>
+          assert(base(k) == ((st, p)), s"keep row $k mutated")
+          assert(k % 7 != 0, s"update-eligible key $k tagged keep")
+        case "update" =>
+          assert(k % 7 == 0 && st == "U")
+          assert(p.subtract(base(k)._2).compareTo(new java.math.BigDecimal("100.00")) == 0,
+            s"update price law broken at $k: $p vs ${base(k)._2}")
+        case "insert" =>
+          assert(k > 1000000L && !base.contains(k) && st == "N")
+          assert((k - 1000000L) % 1000 == 1)
+        case other => fail(s"unknown action $other")
+      }
+    }
+    // the fixture exercises all three actions
+    val acts = rows.map(_.getString(3)).toSet
+    assert(acts == Set("keep", "update", "insert"), s"actions seen: $acts")
+  }
+
+  test("b40 replica spread: bounded logical-sstable space, flag law, replicas within node count") {
+    // (keyspace, table_name, sst, n_replicas, total_size, under_replicated)
+    val rows = SparkEntry.queries("b40_replica_spread")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 97, s"${rows.length} logical sstables")
+    val nNodes = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id").distinct().count()
+    rows.foreach { r =>
+      val (sst, nRep, under) = (r.getLong(2), r.getLong(3), r.getBoolean(5))
+      assert(sst >= 0 && sst < 97)
+      assert(nRep >= 1 && nRep <= nNodes)
+      assert(under == (nRep < 2), s"flag law broken at sst $sst")
+      // sst number must agree with its ks/tab derivation
+      assert(r.getString(0) == s"ks${sst % 3}" && r.getString(1) == s"tab${sst % 7}")
+    }
+  }
+
+  test("b41 retention curve: monotone in keep-last, k=1 dominates, exhaustive k=∞ limit") {
+    // (keep_last, n_reclaimable, reclaim_bytes)
+    val rows = SparkEntry.queries("b41_retention_curve")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1),
+        s"objects not monotone: $lo -> $hi")
+      assert(lo.getDouble(2) >= hi.getDouble(2),
+        s"bytes not monotone: $lo -> $hi")
+    }
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0))
+    // the policy sweep must discriminate at this SF
+    assert(rows.head.getLong(1) > rows.last.getLong(1),
+      "curve flat — fixture does not exercise the policies")
+  }
+
+  test("d72 domain reputation: rank permutation, quartile tier counts, tier ordering by rank") {
+    // (domain, n_docs, avg_quality, q_rank, tier)
+    val rows = SparkEntry.queries("d72_domain_reputation")(spark, sf).collect()
+    val nd = rows.length
+    assert(nd > 0)
+    assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to nd).toSeq,
+      "q_rank is not a permutation")
+    val byTier = rows.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(byTier.getOrElse("low", 0) == nd / 4, s"low count: $byTier")
+    assert(byTier.getOrElse("high", 0) == nd - (3 * nd) / 4, s"high count: $byTier")
+    // rank ordering respects avg_quality ordering
+    val sortedByRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+    sortedByRank.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // tiers are contiguous rank bands
+    rows.foreach { r =>
+      val (rk, tier) = (r.getInt(3), r.getString(4))
+      val want = if (rk * 4 <= nd) "low" else if (rk * 4 > 3 * nd) "high" else "mid"
+      assert(tier == want, s"tier law broken at rank $rk")
+    }
+  }
+
+  test("d73 source overlap: sketch estimates consistent, within tolerance of exact set algebra") {
+    // (a_source, b_source, est_a, est_b, est_union, est_inter, jaccard_est)
+    val rows = SparkEntry.queries("d73_source_overlap")(spark, sf).collect()
+    val nSrc = graft.model.Corpus.docs(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2, s"${rows.length} pairs")
+    // a source's own estimate is one value, wherever it appears
+    val ests = scala.collection.mutable.Map.empty[String, Double]
+    def check(src: String, e: Double): Unit =
+      assert(ests.getOrElseUpdate(src, e) == e, s"inconsistent estimate for $src")
+    rows.foreach { r =>
+      check(r.getString(0), r.getDouble(2)); check(r.getString(1), r.getDouble(3))
+      val (ea, eb, eu, ei, j) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(ei >= 0.0 && j >= 0.0 && j <= 1.0)
+      assert(math.abs((math.max(0.0, (ea + eb) - eu)) - ei) == 0.0, "inter law broken")
+      // NOTE: est_union MAY exceed est_a + est_b — independent sketch
+      // noise goes both ways; that is exactly what the ≥0 clamp absorbs.
+    }
+    // sketch quality: union estimate within 35% of the exact union on
+    // every pair (k=64 ⇒ ~12.5% standard error; deterministic fixture)
+    val exact = graft.model.Corpus.docs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(graft.model.Corpus.gramsArr).as("gram"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    rows.foreach { r =>
+      val u = (exact(r.getString(0)) ++ exact(r.getString(1))).size.toDouble
+      val rel = math.abs(r.getDouble(4) - u) / u
+      assert(rel < 0.35, s"union estimate off by $rel for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
 }

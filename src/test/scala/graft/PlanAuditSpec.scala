@@ -190,7 +190,13 @@ class PlanAuditSpec extends SparkSpec {
       // d71: the exact-pair pipeline's three gram passes (pair sides
       // + sizes, the d34 baseline); the threshold sweep reads the
       // persisted pair frame, never the corpus
-      "d71_dedup_curve" -> (3, 0))
+      "d71_dedup_curve" -> (3, 0),
+      // d72: one corpus scan builds the quality-scored link stream;
+      // the tier window runs over the bounded domain table
+      "d72_domain_reputation" -> (1, 0),
+      // d73: ONE corpus pass into per-source bounded sketches; the
+      // S² merge is array arithmetic on 20 rows
+      "d73_source_overlap" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -310,7 +316,16 @@ class PlanAuditSpec extends SparkSpec {
       // q35: typed per-row parse + bucket agg in one pass
       "q35_json_extract" -> Map("events" -> 1),
       // b39: one manifest-keyed agg renders every backup's document
-      "b39_manifest_export" -> Map("events" -> 1))
+      "b39_manifest_export" -> Map("events" -> 1),
+      // b40: latest-day agg + the filtered manifest slice (b13's
+      // two-role shape)
+      "b40_replica_spread" -> Map("events" -> 2),
+      // b41: manifest pass + the bounded snapshots-rank side; the
+      // 4-policy sweep explodes the per-object frame, never the ledger
+      "b41_retention_curve" -> Map("events" -> 2),
+      // q36: base + the synthesized CDC delta (ONE extra scan — both
+      // delta branches ride a single bounded explode)
+      "q36_merge_upsert" -> Map("orders" -> 2))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
@@ -366,7 +381,9 @@ class PlanAuditSpec extends SparkSpec {
       // s26: one events scan into the bounded bin aggregate
       "s26_stream_sizehist" -> Map("events" -> 1),
       // s27: event probe side + the bounded dimension's build side
-      "s27_stream_asof" -> Map("events" -> 2))
+      "s27_stream_asof" -> Map("events" -> 2),
+      // s28: the arriving stream + the d72 reputation-index side
+      "s28_stream_reputation" -> Map("documents" -> 2))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
