@@ -81,12 +81,17 @@ object Corpus {
   /** Same quantization over ANY frame with (vec_id, embedding) — the
     * streaming twin (s17) applies it to the arriving vector feed. */
   def qvecsOf(df: DataFrame): DataFrame =
+    qvecsAll(df).select("vec_id", "q", "norm2")
+
+  /** Quantization PRESERVING every other input column (d74/d75 keep
+    * `label` riding the same scan instead of joining it back). */
+  def qvecsAll(df: DataFrame): DataFrame =
     df
       .withColumn("q", expr(
         "transform(embedding, e -> coalesce(CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG), CAST(0 AS LONG)))"))
       .withColumn("norm2", expr(
         "aggregate(q, CAST(0 AS LONG), (acc, x) -> acc + x * x)"))
-      .select("vec_id", "q", "norm2")
+      .drop("embedding")
 
   // ---- DuckDB twins -------------------------------------------------
 

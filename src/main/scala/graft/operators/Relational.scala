@@ -686,6 +686,30 @@ object Relational {
             .when(col("d_status").isNull, "keep")
             .otherwise("update").as("action"))
         .orderBy("o_orderkey")
+    },
+
+    // Sliding COUNT(DISTINCT) — trailing-7-day distinct active users
+    // per day, the rolling-reach metric SQL windows cannot express
+    // (DISTINCT is not frame-decomposable). The scalable shape is the
+    // CONTRIBUTION EXPLODE: one (day, user) distinct pass, then each
+    // pair contributes to the ≤7 window-days it is visible in (bounded
+    // fan-out on an already day-deduped stream — tiny vs the raw
+    // event stream), and one bounded per-day distinct aggregate
+    // finishes. Beats 7 self-joins or any per-day re-scan; window days
+    // are clamped to days present in the data via a broadcast semi
+    // join against the bounded day dimension.
+    "q37_sliding_distinct" -> { (s, dir) =>
+      val du = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day").as("win_day")).distinct()
+      du
+        .select(explode(expr("sequence(0, 6)")).as("off"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off").cast("int")).as("win_day"), col("user_id"))
+        .join(broadcast(days), Seq("win_day"), "left_semi")
+        .groupBy("win_day")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("win_day")
     }
   )
 
@@ -1023,6 +1047,18 @@ object Relational {
         |       WHEN d.d_status IS NULL THEN 'keep'
         |       ELSE 'update' END AS action
         |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q37_sliding_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |contrib AS (
+        |  SELECT du.day + CAST(x.off AS INTEGER) AS win_day, du.user_id
+        |  FROM du, UNNEST(range(0, 7)) x(off))
+        |SELECT win_day, count(DISTINCT user_id) AS active_7d
+        |FROM contrib
+        |WHERE win_day IN (SELECT day FROM du)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -97,9 +97,13 @@ object Similarity {
            |    WHEN e.d < acc.d1 THEN named_struct('d1', e.d, 'c1', e.c, 'd2', acc.d1, 'c2', acc.c1)
            |    WHEN e.d < acc.d2 THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'd2', e.d, 'c2', e.c)
            |    ELSE acc END)""".stripMargin))
-      .select(col("vec_id"), col("q"), col("norm2"),
-        col("top2.c1").as("cell1"), col("top2.c2").as("cell2"),
-        col("top2.d1").as("dist1"))
+      .withColumn("cell1", col("top2.c1"))
+      .withColumn("cell2", col("top2.c2"))
+      .withColumn("dist1", col("top2.d1"))
+      // passthrough: every input column survives (d75 rides `label`
+      // through the assignment); (vec_id, q, norm2) callers see the
+      // exact pre-refactor schema
+      .drop("top2", "cents")
   }
 
   /** One deterministic k-means refinement of the ⌈√n⌉ seed centroids:
@@ -559,6 +563,64 @@ object Similarity {
     // argmin as the same shuffle-free per-row fold the IVF path uses
     // (r3 shipped it as a map-side min(struct) aggregate; the fold
     // removes even that one n-row exchange).
+    // k-NN label EVALUATION — the embedding-quality report a training
+    // pipeline reads before trusting its vectors: leave-one-out 3-NN
+    // classification over the labeled corpus, reported as the full
+    // confusion matrix. Reuses d06's exact-cosine machinery (broadcast
+    // pair stream, integer dot products, TopKPerGroup pruning the pair
+    // stream to ≤3 rows per query per partition BEFORE the rank
+    // exchange); labels ride the SAME quantization scan on both sides
+    // (no join-back), majority vote tie-breaks (votes desc, label asc)
+    // — every comparison exact, so the matrix is bit-stable
+    // cross-engine. A good embedding space classifies its own labels;
+    // the matrix says WHERE it doesn't.
+    "d74_knn_eval" -> { (s, dir) =>
+      val base = Corpus.qvecsAll(graft.sources.Tables.embeddings(s, dir))
+      val a = base.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("q").as("qa"), col("norm2").as("na"))
+      val b = base.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("q").as("qb"), col("norm2").as("nb"))
+      val pairs = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
+        .withColumn("cos",
+          col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      val top3 = graft.plans.TopK.perGroup(pairs,
+        Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+      val votes = top3.groupBy("a_id", "a_label", "b_label")
+        .agg(count(lit(1)).as("votes"))
+      val pred = graft.plans.TopK.perGroup(votes,
+        Seq("a_id"), Seq(("votes", true), ("b_label", false)), k = 1, rankName = "vr")
+      pred
+        .groupBy(col("a_label").as("true_label"), col("b_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+
+    // Cluster PURITY audit — do the d15/d35 cells mean anything? Per
+    // √n-cell majority-label purity against the ground-truth labels:
+    // the clustering-quality gate run before trusting cell-level
+    // operations (semantic dedup reps, IVF routing). Labels ride the
+    // quantization scan (no join-back), the assignment is the
+    // shuffle-free broadcast-fold (d35's), and the only exchanges are
+    // two bounded aggregations ((cell, label) then cell). Purity is
+    // one divide of exact longs.
+    "d75_cluster_purity" -> { (s, dir) =>
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val ass = assignTop2(
+        Corpus.qvecsAll(graft.sources.Tables.embeddings(s, dir)),
+        centroids(s, ivfCells(n)))
+      val cl = ass.groupBy(col("cell1").as("cell"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      cl.groupBy("cell")
+        .agg(sum(col("n")).as("n_members"),
+          count(lit(1)).as("n_labels"),
+          max_by(col("label"), struct(col("n"), lit(0L) - col("label"))).as("top_label"),
+          max_by(col("n"), struct(col("n"), lit(0L) - col("label"))).as("n_top"))
+        .withColumn("purity", col("n_top").cast("double") / col("n_members"))
+        .orderBy("cell")
+    },
+
     "d13_knn_centroid" -> { (s, dir) =>
       assignTop2(Corpus.qvecs(s, dir), centroids(s, 8))
         .select(col("vec_id"), col("cell1").as("centroid"), col("dist1").as("dist2"))
@@ -1107,6 +1169,53 @@ object Similarity {
         |WHERE d.text IS NOT NULL
         |  AND d.doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 6)
         |ORDER BY doc_id""".stripMargin,
+
+    "d74_knn_eval" -> (Corpus.qtabCte +
+      s""", lab AS (
+         |  SELECT q.vec_id, e.label, q.q, q.norm2
+         |  FROM qtab q JOIN embeddings e USING (vec_id)),
+         |top3 AS (
+         |  SELECT a_id, a_label, b_label FROM (
+         |    SELECT a.vec_id AS a_id, a.label AS a_label, b.label AS b_label,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |        b.vec_id ASC) AS rn
+         |    FROM lab a JOIN lab b ON a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3),
+         |votes AS (
+         |  SELECT a_id, a_label, b_label, count(1) AS votes
+         |  FROM top3 GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT a_id, a_label, b_label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY votes DESC, b_label ASC) AS vr FROM votes) t
+         |  WHERE vr = 1)
+         |SELECT a_label AS true_label, b_label AS pred_label, count(1) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "d75_cluster_purity" -> (Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+      s""", assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, ce.c AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1),
+         |cl AS (
+         |  SELECT a.cell, e.label, count(1) AS n
+         |  FROM assign a JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cell, label, n,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn,
+         |    CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_members,
+         |    count(1) OVER (PARTITION BY cell) AS n_labels
+         |  FROM cl)
+         |SELECT cell, n_members, n_labels, label AS top_label, n AS n_top,
+         |  CAST(n AS DOUBLE) / n_members AS purity
+         |FROM ranked WHERE rn = 1 ORDER BY cell""".stripMargin),
 
     "d13_knn_centroid" -> (Corpus.qtabCte + ", " + centroidsSql +
       s"""SELECT vec_id, c AS centroid, dist2 FROM (

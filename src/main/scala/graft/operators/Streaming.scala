@@ -225,6 +225,16 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming per-source KMV sketch — d26's grouped distinct
+    // estimator with the x06 TypedImperativeAggregate AS the streaming
+    // state (≤k longs per source forever; micro-batches merge through
+    // the aggregate's own associative merge). Batch twin of the exact
+    // transform the streaming job runs; same oracle as d26.
+    "s29_stream_kmv" -> { (s, dir) =>
+      graft.streaming.DocStream.kmvBySource(Tables.documents(s, dir))
+        .orderBy("source")
+    },
+
     // Streaming domain-reputation gate — d72's index consumed at the
     // door: each arriving doc's cited domains probed per row against
     // the broadcast low-tier deny set (stateless append mode, no
@@ -429,6 +439,10 @@ object Streaming {
     // (broadcast bloom + stream-static verify against the same
     // persisted deny store)
     "s20_stream_blocklist" -> Curation.oracle("d55_blocklist_bloom"),
+
+    // the streaming sketch is the d26 transform verbatim (order-
+    // invariant sorted-distinct k-min state)
+    "s29_stream_kmv" -> TextAnalysis.oracle("d26_kmv_by_source"),
 
     "s28_stream_reputation" -> (graft.model.Corpus.docsCte + ", " +
       TextAnalysis.rawsCteSql + ",\n" + TextAnalysis.domainRepCteSql +

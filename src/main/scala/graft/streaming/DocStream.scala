@@ -66,6 +66,25 @@ object DocStream {
       .select(col("rc.i").as("i"), col("rc.cell").as("cell"))
       .groupBy("i", "cell").agg(count(lit(1)).as("c"))
 
+  /** s29 — streaming per-source KMV distinct sketch: d26's grouped
+    * vocabulary estimator maintained AS DOCUMENTS ARRIVE. The x06
+    * `TypedImperativeAggregate` IS the streaming state: complete-mode
+    * per-source buffers hold ≤k hashes each (bounded forever — the
+    * sketch never grows with the vocabulary), micro-batches merge
+    * through the aggregate's own associative merge, and the emitted
+    * (k_actual, h_k, est) equals the batch sketch exactly because a
+    * sorted-distinct k-min set is ORDER-INVARIANT over any arrival
+    * order. Same transform as d26 (shared oracle); stream ≡ batch
+    * proven in EventStreamSpec. */
+  def kmvBySource(docs: DataFrame): DataFrame =
+    Corpus.normalized(docs)
+      .select(col("source"), explode(col("ws")).as("w"))
+      .select(col("source"), graft.functions.hash32(col("w")).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.KmvSketchAgg(col("h"), 64).as("kmv"))
+      .select(col("source"), col("kmv.k_actual").as("k_actual"),
+        col("kmv.h_k").as("h_k"), col("kmv.est_distinct").as("est_distinct"))
+
   /** Canonical-URL ingest gate — d60's dedup question asked as pages
     * ARRIVE: each doc's crawl URL canonicalized per-row (stateless,
     * append mode) and probed against the already-ingested canonical

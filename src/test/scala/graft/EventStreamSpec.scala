@@ -132,6 +132,26 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
   }
 
+  test("streaming KMV sketch state equals the batch sketch per source") {
+    import graft.streaming.DocStream
+    // the x06 TypedImperativeAggregate as streaming state: complete-mode
+    // per-source buffers, merged across micro-batches by the aggregate's
+    // own merge — order-invariance of the sorted-distinct k-min set is
+    // what makes stream ≡ batch EXACT, not approximate
+    val q = DocStream.runToMemory(spark, sf, "graft_s29_test",
+      DocStream.kmvBySource, mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s29_test").orderBy("source").collect()
+    val batch = SparkEntry.queries("s29_stream_kmv")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the corpus vocabulary (~31 words) never fills k=64: every sketch
+    // is in its EXACT regime here, so est is an integer count
+    batch.foreach { r =>
+      assert(r.getLong(1) < 64 && r.getDouble(3) == r.getLong(1).toDouble)
+    }
+  }
+
   test("streaming reputation gate equals the batch domain-tier decision") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s28_test",

@@ -1431,4 +1431,76 @@ class OperatorSpec extends SparkSpec {
       assert(rel < 0.35, s"union estimate off by $rel for ${r.getString(0)}/${r.getString(1)}")
     }
   }
+
+  test("d74 knn eval: confusion matrix mass conservation, brute-force recount") {
+    // (true_label, pred_label, n)
+    val rows = SparkEntry.queries("d74_knn_eval")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == nVec, s"matrix mass $total != corpus $nVec — a vector got no prediction")
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9 && r.getInt(1) >= 0 && r.getInt(1) <= 9)
+      assert(r.getLong(2) > 0)
+    }
+    // full brute-force recount: 3-NN majority with the operator's exact
+    // tie-breaks (cos desc → b_id asc; votes desc → label asc), built
+    // independently in plain Scala. NOTE the fixture finding the matrix
+    // surfaces: the synthetic embeddings carry ~no label signal
+    // (accuracy ≈ chance) — which is exactly what this report exists
+    // to tell a pipeline before it trusts its vectors.
+    val vecs = graft.model.Corpus.qvecs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val labs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = vecs.map { case (aid, qa, na) =>
+      val top3 = vecs.filter(_._1 != aid).map { case (bid, qb, nb) =>
+        val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+        (dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)), bid)
+      }.sortBy { case (c, b) => (-c, b) }.take(3)
+      val pred = top3.groupBy(n => labs(n._2)).toSeq
+        .map { case (l, g) => (g.size, l) }
+        .sortBy { case (v, l) => (-v, l) }.head._2
+      (labs(aid), pred)
+    }.groupBy(identity).map { case ((t, p), g) => (t, p, g.size.toLong) }.toSet
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet == want,
+      "confusion matrix disagrees with the brute-force recount")
+  }
+
+  test("d75 cluster purity: member conservation, purity laws, top-label recount") {
+    // (cell, n_members, n_labels, top_label, n_top, purity)
+    val rows = SparkEntry.queries("d75_cluster_purity")(spark, sf).collect()
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nVec, "cells do not partition the corpus")
+    rows.foreach { r =>
+      val (nm, nl, nt, p) = (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))
+      assert(nt >= 1 && nt <= nm && nl >= 1 && nl <= math.min(nm, 10))
+      // majority law: top count at least the mean share
+      assert(nt * nl >= nm, s"top label below mean share in cell ${r.getInt(0)}")
+      assert(math.abs(p - nt.toDouble / nm) == 0.0)
+    }
+    val byCell = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byCell.size == rows.length, "duplicate cell row")
+  }
+
+  test("q37 sliding distinct: trailing-7d reach recounted brute-force per day") {
+    val rows = SparkEntry.queries("q37_sliding_distinct")(spark, sf).collect()
+    val du = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("CAST(date_trunc('day', ts) AS DATE) AS day", "user_id")
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    assert(rows.length == days.length, "one row per day present in the data")
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val want = du.filter { case (dd, _) =>
+        !dd.isAfter(d) && dd.isAfter(d.minusDays(7))
+      }.map(_._2).distinct.length
+      assert(r.getLong(1) == want, s"reach mismatch on $d: ${r.getLong(1)} vs $want")
+    }
+    // the window must actually slide: some day's reach exceeds its own-day reach
+    val ownDay = du.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    assert(rows.exists(r => r.getLong(1) > ownDay(r.getDate(0).toLocalDate)),
+      "7d reach never exceeds 1d reach — window not exercised")
+  }
 }

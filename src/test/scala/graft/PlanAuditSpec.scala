@@ -196,7 +196,13 @@ class PlanAuditSpec extends SparkSpec {
       "d72_domain_reputation" -> (1, 0),
       // d73: ONE corpus pass into per-source bounded sketches; the
       // S² merge is array arithmetic on 20 rows
-      "d73_source_overlap" -> (1, 0))
+      "d73_source_overlap" -> (1, 0),
+      // d74: labels ride the quantization scan on both pair sides
+      // (a + broadcast b) — no label join-back
+      "d74_knn_eval" -> (0, 2),
+      // d75: ONE labeled quantization pass through the shuffle-free
+      // assignment; both rollups are bounded-key aggregates
+      "d75_cluster_purity" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -325,7 +331,10 @@ class PlanAuditSpec extends SparkSpec {
       "b41_retention_curve" -> Map("events" -> 2),
       // q36: base + the synthesized CDC delta (ONE extra scan — both
       // delta branches ride a single bounded explode)
-      "q36_merge_upsert" -> Map("orders" -> 2))
+      "q36_merge_upsert" -> Map("orders" -> 2),
+      // q37: the (day,user) distinct pass + the day-dimension side
+      // (same distinct lineage; broadcast-semi clamp)
+      "q37_sliding_distinct" -> Map("events" -> 2))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
@@ -383,7 +392,9 @@ class PlanAuditSpec extends SparkSpec {
       // s27: event probe side + the bounded dimension's build side
       "s27_stream_asof" -> Map("events" -> 2),
       // s28: the arriving stream + the d72 reputation-index side
-      "s28_stream_reputation" -> Map("documents" -> 2))
+      "s28_stream_reputation" -> Map("documents" -> 2),
+      // s29: one corpus pass into the bounded per-source sketch agg
+      "s29_stream_kmv" -> Map("documents" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
