@@ -182,6 +182,35 @@ object Backup {
         .orderBy("keep_last")
     },
 
+    // Storage-class TIERING plan — the S3 lifecycle policy an operator
+    // attaches to the backup bucket, computed from the ledger itself
+    // (esop stores to object storage, `impl/s3/*`; tiering stale
+    // objects to cold classes is where a 100 TB backup's bill
+    // actually goes): per object, staleness = days since its LAST
+    // referencing snapshot relative to the ledger head; <3d hot,
+    // <10d warm, else cold (cold-and-unreferenced is also b37's GC
+    // candidate set — tiering prices what retention hasn't yet
+    // deleted). One manifest pass folds to per-object stats (max day
+    // + arg-max current size), the head day is a broadcast 1-row max,
+    // and the rollup groups (keyspace, tier) — bounded output.
+    "b42_storage_tiering" -> { (s, dir) =>
+      val m = manifest(s, dir)
+      val obj = m.groupBy("object_key", "keyspace")
+        .agg(max(col("snapshot_day")).as("last_day"),
+          max_by(col("size"), col("snapshot_day")).as("cur_size"))
+      val head = m.agg(max(col("snapshot_day")).as("latest_day"))
+      obj.crossJoin(broadcast(head))
+        .withColumn("staleness", datediff(col("latest_day"), col("last_day")))
+        .withColumn("tier",
+          when(col("staleness") < 3, "hot")
+            .when(col("staleness") < 10, "warm")
+            .otherwise("cold"))
+        .groupBy("keyspace", "tier")
+        .agg(count(lit(1)).as("n_objects"),
+          asDouble(sum(col("cur_size"))).as("total_size"))
+        .orderBy("keyspace", "tier")
+    },
+
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
     "b06_retention" -> { (s, dir) =>
       manifest(s, dir)
@@ -1237,6 +1266,19 @@ object Backup {
         |FROM manifest
         |WHERE snapshot_day = (SELECT max(snapshot_day) FROM manifest)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "b42_storage_tiering" -> (cte +
+      """, obj AS (
+        |  SELECT object_key, keyspace, max(snapshot_day) AS last_day,
+        |         arg_max(size, snapshot_day) AS cur_size
+        |  FROM manifest GROUP BY 1, 2),
+        |l AS (SELECT max(snapshot_day) AS latest_day FROM manifest)
+        |SELECT keyspace,
+        |  CASE WHEN date_diff('day', last_day, latest_day) < 3 THEN 'hot'
+        |       WHEN date_diff('day', last_day, latest_day) < 10 THEN 'warm'
+        |       ELSE 'cold' END AS tier,
+        |  count(1) AS n_objects, CAST(sum(cur_size) AS DOUBLE) AS total_size
+        |FROM obj, l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "b41_retention_curve" -> (cte +
       """, ranked AS (

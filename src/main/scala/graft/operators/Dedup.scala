@@ -63,13 +63,20 @@ object Dedup {
 
   private val minhashSql: String = minhashSqlOver("grams")
 
-  /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
-    * without the presentation sort, shared with d24's clustering. */
-  private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc LSH band signatures (doc_id, band, sig) — 4 bands × 4
+    * members each; shared by the d04 self-join and d76's two-sided
+    * index/probe split. */
+  private[operators] def bandSigs(s: SparkSession, dir: String): DataFrame = {
     val bandStack = (0 until 4).map { b =>
       val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
       s"$b, concat_ws(',', $ms)"
     }.mkString("stack(4, ", ", ", ") AS (band, sig)")
+    minhashWide(s, dir).selectExpr("doc_id", bandStack)
+  }
+
+  /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
+    * without the presentation sort, shared with d24's clustering. */
+  private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     // persist the signature frame: the self-join's two sides otherwise
     // depend on AQE exchange reuse, which is BEST-EFFORT — when both
     // identical stages submit concurrently each materializes its own
@@ -79,7 +86,7 @@ object Dedup {
     // getOrElseUpdate dedupes concurrent materialization. The frame
     // is 4 band rows per doc (signatures only), far smaller than the
     // corpus; callers release it via the Verify/Bench cache lifecycle.
-    val sig = minhashWide(s, dir).selectExpr("doc_id", bandStack)
+    val sig = bandSigs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.toDF("a_id", "band", "sig")
     val b = sig.toDF("b_id", "band", "sig")
@@ -89,16 +96,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** DuckDB CTE chain ending in `pairs(a_id, b_id, n_shared_bands)` —
-    * the oracle twin of [[lshPairs]], shared by d04 and d24. */
-  private[operators] val lshPairsCte: String =
+  /** DuckDB CTE chain ending in `sig(doc_id, band, sig)` — the oracle
+    * twin of [[bandSigs]], shared by the d04/d24 pair chain and d76's
+    * index/probe split. */
+  private[operators] val bandSigsCte: String =
     Corpus.docsCte + ", " + minhashSql +
       """, sig AS (
         |  SELECT doc_id, seed // 4 AS band,
         |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
         |  FROM mh GROUP BY doc_id, band
-        |),
-        |pairs AS (
+        |)""".stripMargin
+
+  /** DuckDB CTE chain ending in `pairs(a_id, b_id, n_shared_bands)` —
+    * the oracle twin of [[lshPairs]], shared by d04 and d24. */
+  private[operators] val lshPairsCte: String =
+    bandSigsCte +
+      """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(1) AS n_shared_bands
         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
@@ -214,6 +227,39 @@ object Dedup {
     // (concat of 4 members) — no second shuffle to regroup by band.
     "d04_minhash_lsh" -> { (s, dir) =>
       lshPairs(s, dir).orderBy("a_id", "b_id")
+    },
+
+    // INCREMENTAL near-dup probe — the production shape of d04: a
+    // corpus is deduped ONCE, then every arriving shard probes the
+    // PERSISTED signature index instead of re-running the corpus
+    // self-join (the near-dup twin of d49's exact content-hash
+    // freshen). Arriving = the every-3rd-doc partition (the s10/s24
+    // ingested-partition convention), index = the rest; both sides
+    // ride ONE persisted signature pass, the candidate join is
+    // equi on (band, sig) with the small arriving side driving it,
+    // and every arriving doc gets a verdict (suspect ⟺ any index
+    // partner shares a band). At 100 TB: |shard| ≪ |corpus| makes
+    // this the only affordable continuous-dedup shape — cost scales
+    // with the shard, not the corpus².
+    "d76_incremental_neardup" -> { (s, dir) =>
+      val sig = bandSigs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idx = sig.filter(col("doc_id") % 3 =!= 0).toDF("dup_of", "band", "sig")
+      val arr = sig.filter(col("doc_id") % 3 === 0).toDF("new_id", "band", "sig")
+      val stats = arr.join(idx, Seq("band", "sig"))
+        .groupBy("new_id", "dup_of").agg(count(lit(1)).as("nb"))
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_partners"), max(col("nb")).as("max_bands"),
+          min(col("dup_of")).as("first_dup"))
+      sig.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("new_id")).distinct()
+        .join(stats, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          coalesce(col("max_bands"), lit(0L)).as("max_bands"),
+          col("first_dup"),
+          (coalesce(col("n_partners"), lit(0L)) > 0).as("suspect"))
+        .orderBy("new_id")
     },
 
     // 32-bit SimHash fingerprints + hamming-near pairs (≤ 2 bits apart).
@@ -398,6 +444,23 @@ object Dedup {
 
     "d04_minhash_lsh" -> (lshPairsCte +
       "\nSELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id"),
+
+    "d76_incremental_neardup" -> (bandSigsCte +
+      """, cand AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, count(1) AS nb
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT new_id, count(1) AS n_partners, max(nb) AS max_bands,
+        |         min(dup_of) AS first_dup
+        |  FROM cand GROUP BY 1),
+        |arrv AS (SELECT DISTINCT doc_id AS new_id FROM sig WHERE doc_id % 3 = 0)
+        |SELECT a.new_id, COALESCE(st.n_partners, 0) AS n_partners,
+        |  COALESCE(st.max_bands, 0) AS max_bands, st.first_dup,
+        |  COALESCE(st.n_partners, 0) > 0 AS suspect
+        |FROM arrv a LEFT JOIN st ON a.new_id = st.new_id
+        |ORDER BY a.new_id""".stripMargin),
 
     "d05_simhash" -> (Corpus.docsCte +
       s""", wd AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM docs) t),

@@ -1432,6 +1432,53 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d76 incremental near-dup: probe hits equal d04's cross-partition pairs") {
+    // (new_id, n_partners, max_bands, first_dup, suspect)
+    val rows = SparkEntry.queries("d76_incremental_neardup")(spark, sf).collect()
+    // the full self-join's pairs, restricted to (arriving, index) sides
+    val cross = SparkEntry.queries("d04_minhash_lsh")(spark, sf).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 3 == 0 && b % 3 != 0) Some(a -> b)
+        else if (b % 3 == 0 && a % 3 != 0) Some(b -> a)
+        else None
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (id, np, sus) = (r.getLong(0), r.getLong(1), r.getBoolean(4))
+      val want = cross.getOrElse(id, Set.empty[Long])
+      assert(np == want.size, s"partner count for $id: $np vs ${want.size}")
+      assert(sus == want.nonEmpty)
+      if (want.nonEmpty) assert(r.getLong(3) == want.min, s"first_dup for $id")
+      else assert(r.isNullAt(3))
+    }
+    // every arriving doc with a signature gets a verdict; both outcomes occur
+    val arriving = graft.model.Corpus.docs(spark, sf)
+      .filter("doc_id % 3 = 0 AND size(ws) >= 3").count()
+    assert(rows.length == arriving)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "fixture does not exercise both verdicts")
+  }
+
+  test("b42 storage tiering: object conservation, tier recount from the ledger") {
+    // (keyspace, tier, n_objects, total_size)
+    val rows = SparkEntry.queries("b42_storage_tiering")(spark, sf).collect()
+    val m = graft.model.BackupLedger.manifest(spark, sf)
+      .selectExpr("object_key", "keyspace", "snapshot_day", "size").collect()
+    val head = m.map(_.getDate(2).toLocalDate).max
+    val want = m.groupBy(r => (r.getString(1), r.getString(0))).toSeq
+      .map { case ((ks, _), g) =>
+        val last = g.map(_.getDate(2).toLocalDate).max
+        val stale = java.time.temporal.ChronoUnit.DAYS.between(last, head)
+        val tier = if (stale < 3) "hot" else if (stale < 10) "warm" else "cold"
+        ((ks, tier), 1L)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want, s"tier counts diverge: only-got=${got.toSet -- want.toSet}")
+    assert(rows.map(_.getLong(2)).sum == m.map(_.getString(0)).distinct.length)
+    // the fixture must populate every lifecycle class
+    assert(rows.map(_.getString(1)).toSet == Set("hot", "warm", "cold"))
+  }
+
   test("d74 knn eval: confusion matrix mass conservation, brute-force recount") {
     // (true_label, pred_label, n)
     val rows = SparkEntry.queries("d74_knn_eval")(spark, sf).collect()

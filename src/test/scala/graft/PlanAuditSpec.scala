@@ -202,7 +202,10 @@ class PlanAuditSpec extends SparkSpec {
       "d74_knn_eval" -> (0, 2),
       // d75: ONE labeled quantization pass through the shuffle-free
       // assignment; both rollups are bounded-key aggregates
-      "d75_cluster_purity" -> (0, 1))
+      "d75_cluster_purity" -> (0, 1),
+      // d76: both probe sides + the arriving-verdict frame ride the
+      // ONE persisted signature pass
+      "d76_incremental_neardup" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -329,6 +332,8 @@ class PlanAuditSpec extends SparkSpec {
       // b41: manifest pass + the bounded snapshots-rank side; the
       // 4-policy sweep explodes the per-object frame, never the ledger
       "b41_retention_curve" -> Map("events" -> 2),
+      // b42: per-object fold + the broadcast head-day agg
+      "b42_storage_tiering" -> Map("events" -> 2),
       // q36: base + the synthesized CDC delta (ONE extra scan — both
       // delta branches ride a single bounded explode)
       "q36_merge_upsert" -> Map("orders" -> 2),
