@@ -303,8 +303,10 @@ class PlanAuditSpec extends SparkSpec {
       "q26_cube" -> Map("orders" -> 1),
       // q27: one shuffle on the partition key, per-partition RANGE frame
       "q27_range_frame" -> Map("orders" -> 1),
-      // q28: one scan per side — binning must not re-read either table
-      "q28_interval_join" -> Map("orders" -> 1, "lineitem" -> 1),
+      // q28: the day-dimension distinct + the point stream (q31's
+      // two-cheap-scans trade — the interval join runs against the
+      // bounded day dimension, ~60× less join output) + one lineitem
+      "q28_interval_join" -> Map("orders" -> 2, "lineitem" -> 1),
       // q29: rank + count windows + agg all share one exchange
       "q29_quartiles" -> Map("orders" -> 1),
       // q30: the melt expands the aggregated frame, not the table
