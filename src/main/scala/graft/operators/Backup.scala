@@ -211,6 +211,27 @@ object Backup {
         .orderBy("keyspace", "tier")
     },
 
+    // Snapshot COMPLETENESS gate — the presence check esop's restore
+    // makes before touching any data file (the manifest document and
+    // the CQL schema are downloaded FIRST; a snapshot missing either
+    // is unrestorable regardless of its data files —
+    // `impl/restore/RestorationUtils` fetches manifest + schema up
+    // front): per (node, snapshot), file counts by type and the
+    // restorable verdict. One manifest pass into a bounded
+    // (node × day) aggregate — b20 gates CONTENT (hashes, tokens,
+    // schema agreement); this gates EXISTENCE, the cheaper first
+    // filter a restore planner applies.
+    "b43_snapshot_completeness" -> { (s, dir) =>
+      manifest(s, dir)
+        .groupBy("node_id", "snapshot_day")
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("ftype") === "MANIFEST_FILE", 1)).as("n_manifest"),
+          count(when(col("ftype") === "CQL_SCHEMA", 1)).as("n_schema"),
+          count(when(col("ftype") === "COMMIT_LOG", 1)).as("n_commitlog"))
+        .withColumn("complete", col("n_manifest") > 0 && col("n_schema") > 0)
+        .orderBy("node_id", "snapshot_day")
+    },
+
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
     "b06_retention" -> { (s, dir) =>
       manifest(s, dir)
@@ -1266,6 +1287,15 @@ object Backup {
         |FROM manifest
         |WHERE snapshot_day = (SELECT max(snapshot_day) FROM manifest)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "b43_snapshot_completeness" -> (cte +
+      """SELECT node_id, snapshot_day, count(1) AS n_files,
+        |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) AS n_manifest,
+        |  count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) AS n_schema,
+        |  count(CASE WHEN ftype = 'COMMIT_LOG' THEN 1 END) AS n_commitlog,
+        |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) > 0
+        |    AND count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) > 0 AS complete
+        |FROM manifest GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "b42_storage_tiering" -> (cte +
       """, obj AS (

@@ -419,6 +419,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Quality × duplication CORRELATION diagnostic — "are my low-
+    // quality docs also my duplicated docs?", the question that
+    // decides whether one filter can do two jobs. Duplication =
+    // LSH-candidate membership (any of the doc's d04 band signatures
+    // shared — the corpus dup fixture is NEAR-identical copies, never
+    // byte-identical, so a content-hash flag would be degenerately
+    // zero; the band-bucket window prices near-dup membership WITHOUT
+    // materializing pairs). Quality bins are FIXED (floor(q·20) —
+    // per-row binning, no global rank sort: fixed bins scale where
+    // deciles need a global order). Two cheap passes (signature +
+    // quality) joined per doc, then one bounded bin aggregate;
+    // binning on exact cross-engine doubles keeps floor()
+    // deterministic.
+    "d77_quality_dup_corr" -> { (s, dir) =>
+      val sigW = Window.partitionBy("band", "sig")
+      val dup = Dedup.bandSigs(s, dir)
+        .withColumn("bucket_n", count(lit(1)).over(sigW))
+        .groupBy("doc_id")
+        .agg(max(when(col("bucket_n") > 1, 1L).otherwise(0L)).as("is_dup"))
+      qualityCols(Corpus.docs(s, dir))
+        .select(col("doc_id"), col("quality"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+        .withColumn("qbin", floor(col("quality") * 20).cast("long"))
+        .groupBy("qbin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup_docs"))
+        .withColumn("dup_rate", col("n_dup_docs").cast("double") / col("n_docs"))
+        .orderBy("qbin")
+    },
+
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
@@ -854,6 +884,27 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs,
          |  count(DISTINCT regexp_extract(url, '$urlRe', 2)) AS n_paths
          |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "d77_quality_dup_corr" -> (Dedup.bandSigsCte +
+      s""", dup AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS is_dup
+         |  FROM (SELECT doc_id, count(1) OVER (PARTITION BY band, sig) AS bn FROM sig) t
+         |  GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ws, w -> list_contains($enStopSqlList, w))) AS DOUBLE)
+         |      / greatest(len(ws), 1)
+         |    - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)
+         |    + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality
+         |  FROM docs)
+         |SELECT CAST(floor(sc.quality * 20) AS BIGINT) AS qbin,
+         |  count(1) AS n_docs,
+         |  CAST(sum(COALESCE(dup.is_dup, 0)) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(COALESCE(dup.is_dup, 0)) AS DOUBLE) / count(1) AS dup_rate
+         |FROM sc LEFT JOIN dup ON sc.doc_id = dup.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "d72_domain_reputation" -> (Corpus.docsCte + ", " + rawsCteSql + ",\n" +
       domainRepCteSql +

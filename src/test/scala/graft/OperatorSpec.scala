@@ -1479,6 +1479,44 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet == Set("hot", "warm", "cold"))
   }
 
+  test("d77 quality-dup correlation: doc conservation, dup mass equals d01's recount") {
+    // (qbin, n_docs, n_dup_docs, dup_rate)
+    val rows = SparkEntry.queries("d77_quality_dup_corr")(spark, sf).collect()
+    val nDocs = graft.model.Corpus.docs(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "bins do not partition the corpus")
+    // total dup-doc mass across bins = distinct endpoint docs of d04's
+    // candidate pairs (a doc sits in a >1 bucket ⟺ it appears in a pair)
+    val wantDups = SparkEntry.queries("d04_minhash_lsh")(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet.size.toLong
+    assert(rows.map(_.getLong(2)).sum == wantDups,
+      s"dup mass ${rows.map(_.getLong(2)).sum} vs d04 endpoint recount $wantDups")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) == 0.0)
+    }
+    // the diagnostic must see multiple bins and some duplication
+    assert(rows.length >= 3 && wantDups > 0)
+  }
+
+  test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
+    // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
+    val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()
+    val m = graft.model.BackupLedger.manifest(spark, sf)
+      .selectExpr("node_id", "snapshot_day", "ftype").collect()
+      .groupBy(r => (r.getLong(0), r.getDate(1).toString))
+    assert(rows.length == m.size, "one row per (node, snapshot)")
+    rows.foreach { r =>
+      val g = m((r.getLong(0), r.getDate(1).toString)).map(_.getString(2))
+      assert(r.getLong(2) == g.length)
+      assert(r.getLong(3) == g.count(_ == "MANIFEST_FILE"))
+      assert(r.getLong(4) == g.count(_ == "CQL_SCHEMA"))
+      assert(r.getLong(5) == g.count(_ == "COMMIT_LOG"))
+      assert(r.getBoolean(6) == (r.getLong(3) > 0 && r.getLong(4) > 0))
+    }
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
+      "fixture does not exercise both restorability outcomes")
+  }
+
   test("d74 knn eval: confusion matrix mass conservation, brute-force recount") {
     // (true_label, pred_label, n)
     val rows = SparkEntry.queries("d74_knn_eval")(spark, sf).collect()

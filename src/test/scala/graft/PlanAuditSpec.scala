@@ -205,7 +205,9 @@ class PlanAuditSpec extends SparkSpec {
       "d75_cluster_purity" -> (0, 1),
       // d76: both probe sides + the arriving-verdict frame ride the
       // ONE persisted signature pass
-      "d76_incremental_neardup" -> (1, 0))
+      "d76_incremental_neardup" -> (1, 0),
+      // d77: the signature pass + the quality pass, joined per doc
+      "d77_quality_dup_corr" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -336,6 +338,8 @@ class PlanAuditSpec extends SparkSpec {
       "b41_retention_curve" -> Map("events" -> 2),
       // b42: per-object fold + the broadcast head-day agg
       "b42_storage_tiering" -> Map("events" -> 2),
+      // b43: one manifest pass into the bounded (node, day) aggregate
+      "b43_snapshot_completeness" -> Map("events" -> 1),
       // q36: base + the synthesized CDC delta (ONE extra scan — both
       // delta branches ride a single bounded explode)
       "q36_merge_upsert" -> Map("orders" -> 2),
