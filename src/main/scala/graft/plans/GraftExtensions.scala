@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, Hash32, KmvSketchAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -106,6 +106,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_kmv(hash, k): k must be an integer literal, got $other")
         }
         new KmvSketchAgg(c(0), k)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_values"),
+      new ExpressionInfo(classOf[KmvValuesAgg].getName, "graft_kmv_values"),
+      checked("graft_kmv_values", 2) { c =>
+        val k = c(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_values(hash, k): k must be an integer literal, got $other")
+        }
+        new KmvValuesAgg(c(0), k)
       }
     ))
     ext.injectOptimizerRule(_ => SelfDistanceElimination)

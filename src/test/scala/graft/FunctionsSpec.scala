@@ -236,6 +236,17 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("x06: graft_kmv_values registered as a SQL function, emits the sorted min-set") {
+    val hs = spark.sql(
+      "SELECT graft_kmv_values(CAST(id AS LONG), 8) AS hs FROM range(5)")
+      .collect().head.getSeq[Long](0)
+    assert(hs == Seq(0L, 1L, 2L, 3L, 4L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_kmv_values(CAST(id AS LONG), CAST(id AS INT)) FROM range(5)").collect()
+    }
+    assert(e.getMessage.contains("graft_kmv_values") || e.getCause != null)
+  }
+
   test("x06: graft_kmv registered as a SQL function, k must be a literal") {
     val est = spark.sql(
       "SELECT graft_kmv(CAST(id AS LONG), 8).k_actual AS ka FROM range(5)")
