@@ -621,6 +621,44 @@ object Similarity {
         .orderBy("cell")
     },
 
+    // FILTERED ANN — vector search under a metadata predicate, the
+    // vector-database feature a retrieval pipeline leans on ("nearest
+    // neighbors WITH label = X"): d15's IVF probe with the predicate
+    // pushed INTO the cell join, so non-qualifying postings are
+    // dropped before any distance math or rank exchange — never
+    // "search then filter", which silently under-returns when the
+    // filter is selective. The fixture predicate is per-query
+    // (neighbor label = (query label + 1) mod 10 — a deterministic
+    // cross-class lookup exercising every label), labels ride the
+    // quantization scan (qvecsAll), and the probe/data sides share
+    // the ONE persisted assignment pass (d15's materialize-once
+    // reasoning verbatim).
+    "d78_ann_filtered" -> { (s, dir) =>
+      val q = Corpus.qvecsAll(graft.sources.Tables.embeddings(s, dir))
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val cents1 = refinedCents(s, q, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ass = assignTop2(q, cents1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = ass.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("q").as("qa"), col("norm2").as("na"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+        .filter(col("cell") >= 0)
+      val data = ass.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("cell1").as("cell"), col("q").as("qb"), col("norm2").as("nb"))
+      val pairs = probe.join(data, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id")
+          && col("b_label") === (col("a_label") + 1) % 10)
+        .withColumn("dot", DotLong(col("qa"), col("qb")))
+        .withColumn("cos",
+          col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      graft.plans.TopK.perGroup(pairs,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+        .select("a_id", "a_label", "b_id", "b_label", "rn", "cos")
+        .orderBy("a_id", "rn")
+    },
+
     "d13_knn_centroid" -> { (s, dir) =>
       assignTop2(Corpus.qvecs(s, dir), centroids(s, 8))
         .select(col("vec_id"), col("cell1").as("centroid"), col("dist1").as("dist2"))
@@ -1169,6 +1207,27 @@ object Similarity {
         |WHERE d.text IS NOT NULL
         |  AND d.doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 6)
         |ORDER BY doc_id""".stripMargin,
+
+    "d78_ann_filtered" -> (ivfCents1Cte +
+      s""", ranked2 AS (
+         |  SELECT q.vec_id, e.label, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q JOIN embeddings e USING (vec_id) CROSS JOIN cents1 ce),
+         |assigned AS (SELECT vec_id, label, cell, q, norm2 FROM ranked2 WHERE rn = 1),
+         |probes AS (SELECT vec_id, label, cell, q, norm2 FROM ranked2 WHERE rn <= 2)
+         |SELECT a_id, a_label, b_id, b_label, rn, cos FROM (
+         |  SELECT a.vec_id AS a_id, a.label AS a_label,
+         |    b.vec_id AS b_id, b.label AS b_label,
+         |    CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |      b.vec_id ASC) AS rn
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    AND b.label = (a.label + 1) % 10) t
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
 
     "d74_knn_eval" -> (Corpus.qtabCte +
       s""", lab AS (

@@ -225,6 +225,17 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Live snapshot-completeness monitor — b43's existence gate as
+    // uploads LAND (day windows per node, ledger ftype mapping as a
+    // per-row stream projection, bounded (node × day) state). Batch
+    // twin of the exact transform the streaming job runs; verdict over
+    // raw arrivals (a live gate prices arrivals, not the deduped
+    // manifest b43 sweeps).
+    "s30_stream_completeness" -> { (s, dir) =>
+      EventStream.completenessMonitor(Tables.events(s, dir))
+        .orderBy("node_id", "snapshot_day")
+    },
+
     // Streaming per-source KMV sketch — d26's grouped distinct
     // estimator with the x06 TypedImperativeAggregate AS the streaming
     // state (≤k longs per source forever; micro-batches merge through
@@ -443,6 +454,15 @@ object Streaming {
     // the streaming sketch is the d26 transform verbatim (order-
     // invariant sorted-distinct k-min state)
     "s29_stream_kmv" -> TextAnalysis.oracle("d26_kmv_by_source"),
+
+    "s30_stream_completeness" -> (graft.model.BackupLedger.oracleCte +
+      """SELECT node_id, snapshot_day, count(1) AS n_uploads,
+        |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) AS n_manifest,
+        |  count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) AS n_schema,
+        |  count(CASE WHEN ftype = 'COMMIT_LOG' THEN 1 END) AS n_commitlog,
+        |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) > 0
+        |    AND count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) > 0 AS complete
+        |FROM ledger GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "s28_stream_reputation" -> (graft.model.Corpus.docsCte + ", " +
       TextAnalysis.rawsCteSql + ",\n" + TextAnalysis.domainRepCteSql +

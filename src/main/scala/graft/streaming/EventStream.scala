@@ -111,6 +111,29 @@ object EventStream {
       .select(col("window.start").cast("date").as("snapshot_day"),
         col("user_id").as("node_id"), col("n_uploads"), col("total_bytes"))
 
+  /** s30 — LIVE snapshot-completeness monitor: b43's existence gate
+    * asked as uploads land ("has today's manifest/schema arrived
+    * yet?") instead of in a post-hoc manifest sweep. Watermarked day
+    * windows per node; the type counts use the ledger's event_type →
+    * ftype mapping ([[graft.model.BackupLedger.ledger]]: click →
+    * MANIFEST_FILE, signup → CQL_SCHEMA, error → COMMIT_LOG) as a
+    * per-row projection on the stream, so state is one bounded
+    * (node × day) aggregate row per window — no manifest dedupe
+    * state: a LIVE gate prices arrivals (the verdict is presence,
+    * which dedupe cannot change for the kept row set it observes). */
+  def completenessMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_uploads"),
+        count(when(col("event_type") === "click", 1)).as("n_manifest"),
+        count(when(col("event_type") === "signup", 1)).as("n_schema"),
+        count(when(col("event_type") === "error", 1)).as("n_commitlog"))
+      .select(col("window.start").cast("date").as("snapshot_day"),
+        col("user_id").as("node_id"), col("n_uploads"), col("n_manifest"),
+        col("n_schema"), col("n_commitlog"),
+        (col("n_manifest") > 0 && col("n_schema") > 0).as("complete"))
+
   /** s27's static side — the restorable-snapshot dimension with SCD-2
     * validity intervals: only FULL backups are restorable (the
     * every-third-day fixture drops ~1/3 of snapshot days — including every node's FIRST day, so the unrestorable branch is exercised — and lookups

@@ -119,6 +119,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming completeness monitor equals the batch existence gate") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s30_test",
+      EventStream.completenessMonitor, mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s30_test")
+      .orderBy("node_id", "snapshot_day").collect()
+    val batch = SparkEntry.queries("s30_stream_completeness")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // verdict law + both outcomes on this fixture
+    batch.foreach { r =>
+      assert(r.getBoolean(6) == (r.getLong(3) > 0 && r.getLong(4) > 0))
+      assert(r.getLong(2) >= r.getLong(3) + r.getLong(4) + r.getLong(5))
+    }
+    assert(batch.exists(_.getBoolean(6)) && batch.exists(!_.getBoolean(6)))
+  }
+
   test("streaming day-verification gate equals the batch verdicts") {
     val q = EventStream.runToMemory(spark, sf, "graft_s22_test",
       EventStream.verifyDayGate, mode = "complete")

@@ -1517,6 +1517,31 @@ class OperatorSpec extends SparkSpec {
       "fixture does not exercise both restorability outcomes")
   }
 
+  test("d78 filtered ANN: predicate enforced pre-rank, ranks lawful, filter binds") {
+    // (a_id, a_label, b_id, b_label, rn, cos)
+    val rows = SparkEntry.queries("d78_ann_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) == (r.getInt(1) + 1) % 10, "label filter leaked")
+      assert(r.getLong(0) != r.getLong(2))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (a, g) =>
+      val sorted = g.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to g.length), s"ranks broken for $a")
+      sorted.map(_.getDouble(5)).sliding(2).foreach {
+        case Array(x, y) => assert(x >= y, s"cos not descending for $a")
+        case _ => ()
+      }
+    }
+    // the filter must BIND on this fixture: fewer total hits than an
+    // unfiltered top-3 probe would return for the same query set
+    val nq = rows.map(_.getLong(0)).distinct.length
+    assert(rows.length <= 3 * nq)
+    assert(rows.groupBy(_.getLong(0)).exists(_._2.length < 3)
+      || rows.length < 3 * nq,
+      "every query found 3 qualifying neighbors — filter never binds")
+  }
+
   test("d74 knn eval: confusion matrix mass conservation, brute-force recount") {
     // (true_label, pred_label, n)
     val rows = SparkEntry.queries("d74_knn_eval")(spark, sf).collect()

@@ -207,7 +207,9 @@ class PlanAuditSpec extends SparkSpec {
       // ONE persisted signature pass
       "d76_incremental_neardup" -> (1, 0),
       // d77: the signature pass + the quality pass, joined per doc
-      "d77_quality_dup_corr" -> (2, 0))
+      "d77_quality_dup_corr" -> (2, 0),
+      // d78: d15's two-pass shape (refinement + persisted assignment)
+      "d78_ann_filtered" -> (0, 2))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -405,7 +407,9 @@ class PlanAuditSpec extends SparkSpec {
       // s28: the arriving stream + the d72 reputation-index side
       "s28_stream_reputation" -> Map("documents" -> 2),
       // s29: one corpus pass into the bounded per-source sketch agg
-      "s29_stream_kmv" -> Map("documents" -> 1))
+      "s29_stream_kmv" -> Map("documents" -> 1),
+      // s30: one events pass into the bounded (node, day) aggregate
+      "s30_stream_completeness" -> Map("events" -> 1))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
