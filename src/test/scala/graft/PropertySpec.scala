@@ -25,6 +25,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** The k-min set of a hash multiset: sorted distinct, first k. */
+  private def kmin(k: Int, hs: Seq[Long]): Seq[Long] =
+    hs.distinct.sorted.take(k)
+
+  test("KMV union law: k-min of merged sketches equals k-min of the union (d73's algebra)") {
+    // the guarantee d73's pairwise array merge rests on: for any two
+    // multisets A and B, taking the k smallest of (kmin(A) ++ kmin(B))
+    // — which is all the operator ever sees — yields EXACTLY
+    // kmin(A ∪ B). Holds because every element of kmin(A∪B) is ≤ the
+    // k-th smallest of its own side, hence present in that side's
+    // sketch. Checked over random multisets with duplicates, skew,
+    // and fills both under and over k.
+    val k = 16
+    (1 to 500).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(80))(rnd.nextLong() & 0xffffL)
+      val b = Seq.fill(rnd.nextInt(80))(rnd.nextLong() & 0xffffL)
+      val merged = kmin(k, kmin(k, a) ++ kmin(k, b))
+      val direct = kmin(k, a ++ b)
+      assert(merged == direct, s"|a|=${a.length} |b|=${b.length}")
+    }
+  }
+
+  test("KMV estimator is exact below fill and within bounds above (d26/d73's law)") {
+    val k = 16
+    (1 to 300).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(200))(rnd.nextLong() & 0xffffffffL)
+      val sketch = kmin(k, xs)
+      val nd = xs.distinct.length
+      if (nd < k) assert(sketch.length == nd) // exact regime
+      else {
+        val est = (k - 1).toDouble * 4294967296.0 / sketch.last.toDouble
+        // KMV's relative error concentrates at ~1/sqrt(k-2); allow a
+        // wide deterministic band (seeded draws — no flake)
+        assert(est > 0 && est < 40.0 * nd, s"est=$est nd=$nd")
+      }
+    }
+  }
+
   private def randomString(): String = {
     val pools = Seq("abcXYZ 0123", "!?,;-—©é日本", " \t\nmixed 42 ©")
     val pool = pools(rnd.nextInt(pools.length))
