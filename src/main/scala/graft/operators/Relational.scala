@@ -710,6 +710,36 @@ object Relational {
     // finishes. Beats 7 self-joins or any per-day re-scan; window days
     // are clamped to days present in the data via a broadcast semi
     // join against the bounded day dimension.
+    // Fuzzy MATCH against a reference catalog — entity resolution's
+    // dictionary-correction shape ("this dirty feed name is which
+    // canonical product?"): dirty names (deterministic one-char
+    // deletion typos on every 3rd part) score by edit distance
+    // against the DISTINCT name catalog and keep the best (dist asc,
+    // name asc — a struct-min aggregate, no rank window). The catalog
+    // is bounded (names ≪ rows) so it distincts map-side and
+    // BROADCASTS — the per-row min over candidates is the
+    // spell-correction plan, linear in the dirty feed at any scale.
+    // (A huge catalog would add q-gram blocking before the distance;
+    // the bounded-dictionary case needs none.)
+    "q38_fuzzy_match" -> { (s, dir) =>
+      val cat = Tables.part(s, dir).select(col("p_name").as("cand")).distinct()
+      val dirty = Tables.part(s, dir)
+        .filter(col("p_partkey") % 3 === 0)
+        .withColumn("pos",
+          (col("p_partkey") % (length(col("p_name")) - 2)).cast("int") + 2)
+        .select(col("p_partkey"),
+          concat(expr("substring(p_name, 1, pos - 1)"),
+            expr("substring(p_name, pos + 1)")).as("d_name"))
+      dirty.crossJoin(broadcast(cat))
+        .withColumn("dist", levenshtein(col("d_name"), col("cand")))
+        .groupBy("p_partkey", "d_name")
+        .agg(min(struct(col("dist"), col("cand"))).as("b"))
+        .select(col("p_partkey"), col("d_name"),
+          col("b.cand").as("best_name"), col("b.dist").as("best_dist"),
+          (col("b.dist") <= 2).as("matched"))
+        .orderBy("p_partkey")
+    },
+
     "q37_sliding_distinct" -> { (s, dir) =>
       val du = Tables.events(s, dir)
         .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
@@ -1060,6 +1090,25 @@ object Relational {
         |       ELSE 'update' END AS action
         |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_fuzzy_match" ->
+      """WITH cat AS (SELECT DISTINCT p_name AS cand FROM part),
+        |dirty AS (
+        |  SELECT p_partkey,
+        |    concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1)) AS d_name
+        |  FROM (
+        |    SELECT p_partkey, p_name,
+        |      CAST(p_partkey % (length(p_name) - 2) AS INT) + 2 AS pos
+        |    FROM part WHERE p_partkey % 3 = 0) t),
+        |ranked AS (
+        |  SELECT d.p_partkey, d.d_name, c.cand,
+        |    levenshtein(d.d_name, c.cand) AS dist,
+        |    row_number() OVER (PARTITION BY d.p_partkey
+        |      ORDER BY levenshtein(d.d_name, c.cand) ASC, c.cand ASC) AS rn
+        |  FROM dirty d CROSS JOIN cat c)
+        |SELECT p_partkey, d_name, cand AS best_name, dist AS best_dist,
+        |  dist <= 2 AS matched
+        |FROM ranked WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
 
     "q37_sliding_distinct" ->
       """WITH du AS (

@@ -1432,6 +1432,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q38 fuzzy match: recovery law — a one-deletion typo matches its original") {
+    // (p_partkey, d_name, best_name, best_dist, matched)
+    val rows = SparkEntry.queries("q38_fuzzy_match")(spark, sf).collect()
+    val orig = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, dn, best, dist, m) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4))
+      assert(k % 3 == 0)
+      assert(dn.length == orig(k).length - 1, s"typo is not a single deletion at $k")
+      // the original is at distance 1, so the best candidate is ≤ 1 —
+      // 0 exactly when the deletion lands on another catalog name
+      assert(dist <= 1, s"best_dist $dist at $k")
+      assert(m, s"one-deletion typo unmatched at $k")
+      // and a best of distance 1 must recover a real catalog name that
+      // can re-derive the dirty string by one edit
+      assert(best.nonEmpty)
+    }
+    // the catalog resolves most typos back to their exact original
+    val recovered = rows.count(r => r.getString(2) == orig(r.getLong(0)))
+    assert(recovered * 10 >= rows.length * 9,
+      s"only $recovered/${rows.length} typos recovered to their original")
+  }
+
   test("d76 incremental near-dup: probe hits equal d04's cross-partition pairs") {
     // (new_id, n_partners, max_bands, first_dup, suspect)
     val rows = SparkEntry.queries("d76_incremental_neardup")(spark, sf).collect()

@@ -347,7 +347,9 @@ class PlanAuditSpec extends SparkSpec {
       "q36_merge_upsert" -> Map("orders" -> 2),
       // q37: the (day,user) distinct pass + the day-dimension side
       // (same distinct lineage; broadcast-semi clamp)
-      "q37_sliding_distinct" -> Map("events" -> 2))
+      "q37_sliding_distinct" -> Map("events" -> 2),
+      // q38: the dirty feed + the bounded catalog distinct
+      "q38_fuzzy_match" -> Map("part" -> 2))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,
