@@ -225,6 +225,17 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Event-lateness audit — the measurement that PICKS a watermark
+    // instead of guessing one: per node, how far event time lags the
+    // stream's high-water mark at arrival (injected late-arrival
+    // fixture), computed two-stage (bucket-local windows + a bounded
+    // prefix-max) — the oracle keeps the sequential global-window
+    // formulation, proving the decomposition exact.
+    "s31_stream_lateness" -> { (s, dir) =>
+      EventStream.latenessAudit(Tables.events(s, dir))
+        .orderBy("node_id")
+    },
+
     // Live snapshot-completeness monitor — b43's existence gate as
     // uploads LAND (day windows per node, ledger ftype mapping as a
     // per-row stream projection, bounded (node × day) state). Batch
@@ -454,6 +465,25 @@ object Streaming {
     // the streaming sketch is the d26 transform verbatim (order-
     // invariant sorted-distinct k-min state)
     "s29_stream_kmv" -> TextAnalysis.oracle("d26_kmv_by_source"),
+
+    "s31_stream_lateness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + CASE WHEN event_id % 17 = 0
+        |      THEN CAST(7200 AS BIGINT) * 1000000 ELSE 0 END AS arr_us
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id,
+        |    max(ts_us) OVER (ORDER BY arr_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - ts_us AS lag_us
+        |  FROM ev)
+        |SELECT user_id AS node_id, count(1) AS n_events,
+        |  count(CASE WHEN lag_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 END) AS n_late_1h,
+        |  max(lag_us) AS max_lag_us,
+        |  CAST(count(CASE WHEN lag_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 END) AS DOUBLE)
+        |    / count(1) AS late_frac
+        |FROM lagged GROUP BY 1 ORDER BY node_id""".stripMargin,
 
     "s30_stream_completeness" -> (graft.model.BackupLedger.oracleCte +
       """SELECT node_id, snapshot_day, count(1) AS n_uploads,

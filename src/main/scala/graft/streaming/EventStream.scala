@@ -134,6 +134,52 @@ object EventStream {
         col("n_schema"), col("n_commitlog"),
         (col("n_manifest") > 0 && col("n_schema") > 0).as("complete"))
 
+  /** s31 — event-LATENESS audit: the measurement that PICKS a
+    * watermark ("how late does this feed actually run?") instead of
+    * guessing one. Lateness of an event = how far its event time lags
+    * the stream's high-water mark (max event time among all EARLIER
+    * ARRIVALS) — exactly what Spark's watermark tracks. The testdata
+    * feed is perfectly ordered, so late ARRIVALS are injected
+    * deterministically (every 17th event arrives where events 2h
+    * younger do — the d25/d31 fixture convention; event-TIME delay, so
+    * the fixture discriminates at every SF regardless of density).
+    *
+    * Scale: the naive hwm is a GLOBAL running max — a single-partition
+    * sort at 100 TB. This computes it two-stage (d65's prefix-sum
+    * pattern, as a prefix-MAX): per arrival-day bucket local running
+    * max (parallel windows; buckets partition arrival order because
+    * the bucket is a monotone function of arrival time) + a bounded
+    * day-dimension prefix max broadcast back. Report per node:
+    * arrivals, late-beyond-1h, max lag, late fraction — the numbers
+    * that justify (or veto) `withWatermark("ts", "1 hour")`. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("arr_us", col("ts_us")
+        + when(col("event_id") % 17 === 0, 7200L * 1000000L).otherwise(0L))
+      .withColumn("abucket", (col("arr_us") / (86400L * 1000000L)).cast("long"))
+    val wLocal = Window.partitionBy("abucket")
+      .orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketPrior = ev.groupBy("abucket").agg(max(col("ts_us")).as("bmax"))
+      .withColumn("prior_hwm", max(col("bmax")).over(
+        Window.orderBy("abucket").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("abucket", "prior_hwm")
+    ev
+      .withColumn("local_hwm", max(col("ts_us")).over(wLocal))
+      .join(broadcast(bucketPrior), Seq("abucket"))
+      .withColumn("hwm",
+        greatest(col("local_hwm"), coalesce(col("prior_hwm"), col("local_hwm"))))
+      .withColumn("lag_us", col("hwm") - col("ts_us"))
+      .groupBy(col("user_id").as("node_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("lag_us") > 3600L * 1000000L, 1)).as("n_late_1h"),
+        max(col("lag_us")).as("max_lag_us"))
+      .withColumn("late_frac",
+        col("n_late_1h").cast("double") / col("n_events"))
+  }
+
   /** s27's static side — the restorable-snapshot dimension with SCD-2
     * validity intervals: only FULL backups are restorable (the
     * every-third-day fixture drops ~1/3 of snapshot days — including every node's FIRST day, so the unrestorable branch is exercised — and lookups

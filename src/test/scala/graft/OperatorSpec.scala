@@ -1458,6 +1458,38 @@ class OperatorSpec extends SparkSpec {
       s"only $recovered/${rows.length} typos recovered to their original")
   }
 
+  test("s31 lateness audit: per-node brute recount, watermark question answerable") {
+    // (node_id, n_events, n_late_1h, max_lag_us, late_frac)
+    val rows = SparkEntry.queries("s31_stream_lateness")(spark, sf).collect()
+    // brute sequential recount: ONE global pass in arrival order —
+    // proving the operator's two-stage bucket decomposition exact
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map { r =>
+        val arr = r.getLong(2) +
+          (if (r.getLong(1) % 17 == 0) 7200L * 1000000L else 0L)
+        (r.getLong(0), r.getLong(1), r.getLong(2), arr)
+      }
+    var hwm = Long.MinValue
+    val lags = ev.sortBy(e => (e._4, e._2)).map { case (node, _, us, _) =>
+      hwm = math.max(hwm, us); (node, hwm - us)
+    }
+    val byNode = lags.groupBy(_._1)
+    assert(rows.length == byNode.size)
+    rows.foreach { r =>
+      val g = byNode(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(2) == g.count(_ > 3600L * 1000000L), s"late count ${r.getLong(0)}")
+      assert(r.getLong(3) == g.max, s"max lag ${r.getLong(0)}")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // the injected fixture must exercise the question at every SF:
+    // late events exist, and most arrivals are on time
+    assert(rows.exists(_.getLong(2) > 0), "no late events — audit untestable")
+    val (late, total) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(1)).sum)
+    assert(late * 5 < total, "most events late — fixture implausible")
+  }
+
   test("d76 incremental near-dup: probe hits equal d04's cross-partition pairs") {
     // (new_id, n_partners, max_bands, first_dup, suspect)
     val rows = SparkEntry.queries("d76_incremental_neardup")(spark, sf).collect()

@@ -411,7 +411,10 @@ class PlanAuditSpec extends SparkSpec {
       // s29: one corpus pass into the bounded per-source sketch agg
       "s29_stream_kmv" -> Map("documents" -> 1),
       // s30: one events pass into the bounded (node, day) aggregate
-      "s30_stream_completeness" -> Map("events" -> 1))
+      "s30_stream_completeness" -> Map("events" -> 1),
+      // s31: the bucket-local window pass + the bounded bucket-max
+      // side of the two-stage prefix max (d65's two-cheap-scans trade)
+      "s31_stream_lateness" -> Map("events" -> 2))
     assertScanPins("§2.D", expected,
       SparkEntry.queries.keys.filter(_.startsWith("s")).toSeq.sorted,
       ScanCount.bigTables,
