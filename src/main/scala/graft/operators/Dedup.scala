@@ -251,8 +251,7 @@ object Dedup {
         .groupBy("new_id")
         .agg(count(lit(1)).as("n_partners"), max(col("nb")).as("max_bands"),
           min(col("dup_of")).as("first_dup"))
-      sig.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("new_id")).distinct()
+      arr.select(col("new_id")).distinct()
         .join(stats, Seq("new_id"), "left")
         .select(col("new_id"),
           coalesce(col("n_partners"), lit(0L)).as("n_partners"),

@@ -683,7 +683,10 @@ object Relational {
             (dec2(col("o_totalprice")) + dec2(lit(100.0))).cast(pdec).as("d_price"))))
             .otherwise(array().cast(s"array<struct<o_orderkey:bigint,d_status:string,d_price:decimal(18,2)>>")),
           when(col("o_orderkey") % 1000 === 1, array(struct(
-            (col("o_orderkey") + lit(1000000L)).as("o_orderkey"),
+            // new keys live in the NEGATIVE keyspace — disjoint from
+            // any base key at ANY scale factor (a fixed positive
+            // offset collides once max(o_orderkey) crosses it)
+            (-(col("o_orderkey") + lit(1L))).as("o_orderkey"),
             lit("N").as("d_status"),
             dec2(lit(1.0)).as("d_price"))))
             .otherwise(array().cast(s"array<struct<o_orderkey:bigint,d_status:string,d_price:decimal(18,2)>>"))
@@ -700,16 +703,6 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
-    // Sliding COUNT(DISTINCT) — trailing-7-day distinct active users
-    // per day, the rolling-reach metric SQL windows cannot express
-    // (DISTINCT is not frame-decomposable). The scalable shape is the
-    // CONTRIBUTION EXPLODE: one (day, user) distinct pass, then each
-    // pair contributes to the ≤7 window-days it is visible in (bounded
-    // fan-out on an already day-deduped stream — tiny vs the raw
-    // event stream), and one bounded per-day distinct aggregate
-    // finishes. Beats 7 self-joins or any per-day re-scan; window days
-    // are clamped to days present in the data via a broadcast semi
-    // join against the bounded day dimension.
     // Fuzzy MATCH against a reference catalog — entity resolution's
     // dictionary-correction shape ("this dirty feed name is which
     // canonical product?"): dirty names (deterministic one-char
@@ -740,6 +733,16 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Sliding COUNT(DISTINCT) — trailing-7-day distinct active users
+    // per day, the rolling-reach metric SQL windows cannot express
+    // (DISTINCT is not frame-decomposable). The scalable shape is the
+    // CONTRIBUTION EXPLODE: one (day, user) distinct pass, then each
+    // pair contributes to the ≤7 window-days it is visible in (bounded
+    // fan-out on an already day-deduped stream — tiny vs the raw
+    // event stream), and one bounded per-day distinct aggregate
+    // finishes. Beats 7 self-joins or any per-day re-scan; window days
+    // are clamped to days present in the data via a broadcast semi
+    // join against the bounded day dimension.
     "q37_sliding_distinct" -> { (s, dir) =>
       val du = Tables.events(s, dir)
         .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
@@ -1080,7 +1083,7 @@ object Relational {
         |         + CAST(100.0 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS d_price
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000, 'N', CAST(1.0 AS DECIMAL(18,2))
+        |  SELECT -(o_orderkey + 1), 'N', CAST(1.0 AS DECIMAL(18,2))
         |  FROM orders WHERE o_orderkey % 1000 = 1)
         |SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
         |  COALESCE(d.d_status, b.o_orderstatus) AS o_orderstatus,

@@ -120,28 +120,41 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cmp))), x -> coalesce(x.cmp, CAST(0 AS LONG)))").as("cv"))
       .select(col("cell").as("c"), col("cv"))
 
-  /** IVF search core, shared by d15 (in-memory index) and d50 (persisted
-    * index): `probe` rows (vec_id, q, norm2, cell1, cell2) explode into
-    * their nprobe=2 cells and equi-join `data` rows (vec_id, cell, q,
-    * norm2) per cell; intra-cell top-3 runs on TopKPerGroup (x04) so the
-    * partial prunes the pair stream to ≤3 rows per query per partition
-    * BEFORE the rank exchange. A pair can meet in at most one cell
-    * (data lives in exactly one), so no dedup is needed. */
-  private[graft] def ivfTopK(probe: DataFrame, data: DataFrame): DataFrame = {
+  /** IVF search core, shared by d15 (in-memory index), d50 (persisted
+    * index) and d78 (filtered search): `probe` rows (vec_id, q, norm2,
+    * cell1, cell2) explode into their nprobe=2 cells and equi-join
+    * `data` rows (vec_id, cell, q, norm2) per cell; intra-cell top-3
+    * runs on TopKPerGroup (x04) so the partial prunes the pair stream
+    * to ≤3 rows per query per partition BEFORE the rank exchange. A
+    * pair can meet in at most one cell (data lives in exactly one), so
+    * no dedup is needed.
+    *
+    * `carry` names extra columns to ride each side (suffixed _a/_b —
+    * d78 carries `label`); `pairFilter` is applied to the joined pair
+    * stream BEFORE scoring (predicate pushdown into the probe: never
+    * "search then filter"). Defaults preserve the d15/d50 shape
+    * exactly. */
+  private[graft] def ivfTopK(probe: DataFrame, data: DataFrame,
+      carry: Seq[String] = Nil,
+      pairFilter: DataFrame => DataFrame = identity): DataFrame = {
     val a = probe
-      .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"),
+      .select((Seq(col("vec_id").as("a_id"), col("q").as("qa"),
+        col("norm2").as("na"),
         explode(array(col("cell1"), col("cell2"))).as("cell"))
+        ++ carry.map(c => col(c).as(s"${c}_a"))): _*)
       .filter(col("cell") >= 0)
-    val b = data.select(col("vec_id").as("b_id"), col("cell"),
+    val b = data.select((Seq(col("vec_id").as("b_id"), col("cell"),
       col("q").as("qb"), col("norm2").as("nb"))
-    val scored = a.join(b, Seq("cell"))
-      .filter(col("a_id") =!= col("b_id"))
+      ++ carry.map(c => col(c).as(s"${c}_b"))): _*)
+    val scored = pairFilter(
+      a.join(b, Seq("cell")).filter(col("a_id") =!= col("b_id")))
       .withColumn("dot", DotLong(col("qa"), col("qb")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     graft.plans.TopK.perGroup(scored,
         Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
-      .select("a_id", "cell", "b_id", "rn", "cos")
+      .select((Seq("a_id", "cell", "b_id", "rn", "cos")
+        ++ carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col): _*)
   }
 
   /** Persisted ANN index, part 1: the refined centroid table (c, cv),
@@ -640,22 +653,12 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ass = assignTop2(q, cents1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val probe = ass.select(col("vec_id").as("a_id"), col("label").as("a_label"),
-          col("q").as("qa"), col("norm2").as("na"),
-          explode(array(col("cell1"), col("cell2"))).as("cell"))
-        .filter(col("cell") >= 0)
-      val data = ass.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("cell1").as("cell"), col("q").as("qb"), col("norm2").as("nb"))
-      val pairs = probe.join(data, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id")
-          && col("b_label") === (col("a_label") + 1) % 10)
-        .withColumn("dot", DotLong(col("qa"), col("qb")))
-        .withColumn("cos",
-          col("dot").cast("double")
-            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      graft.plans.TopK.perGroup(pairs,
-          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
-        .select("a_id", "a_label", "b_id", "b_label", "rn", "cos")
+      val data = ass.select(col("vec_id"), col("cell1").as("cell"),
+        col("q"), col("norm2"), col("label"))
+      ivfTopK(ass, data, carry = Seq("label"),
+          pairFilter = _.filter(col("label_b") === (col("label_a") + 1) % 10))
+        .select(col("a_id"), col("label_a").as("a_label"),
+          col("b_id"), col("label_b").as("b_label"), col("rn"), col("cos"))
         .orderBy("a_id", "rn")
     },
 

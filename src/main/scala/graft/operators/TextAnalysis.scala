@@ -524,6 +524,11 @@ object TextAnalysis {
         .select(col("source"), hash32(col("gram")).as("h"))
         .groupBy("source")
         .agg(KmvValuesAgg(col("h"), k).as("hs"))
+        // persist: both pair sides reference this aggregate, and AQE
+        // exchange reuse is best-effort (the lshPairs lesson) — the
+        // frame is ≤k longs per source, so the cache is trivial and
+        // the one-corpus-scan pin becomes structural
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sk.select(col("source").as("a_source"), col("hs").as("a_hs"))
       val b = sk.select(col("source").as("b_source"), col("hs").as("b_hs"))
       def est(hs: Column): Column =

@@ -1335,8 +1335,8 @@ class OperatorSpec extends SparkSpec {
           assert(p.subtract(base(k)._2).compareTo(new java.math.BigDecimal("100.00")) == 0,
             s"update price law broken at $k: $p vs ${base(k)._2}")
         case "insert" =>
-          assert(k > 1000000L && !base.contains(k) && st == "N")
-          assert((k - 1000000L) % 1000 == 1)
+          assert(k < 0L && !base.contains(k) && st == "N")
+          assert((-k - 1) % 1000 == 1)
         case other => fail(s"unknown action $other")
       }
     }
