@@ -477,6 +477,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen stages:\n$p")
   }
 
+  test("q38 fuzzy match broadcasts the catalog; no shuffle of the dirty feed for the cross") {
+    // the spell-correction contract: the bounded name catalog reaches
+    // the dirty feed as a broadcast nested-loop cross — the feed side
+    // must never sort-merge or shuffle-exchange for candidate pairing
+    // (the post-agg presentation sort is the only ordering)
+    val p = SparkEntry.queries("q38_fuzzy_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"catalog cross is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dirty feed shuffled for the catalog cross:\n$p")
+  }
+
+  test("d73 sketch frame is persisted: both pair sides read the cache, one corpus scan") {
+    // the one-corpus-scan pin is STRUCTURAL (persist), not AQE
+    // best-effort reuse — the lshPairs lesson applied to the overlap
+    // matrix's aggregate
+    val df = SparkEntry.queries("d73_source_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"per-source sketch frame not persisted:\n$p")
+  }
+
   test("d46 re-drive broadcasts the worklist against a pushdown-pruned corpus scan") {
     // the 100 TB contract of the quarantine loop's consumer side: the
     // corpus (the big side) is scanned once with the text filter AT the
