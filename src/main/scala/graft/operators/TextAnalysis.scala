@@ -449,6 +449,41 @@ object TextAnalysis {
         .orderBy("qbin")
     },
 
+    // Per-source DATASET CARD — the datasheet a corpus release ships
+    // (Datasheets for Datasets, Gebru et al. 2021), one row per
+    // source: volume (docs, tokens), language spread, mean length,
+    // provenance coverage (share citing a URL), and near-dup exposure
+    // (share in a shared LSH bucket — d77's membership flag). The
+    // card COMPOSES existing passes rather than inventing new
+    // metrics: one corpus scan carries tokens/langs/length/URL flags,
+    // the signature pass prices dup membership, and ONE bounded
+    // per-source aggregate emits the panel. Every fraction is a
+    // one-shot divide of exact longs.
+    "d79_dataset_card" -> { (s, dir) =>
+      val sigW = Window.partitionBy("band", "sig")
+      val dup = Dedup.bandSigs(s, dir)
+        .withColumn("bn", count(lit(1)).over(sigW))
+        .groupBy("doc_id")
+        .agg(max(when(col("bn") > 1, 1L).otherwise(0L)).as("is_dup"))
+      withInjectedUrls(Corpus.docs(s, dir))
+        .withColumn("has_url",
+          size(regexp_extract_all(col("raw"), lit(urlRe), lit(0))) > 0)
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(when(col("has_url"), 1L).otherwise(0L)).as("n_with_url"),
+          sum(col("is_dup")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+          (col("n_with_url").cast("double") / col("n_docs")).as("url_frac"),
+          (col("n_dup").cast("double") / col("n_docs")).as("dup_frac"))
+        .orderBy("source")
+    },
+
     // Document fingerprint: min rolling hash over stride-4 8-char
     // windows of the normalized text (winnowing-style min-sampling;
     // the stride cuts hash work 4× with the same min-sketch shape).
@@ -889,6 +924,25 @@ object TextAnalysis {
          |  count(DISTINCT doc_id) AS n_docs,
          |  count(DISTINCT regexp_extract(url, '$urlRe', 2)) AS n_paths
          |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "d79_dataset_card" -> (Dedup.bandSigsCte +
+      s""", $rawsCteSql,
+         |dup AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS is_dup
+         |  FROM (SELECT doc_id, count(1) OVER (PARTITION BY band, sig) AS bn FROM sig) t
+         |  GROUP BY 1)
+         |SELECT d.source, count(1) AS n_docs,
+         |  CAST(sum(len(d.ws)) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT d.lang) AS n_langs,
+         |  CAST(CAST(sum(length(d.text)) AS BIGINT) AS DOUBLE) / count(1) AS mean_chars,
+         |  CAST(CAST(sum(CASE WHEN len(regexp_extract_all(r.raw, '$urlRe')) > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(1) AS url_frac,
+         |  CAST(CAST(sum(COALESCE(dup.is_dup, 0)) AS BIGINT) AS DOUBLE) / count(1) AS dup_frac
+         |FROM docs d
+         |JOIN raws r ON r.doc_id = d.doc_id
+         |LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY d.source""".stripMargin),
 
     "d77_quality_dup_corr" -> (Dedup.bandSigsCte +
       s""", dup AS (

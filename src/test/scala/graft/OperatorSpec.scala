@@ -1490,6 +1490,32 @@ class OperatorSpec extends SparkSpec {
     assert(late * 5 < total, "most events late — fixture implausible")
   }
 
+  test("d79 dataset card: panel recounted per source from the raw corpus") {
+    // (source, n_docs, n_tokens, n_langs, mean_chars, url_frac, dup_frac)
+    val rows = SparkEntry.queries("d79_dataset_card")(spark, sf).collect()
+    val docs = graft.model.Corpus.docs(spark, sf)
+      .selectExpr("doc_id", "source", "lang", "size(ws) AS nw", "length(text) AS nc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4)))
+    val dupDocs = SparkEntry.queries("d04_minhash_lsh")(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(2) == g.map(_._4.toLong).sum, s"tokens ${r.getString(0)}")
+      assert(r.getLong(3) == g.map(_._3).distinct.length)
+      assert(r.getDouble(4) == g.map(_._5.toLong).sum.toDouble / g.length)
+      val wantUrl = g.count(d => d._1 % 3 == 0 || d._1 % 13 == 0)
+      assert(r.getDouble(5) == wantUrl.toDouble / g.length, s"url ${r.getString(0)}")
+      val wantDup = g.count(d => dupDocs(d._1))
+      assert(r.getDouble(6) == wantDup.toDouble / g.length, s"dup ${r.getString(0)}")
+    }
+    // the card must discriminate somewhere: dup exposure varies by source
+    assert(rows.map(_.getDouble(6)).distinct.length > 1)
+  }
+
   test("d76 incremental near-dup: probe hits equal d04's cross-partition pairs") {
     // (new_id, n_partners, max_bands, first_dup, suspect)
     val rows = SparkEntry.queries("d76_incremental_neardup")(spark, sf).collect()

@@ -209,7 +209,9 @@ class PlanAuditSpec extends SparkSpec {
       // d77: the signature pass + the quality pass, joined per doc
       "d77_quality_dup_corr" -> (2, 0),
       // d78: d15's two-pass shape (refinement + persisted assignment)
-      "d78_ann_filtered" -> (0, 2))
+      "d78_ann_filtered" -> (0, 2),
+      // d79: the corpus card pass + the signature pass (d77's shape)
+      "d79_dataset_card" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
