@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,16 @@ object BackupLedger {
     lit("/sst_"), kNum.cast("string"))
 
   /** Raw upload ledger — one row per upload event. */
+  /** event_type → esop `ManifestEntry.Type` — THE ledger mapping,
+    * defined once: the live monitors (s30's completeness gate) reuse
+    * this expression, so a mapping change can never silently diverge
+    * batch ledger from streaming monitor. */
+  val ftypeCol: Column =
+    when(col("event_type") === "signup", "CQL_SCHEMA")
+      .when(col("event_type") === "error", "COMMIT_LOG")
+      .when(col("event_type") === "click", "MANIFEST_FILE")
+      .otherwise("FILE")
+
   def ledger(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
@@ -63,10 +73,7 @@ object BackupLedger {
       concat(lit("tab"), (kNum % 7).cast("string")).as("table_name"),
       keyExpr.as("object_key"),
       dec2(col("value")).as("size"),
-      when(col("event_type") === "signup", "CQL_SCHEMA")
-        .when(col("event_type") === "error", "COMMIT_LOG")
-        .when(col("event_type") === "click", "MANIFEST_FILE")
-        .otherwise("FILE").as("ftype"),
+      ftypeCol.as("ftype"),
       md5(keyExpr).as("upload_hash"),
       when(col("event_id") % 53 === 0,
         md5(concat(lit("corrupt#"), col("event_id").cast("string"))))

@@ -74,20 +74,31 @@ object Dedup {
     minhashWide(s, dir).selectExpr("doc_id", bandStack)
   }
 
+  /** ONE persisted copy of [[bandSigs]] per (session, dir) — the frame
+    * every LSH consumer (d04/d24/d67 via [[lshPairs]], d76's two-sided
+    * index/probe, d77/d79's membership pricing) shares. Without the
+    * memo each consumer persisted its own structurally-identical frame,
+    * so a session running d04 and d76 cached the signatures TWICE.
+    * Persisting (vs relying on AQE exchange reuse, which is
+    * best-effort under concurrent stage submission) is what makes the
+    * one-corpus-scan guarantee structural; the frame is 4 signature
+    * rows per doc, far smaller than the corpus. Callers release blocks
+    * via the Verify/Bench clearCache lifecycle — storageLevel is
+    * re-checked on every access so a cleared frame transparently
+    * re-registers instead of silently running uncached. */
+  private val sigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[operators] def bandSigsPersisted(s: SparkSession, dir: String): DataFrame = {
+    val df = sigMemo.computeIfAbsent((s, dir), _ => bandSigs(s, dir))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
     * without the presentation sort, shared with d24's clustering. */
   private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    // persist the signature frame: the self-join's two sides otherwise
-    // depend on AQE exchange reuse, which is BEST-EFFORT — when both
-    // identical stages submit concurrently each materializes its own
-    // copy (observed as a rare extra documents scan flipping the
-    // d24/d67 scan-count ratchet). The cache makes the
-    // one-corpus-scan guarantee structural: block-level
-    // getOrElseUpdate dedupes concurrent materialization. The frame
-    // is 4 band rows per doc (signatures only), far smaller than the
-    // corpus; callers release it via the Verify/Bench cache lifecycle.
-    val sig = bandSigs(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = bandSigsPersisted(s, dir)
     val a = sig.toDF("a_id", "band", "sig")
     val b = sig.toDF("b_id", "band", "sig")
     a.join(b, Seq("band", "sig"))
@@ -242,8 +253,7 @@ object Dedup {
     // this the only affordable continuous-dedup shape — cost scales
     // with the shard, not the corpus².
     "d76_incremental_neardup" -> { (s, dir) =>
-      val sig = bandSigs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = bandSigsPersisted(s, dir)
       val idx = sig.filter(col("doc_id") % 3 =!= 0).toDF("dup_of", "band", "sig")
       val arr = sig.filter(col("doc_id") % 3 === 0).toDF("new_id", "band", "sig")
       val stats = arr.join(idx, Seq("band", "sig"))

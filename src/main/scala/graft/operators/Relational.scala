@@ -667,8 +667,11 @@ object Relational {
     // plans a sort-merge join, and at 100 TB a base table bucketed on
     // the key would merge with zero base-side exchange. Full-outer is
     // required (inserts live only on the delta side, keeps only on the
-    // base side); prices stay DECIMAL throughout so updated values are
-    // exact cross-engine.
+    // base side); prices stay DECIMAL through the merge arithmetic and
+    // the COMPARED output carries exact integer CENTS (decimal(18,2)
+    // × 100 is a lossless long) — per SURVEY §4, no per-row decimal
+    // value ever reaches a hash-compared column, so the result is
+    // bit-identical under any engine's decimal rendering.
     "q36_merge_upsert" -> { (s, dir) =>
       val pdec = org.apache.spark.sql.types.DecimalType(18, 2)
       val base = Tables.orders(s, dir)
@@ -696,7 +699,8 @@ object Relational {
       base.join(delta, Seq("o_orderkey"), "full_outer")
         .select(col("o_orderkey"),
           coalesce(col("d_status"), col("o_orderstatus")).as("o_orderstatus"),
-          coalesce(col("d_price"), col("o_price")).as("o_price"),
+          (coalesce(col("d_price"), col("o_price")) * lit(100)).cast("long")
+            .as("o_price_cents"),
           when(col("o_orderstatus").isNull, "insert")
             .when(col("d_status").isNull, "keep")
             .otherwise("update").as("action"))
@@ -718,8 +722,13 @@ object Relational {
       val cat = Tables.part(s, dir).select(col("p_name").as("cand")).distinct()
       val dirty = Tables.part(s, dir)
         .filter(col("p_partkey") % 3 === 0)
+        // greatest(,1) guards the modulus for names of length ≤ 2 —
+        // Spark yields NULL on x % 0 while DuckDB raises, so without
+        // the clamp the engines diverge on degenerate catalogs (fine
+        // for TPC-H p_name, fragile elsewhere)
         .withColumn("pos",
-          (col("p_partkey") % (length(col("p_name")) - 2)).cast("int") + 2)
+          (col("p_partkey") % greatest(length(col("p_name")) - 2, lit(1)))
+            .cast("int") + 2)
         .select(col("p_partkey"),
           concat(expr("substring(p_name, 1, pos - 1)"),
             expr("substring(p_name, pos + 1)")).as("d_name"))
@@ -1087,7 +1096,7 @@ object Relational {
         |  FROM orders WHERE o_orderkey % 1000 = 1)
         |SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
         |  COALESCE(d.d_status, b.o_orderstatus) AS o_orderstatus,
-        |  COALESCE(d.d_price, b.o_price) AS o_price,
+        |  CAST(COALESCE(d.d_price, b.o_price) * 100 AS BIGINT) AS o_price_cents,
         |  CASE WHEN b.o_orderstatus IS NULL THEN 'insert'
         |       WHEN d.d_status IS NULL THEN 'keep'
         |       ELSE 'update' END AS action
@@ -1101,7 +1110,7 @@ object Relational {
         |    concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1)) AS d_name
         |  FROM (
         |    SELECT p_partkey, p_name,
-        |      CAST(p_partkey % (length(p_name) - 2) AS INT) + 2 AS pos
+        |      CAST(p_partkey % greatest(length(p_name) - 2, 1) AS INT) + 2 AS pos
         |    FROM part WHERE p_partkey % 3 = 0) t),
         |ranked AS (
         |  SELECT d.p_partkey, d.d_name, c.cand,

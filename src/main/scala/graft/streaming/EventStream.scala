@@ -126,9 +126,12 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("user_id"))
       .agg(count(lit(1)).as("n_uploads"),
-        count(when(col("event_type") === "click", 1)).as("n_manifest"),
-        count(when(col("event_type") === "signup", 1)).as("n_schema"),
-        count(when(col("event_type") === "error", 1)).as("n_commitlog"))
+        count(when(graft.model.BackupLedger.ftypeCol === "MANIFEST_FILE", 1))
+          .as("n_manifest"),
+        count(when(graft.model.BackupLedger.ftypeCol === "CQL_SCHEMA", 1))
+          .as("n_schema"),
+        count(when(graft.model.BackupLedger.ftypeCol === "COMMIT_LOG", 1))
+          .as("n_commitlog"))
       .select(col("window.start").cast("date").as("snapshot_day"),
         col("user_id").as("node_id"), col("n_uploads"), col("n_manifest"),
         col("n_schema"), col("n_commitlog"),

@@ -1313,30 +1313,34 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("q36 merge upsert: action partition, update arithmetic, insert keys disjoint") {
-    // (o_orderkey, o_orderstatus, o_price, action)
+    // (o_orderkey, o_orderstatus, o_price_cents, action) — the compared
+    // price is exact integer cents (SURVEY §4: no per-row decimal value
+    // in a hash-compared column)
     val rows = SparkEntry.queries("q36_merge_upsert")(spark, sf).collect()
     val base = spark.read.parquet(s"$sf/orders.parquet")
       .selectExpr("o_orderkey", "o_orderstatus",
-        "CAST(o_totalprice AS DECIMAL(18,2)) AS p").collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getDecimal(2))).toMap
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     val byKey = rows.map(r => r.getLong(0) -> r).toMap
     assert(byKey.size == rows.length, "merge emitted a duplicate key")
     // every base key survives the merge; every action is lawful
     assert(base.keySet.subsetOf(byKey.keySet))
     rows.foreach { r =>
       val (k, st, p, act) =
-        (r.getLong(0), r.getString(1), r.getDecimal(2), r.getString(3))
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
       act match {
         case "keep" =>
           assert(base(k) == ((st, p)), s"keep row $k mutated")
           assert(k % 7 != 0, s"update-eligible key $k tagged keep")
         case "update" =>
           assert(k % 7 == 0 && st == "U")
-          assert(p.subtract(base(k)._2).compareTo(new java.math.BigDecimal("100.00")) == 0,
+          assert(p - base(k)._2 == 10000L,
             s"update price law broken at $k: $p vs ${base(k)._2}")
         case "insert" =>
           assert(k < 0L && !base.contains(k) && st == "N")
           assert((-k - 1) % 1000 == 1)
+          assert(p == 100L, s"insert price should be 1.00 → 100 cents, got $p")
         case other => fail(s"unknown action $other")
       }
     }
