@@ -117,15 +117,48 @@ object Bench {
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       "short query ids collide — two SURVEY ids share a prefix")
-    // Per-query timings as PARALLEL ARRAYS — ids space-joined in one
-    // string, values as CENTISECOND ints (170 queries broke the old
-    // "q01":1.234 map form: 2210 chars > the ~1920 usable window; the
-    // array form costs ~8 chars/query, headroom for ~35 more). A
-    // failed query records -100 (the old -1.0s). tools/bench_compare
-    // `load()` reconstructs the seconds map from qk/qv_cs.
-    val qk = shortIds.mkString("\"", " ", "\"")
-    val qvCs = results.map(r => math.round(r._2._1 * 100))
-      .mkString("[", ",", "]")
+    // Per-query timings, round-14 compact form (the r12 parallel arrays
+    // — qk space-joined ids + qv_cs centisecond ints — grew ~8.3
+    // chars/query and would have overflowed the tail window again ~28
+    // queries out):
+    //   "qspec" — RANGE-COMPRESSED ids: consecutive same-family runs
+    //   collapse to "b01-b43" (the §2 ids are contiguous by
+    //   construction, so the whole suite is ~4 tokens at any size;
+    //   a gap just splits the run — no correctness dependence on
+    //   contiguity).
+    //   "qv36"  — fixed-width 3-char base36 centiseconds, concatenated
+    //   in qspec order (max 46655 cs = 466 s/query, clamped; failed =
+    //   "___"). 3 chars/query flat, vs ~8.3 — headroom past 500
+    //   queries.
+    // tools/bench_compare `load()` reconstructs the seconds map from
+    // qspec/qv36 (and still from qk/qv_cs and the legacy "queries" map,
+    // so old artifacts diff unchanged).
+    case class IdRun(fam: String, start: Int, end: Int, width: Int) {
+      def render: String = {
+        def pad(n: Int) = s"%0${width}d".format(n)
+        if (start == end) s"$fam${pad(start)}" else s"$fam${pad(start)}-$fam${pad(end)}"
+      }
+    }
+    val idRe = "^([a-z]+)([0-9]+)$".r
+    val qspec = shortIds.foldLeft(List.empty[Either[String, IdRun]]) {
+      case (acc, idRe(fam, num)) =>
+        acc match {
+          case Right(r) :: rest if r.fam == fam && num.length == r.width
+              && num.toInt == r.end + 1 =>
+            Right(r.copy(end = num.toInt)) :: rest
+          case _ => Right(IdRun(fam, num.toInt, num.toInt, num.length)) :: acc
+        }
+      case (acc, other) => Left(other) :: acc // non-standard id: literal token
+    }.reverse.map { case Right(r) => r.render; case Left(t) => t }
+      .mkString("\"", " ", "\"")
+    def base36cs(sec: Double): String =
+      if (sec < 0) "___"
+      else {
+        val cs = math.min(math.round(sec * 100), 46655L)
+        val s = java.lang.Long.toString(cs, 36)
+        "0" * (3 - s.length) + s
+      }
+    val qv36 = results.map(r => base36cs(r._2._1)).mkString("\"", "", "\"")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // Dispersion: median relative spread over all queries, plus as many
     // per-query spreads (noisiest first) as fit the line budget, with
@@ -149,7 +182,7 @@ object Bench {
         .map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val floor = if (k < bySpread.size) bySpread(k)._2 else 0.0
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","qk":$qk,"qv_cs":$qvCs,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","qspec":$qspec,"qv36":$qv36,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfShort"}"""
     }
     // Largest spread set that still fits the ~2000-char tail capture;
     // worst case k=0 keeps the floor (= the max spread) as the bound.

@@ -183,6 +183,18 @@ object Dedup {
       |    / (any_value(sa.n) + any_value(sb.n) - count(1)) >= 0.5
       |)""".stripMargin
 
+  /** d01's core over any (doc_id, norm) frame — a single hash-groupBy
+    * on the content hash. Skew-safe BY SHAPE: min/count partial-
+    * aggregate map-side, so a 95%-mass hot hash (the boilerplate page
+    * crawled a billion times) collapses to one row per input partition
+    * BEFORE the exchange — the shuffle carries ~|distinct hashes| ×
+    * |partitions| rows however skewed the input. SkewSpec pins this
+    * structurally (partial-agg collapse measured from the shuffle-
+    * records metric on a 95%-one-key stream). */
+  private[graft] def exactDedupOver(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("norm")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup-yield THRESHOLD CURVE — the tuning sweep run before fixing
@@ -215,10 +227,7 @@ object Dedup {
 
     // Exact dedup: md5 over normalized text; min doc_id is the keeper.
     "d01_dedup_exact" -> { (s, dir) =>
-      Corpus.docs(s, dir)
-        .groupBy(md5(col("norm")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_docs"))
-        .orderBy("content_hash")
+      exactDedupOver(Corpus.docs(s, dir)).orderBy("content_hash")
     },
 
     // Word-3-gram Jaccard near-dup pairs (|∩|/|∪| ≥ 0.5).

@@ -206,6 +206,42 @@ object Similarity {
         .select("vec_id", "cell", "q8", "n8", "scale")
     }
 
+  /** Persisted PQ codebook for the IVFPQ index (d80): the d56 trainer
+    * (one deterministic k-means refinement per subspace) run over the
+    * index postings' inline vectors — 8×16 = 128 tiny rows (j, c, cv),
+    * broadcastable at ANY corpus size. Built once per (JVM, sf); at
+    * 100 TB this is part of the nightly index job. */
+  private[graft] def annIndexPqCb(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_pqcb", dir) {
+      pqCodebook(s,
+        denull(graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+          .select("vec_id", "q"))
+    }
+
+  /** Persisted IVFPQ inverted lists (d80) — d56's PQ codes as the
+    * PAYLOAD of d50's postings, the production FAISS IVFPQ serving
+    * layout: per posting its cell (IDENTICAL routing to d50/d53 —
+    * compression changes storage, never routing), the 8 codeword ids
+    * and the reconstruction norm ADC divides by. 8×4 bits of code +
+    * one norm long per vector — the 128× cut beyond SQ8's 8×; only
+    * this table scales with n, the codebook stays 128 rows forever.
+    * Derived ONCE from the full-precision postings artifact (build →
+    * compress → serve, the d53 lineage at the deeper compression
+    * point). */
+  private[graft] def annIndexPq(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_pq", dir) {
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      val cb = denull(
+        graft.sources.IO.readParquet(s, annIndexPqCb(s, dir)), "cv")
+      val codes = pqAssign(pqSubs(post.select("vec_id", "q")), cb)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)")
+          .as("codes"),
+          sum(col("cwn")).as("rn2"))
+      post.select("vec_id", "cell").join(codes, Seq("vec_id"))
+    }
+
   // ---- Product quantization (d56) ----------------------------------
 
   /** PQ geometry: 64 dims → [[PqSub]] subspaces of [[PqDim]] dims,
@@ -750,6 +786,61 @@ object Similarity {
       graft.plans.TopK.perGroup(scored,
           Seq("a_id"), Seq(("cos8", true), ("b_id", false)), k = 3, rankName = "rn")
         .select("a_id", "cell", "b_id", "rn", "cos8")
+        .orderBy("a_id", "rn")
+    },
+
+    // IVFPQ ADC probe — the FULL production FAISS serving shape,
+    // composing the catalog's ANN pieces end-to-end: d56's PQ codes as
+    // the payload of d50's persisted inverted lists, searched with
+    // d53's asymmetric-distance scheme. The query side builds a
+    // per-query LOOKUP TABLE — 128 integer dots of its 8 subvectors
+    // against the broadcast 128-row codebook, a per-row projection —
+    // and each candidate's score is then 8 table lookups summed
+    // (aggregate over the code digits), never a 64-dim dot: the ADC
+    // trick that makes PQ serving cheap. The cell join carries only
+    // 4-byte codes + one norm per posting (128× less scan IO than the
+    // long grid, 16× less than SQ8 — the difference between an index
+    // that fits executor memory and one that doesn't at 100 TB).
+    // LUT-sum ≡ dot(query, reconstruction) in exact longs, so the
+    // oracle mirrors it bit-identically via the reconstructed vectors.
+    "d80_ivfpq_probe" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val cb = denull(
+        graft.sources.IO.readParquet(s, annIndexPqCb(s, dir)), "cv")
+      val pq = graft.sources.IO.readParquet(s, annIndexPq(s, dir))
+        .select(col("vec_id").as("b_id"), col("cell"),
+          expr("transform(codes, x -> coalesce(x, CAST(0 AS INT)))").as("codes"),
+          greatest(col("rn2"), lit(1L)).as("rnb"))
+      // densify the trained codebook onto the full (j, c) grid so the
+      // LUT is positionally indexable (j·16 + c): codewords that never
+      // won an assignment are absent from the artifact and can never
+      // be referenced by a code — their grid slots carry zero vectors
+      val grid = s.range(0, (PqSub * PqC).toLong)
+        .select((col("id") / PqC).cast("int").as("j"),
+          (col("id") % PqC).cast("int").as("c"))
+      val cbDense = grid.join(cb, Seq("j", "c"), "left")
+        .withColumn("cv",
+          expr(s"coalesce(cv, array_repeat(CAST(0 AS LONG), $PqDim))"))
+      val cbArr = cbDense
+        .agg(expr("array_sort(collect_list(struct(j, c, cv)))").as("cb"))
+      val a = assignTop2(Corpus.qvecs(s, dir), cents)
+        .crossJoin(broadcast(cbArr))
+        .withColumn("lut", expr(
+          s"transform(cb, e -> graft_dot_long(slice(q, e.j * $PqDim + 1, $PqDim), e.cv))"))
+        .select(col("vec_id").as("a_id"), col("norm2").as("na"), col("lut"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+        .filter(col("cell") >= 0)
+      val scored = a.join(pq, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("adc", expr(
+          s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS LONG),
+             |  (acc, j) -> acc + element_at(lut, j * $PqC + element_at(codes, j + 1) + 1))""".stripMargin))
+        .withColumn("cos_pq", col("adc").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("rnb").cast("double"))))
+      graft.plans.TopK.perGroup(scored,
+          Seq("a_id"), Seq(("cos_pq", true), ("b_id", false)), k = 3, rankName = "rn")
+        .select("a_id", "cell", "b_id", "rn", "cos_pq")
         .orderBy("a_id", "rn")
     },
 
@@ -1535,6 +1626,66 @@ object Similarity {
          |  FROM probes a JOIN post8 b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
 
+  /** d80's DuckDB twin: rebuild the index state (cents1 + assignment),
+    * train the PQ codebook exactly as d56's oracle does, RECONSTRUCT
+    * each posting from its codewords (the ADC lookup-table sum is
+    * dot(query, reconstruction) — the same exact integer total, just
+    * summed in subspace order), and score probes asymmetrically with
+    * d53's quotient-of-exact-longs cosine. */
+  private def ivfpqProbeSql: String =
+    ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
+         |psubs AS (
+         |  SELECT vec_id, CAST(j AS INT) AS j, q[j * 8 + 1 : j * 8 + 8] AS sub
+         |  FROM qtab, UNNEST(range(0, 8)) t(j)),
+         |pseeds AS (
+         |  SELECT CAST(jc // 16 AS INT) AS j, CAST(jc % 16 AS INT) AS c,
+         |    list_transform(range(0, 8), i ->
+         |      ${Corpus.hash32Sql("concat('pq', CAST(jc // 16 AS VARCHAR), '_', CAST(jc % 16 AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS cv
+         |  FROM (SELECT unnest(range(0, 128)) AS jc)),
+         |pa0 AS (
+         |  SELECT vec_id, j, sub, c FROM (
+         |    SELECT s.vec_id, s.j, s.sub, sd.c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        ${duckSqDist.format("s.sub", "sd.cv")} ASC, sd.c ASC) AS rn
+         |    FROM psubs s JOIN pseeds sd ON sd.j = s.j) t
+         |  WHERE rn = 1),
+         |pcomp AS (
+         |  SELECT j, c, pos, CAST(floor(CAST(sum(sub[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
+         |  FROM pa0, UNNEST(range(1, 9)) t(pos)
+         |  GROUP BY j, c, pos),
+         |pcb AS (SELECT j, c, list(cmp ORDER BY pos) AS cv FROM pcomp GROUP BY j, c),
+         |penc AS (
+         |  SELECT vec_id, j, cv FROM (
+         |    SELECT s.vec_id, s.j, cb.cv,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        ${duckSqDist.format("s.sub", "cb.cv")} ASC, cb.c ASC) AS rn
+         |    FROM psubs s JOIN pcb cb ON cb.j = s.j) t
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rv
+         |  FROM penc GROUP BY vec_id),
+         |pqpost AS (
+         |  SELECT b.vec_id, b.cell, r.rv,
+         |    greatest(CAST(list_sum(list_transform(r.rv, x -> x * x)) AS BIGINT), 1) AS rn2
+         |  FROM assigned b JOIN recon r ON r.vec_id = b.vec_id)
+         |SELECT a_id, cell, b_id, rn, cos_pq FROM (
+         |  SELECT a.vec_id AS a_id, a.cell AS cell, b.vec_id AS b_id,
+         |    CAST(${duckDot.format("a.q", "b.rv")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.rn2 AS DOUBLE))) AS cos_pq,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(${duckDot.format("a.q", "b.rv")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.rn2 AS DOUBLE))) DESC,
+         |      b.vec_id ASC) AS rn
+         |  FROM probes a JOIN pqpost b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+
   /** d68's DuckDB twin: the same routed/scored stream ranked at both
     * nprobe slices against the brute-force exact top-3. */
   private def annRecallSql: String =
@@ -1586,5 +1737,6 @@ object Similarity {
       ("d50_ann_index_probe" -> oracle0("d15_ann_ivf")) +
       ("d52_ann_index_update" -> indexUpdateSql) +
       ("d53_sq8_probe" -> sq8ProbeSql) +
-      ("d68_ann_recall" -> annRecallSql)
+      ("d68_ann_recall" -> annRecallSql) +
+      ("d80_ivfpq_probe" -> ivfpqProbeSql)
 }

@@ -142,6 +142,26 @@ object TextAnalysis {
       lower(url),
       "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
 
+  /** d60's core over any (doc_id, url) frame: canonicalize per row,
+    * then the min-doc_id keeper per canonical page via AGGREGATE +
+    * JOIN — deliberately NOT `min().over(Window.partitionBy(url))`:
+    * a window packs each key into ONE task, so the hot URL every
+    * web corpus has (the boilerplate page crawled a billion times)
+    * stalls a single sorter at 100 TB. The aggregate partial-combines
+    * the hot key map-side (d01's skew-safety law), its output is one
+    * row per DISTINCT page (broadcastable when the page space is
+    * bounded; AQE skew-splits the join when it isn't), and the data
+    * side never sorts. SkewSpec pins skew-split execution on this
+    * exact shape under a 95%-one-URL stream. */
+  private[graft] def urlDedupOver(urls: DataFrame): DataFrame = {
+    val canon = urls.withColumn("canonical_url", canonicalUrl(col("url")))
+    val keepers = canon.groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    canon.join(keepers, Seq("canonical_url"))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** d72's doc→domain link stream: one corpus scan, the d09 quality
     * score attached per row, one link row per extracted URL. */
   private def domainLinks(s: SparkSession, dir: String): DataFrame =
@@ -658,18 +678,14 @@ object TextAnalysis {
     // document. Each doc carries a deterministic crawl URL whose
     // variant decoration depends on doc_id%4; canonicalization strips
     // scheme/`www.`/query/fragment/trailing slash and lowercases the
-    // host, then the keeper per canonical page is the min doc_id.
-    // Scale: pure per-row string kernels (codegen'd regexps) + ONE
-    // shuffle on the canonical key for the keeper window — identical
-    // shape to d01 exact dedup; no joins, no explode.
+    // host, then the keeper per canonical page is the min doc_id —
+    // computed by [[urlDedupOver]]'s AGGREGATE+JOIN (skew-survivable),
+    // not a partition window (which would stall one task on a hot
+    // URL). Pure per-row string kernels (codegen'd regexps) front the
+    // two cheap pruned passes.
     "d60_url_dedup" -> { (s, dir) =>
-      val w = Window.partitionBy("canonical_url")
-      graft.sources.Tables.documents(s, dir)
-        .select(col("doc_id"), crawlUrl(col("doc_id")).as("url"))
-        .withColumn("canonical_url", canonicalUrl(col("url")))
-        .withColumn("keeper_id", min(col("doc_id")).over(w))
-        .select(col("doc_id"), col("url"), col("canonical_url"),
-          (col("doc_id") === col("keeper_id")).as("is_keeper"))
+      urlDedupOver(graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), crawlUrl(col("doc_id")).as("url")))
         .orderBy("doc_id")
     },
 

@@ -154,8 +154,11 @@ class PlanAuditSpec extends SparkSpec {
       // geometry law, no chunk explode); docket and ANN postings are
       // artifact read-backs
       "d59_forget_plan" -> (1, 0),
-      // d60: per-row canonicalization + one keeper window, one scan
-      "d60_url_dedup" -> (1, 0),
+      // d60: per-row canonicalization + the keeper AGGREGATE+JOIN
+      // (skew-survivable, never a hot-key window): two cheap pruned
+      // passes — the keeper side partial-aggregates to one row per
+      // distinct page and broadcasts back into the data side
+      "d60_url_dedup" -> (2, 0),
       // d65: bucket-local window pass + the bucket-totals agg pass
       // (two cheap scans instead of caching a corpus-sized frame)
       "d65_shard_plan" -> (2, 0),
@@ -211,7 +214,11 @@ class PlanAuditSpec extends SparkSpec {
       // d78: d15's two-pass shape (refinement + persisted assignment)
       "d78_ann_filtered" -> (0, 2),
       // d79: the corpus card pass + the signature pass (d77's shape)
-      "d79_dataset_card" -> (2, 0))
+      "d79_dataset_card" -> (2, 0),
+      // d80: ONE embeddings scan (the query side) — the IVFPQ index
+      // (postings cells + PQ codebook + codes) is built construction-
+      // time through Scratch; the measured plan reads artifacts back
+      "d80_ivfpq_probe" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },

@@ -31,12 +31,41 @@ spread that covers the move.
 import json, sys
 
 
+def _expand_qspec(spec):
+    """Expand the round-14 range-compressed id spec: "b01-b43 d80 q01-q38"
+    -> ["b01", ..., "b43", "d80", "q01", ..., "q38"]. A token without a
+    dash is a literal id; zero-padding width follows the range start."""
+    import re
+    ids = []
+    for tok in spec.split():
+        m = re.fullmatch(r"([a-z]+)(\d+)-\1(\d+)", tok)
+        if m:
+            fam, a, b = m.group(1), m.group(2), m.group(3)
+            for n in range(int(a), int(b) + 1):
+                ids.append(f"{fam}{n:0{len(a)}d}")
+        else:
+            ids.append(tok)
+    return ids
+
+
 def _normalize(doc):
-    """Accept both bench line formats: the legacy "queries" seconds map
-    and the compact round-12 form (qk = space-joined short ids,
-    qv_cs = centisecond ints; -100 marks a failed query, the old -1.0s).
-    Always returns a doc with a "queries" seconds map."""
-    if "queries" not in doc and "qk" in doc and "qv_cs" in doc:
+    """Accept all three bench line formats: the legacy "queries" seconds
+    map, the compact round-12 form (qk = space-joined short ids,
+    qv_cs = centisecond ints; -100 marks a failed query, the old -1.0s),
+    and the round-14 form (qspec = range-compressed ids, qv36 =
+    concatenated fixed-width 3-char base36 centiseconds; "___" marks a
+    failed query). Always returns a doc with a "queries" seconds map."""
+    if "queries" not in doc and "qspec" in doc and "qv36" in doc:
+        ids = _expand_qspec(doc["qspec"])
+        raw = doc["qv36"]
+        assert len(raw) == 3 * len(ids), \
+            f"qv36 length {len(raw)} != 3 x {len(ids)} ids"
+        vals = [raw[i * 3:i * 3 + 3] for i in range(len(ids))]
+        doc = dict(doc)
+        doc["queries"] = {
+            k: (-1.0 if v == "___" else int(v, 36) / 100.0)
+            for k, v in zip(ids, vals)}
+    elif "queries" not in doc and "qk" in doc and "qv_cs" in doc:
         ids = doc["qk"].split()
         doc = dict(doc)
         doc["queries"] = {k: v / 100.0 for k, v in zip(ids, doc["qv_cs"])}
