@@ -365,6 +365,32 @@ object Streaming {
         .withColumn("admitted",
           col("cum_before") + col("n_tokens") <= graft.streaming.DocStream.budgetTokens)
         .orderBy("doc_id")
+    },
+
+    // Streaming SHARD PACKER — DocStream.shardPack's batch twin: the
+    // live half of d65's planning question. Docs hash-route to 32
+    // writers (d65's exact bucket law), each writer packs its own
+    // shard sequence in arrival (doc_id) order with ONE long of state;
+    // global shard identity = (bucket, shard_seq), writer-id ×
+    // local-seq — no cross-writer coordination, which is precisely
+    // what d65's close-time offset broadcast cannot do live. The batch
+    // formulation is therefore a per-bucket cumsum window in doc_id
+    // order (32 parallel bounded partitions, one corpus scan); stream
+    // ≡ batch proven in EventStreamSpec.
+    "s32_stream_shardpack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.model.Corpus.docs(s, dir)
+        .select(col("doc_id"),
+          (graft.functions.hash32(concat(lit("shard"), col("doc_id").cast("string"))) % 32)
+            .cast("int").as("bucket"),
+          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+        .withColumn("cum_before_bucket",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("shard_seq",
+          expr(s"cum_before_bucket div ${graft.streaming.DocStream.packShardTokens}"))
+        .orderBy("doc_id")
     }
   )
 
@@ -637,6 +663,23 @@ object Streaming {
         |SELECT doc_id, source, n_tokens, cum_before,
         |  cum_before + n_tokens <= 600 AS admitted
         |FROM cum ORDER BY doc_id""".stripMargin),
+
+    "s32_stream_shardpack" -> (graft.model.Corpus.docsCte +
+      s""", pd AS (
+         |  SELECT doc_id,
+         |    CAST(${graft.model.Corpus.hash32Sql("concat('shard', CAST(doc_id AS VARCHAR))")} % 32 AS INT) AS bucket,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM docs),
+         |pc AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before_bucket
+         |  FROM pd)
+         |SELECT doc_id, bucket, n_tokens, cum_before_bucket,
+         |  cum_before_bucket // ${graft.streaming.DocStream.packShardTokens} AS shard_seq
+         |FROM pc ORDER BY doc_id""".stripMargin),
 
     "s26_stream_sizehist" ->
       """SELECT CAST(floor(value / 16.0) AS BIGINT) AS bin,

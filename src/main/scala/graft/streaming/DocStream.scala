@@ -248,6 +248,61 @@ object DocStream {
 
   /** Run a document-stream transform to a memory sink (AvailableNow —
     * drains the source then stops), for the stream ≡ batch specs. */
+  /** s32's row/state shapes: hash-bucketed live shard packing. */
+  case class PackDoc(doc_id: Long, bucket: Int, n_tokens: Long)
+  case class PackOut(doc_id: Long, bucket: Int, n_tokens: Long,
+      cum_before_bucket: Long, shard_seq: Long)
+
+  /** Per-writer shard budget for the LIVE packer — smaller than d65's
+    * offline 4096 so the per-bucket sequence genuinely advances at
+    * every SF (a live writer closes shards often; the offline planner
+    * packs bigger). */
+  val packShardTokens = 512L
+
+  /** Streaming SHARD PACKER (s32) — d65's question asked at ingest:
+    * which training shard does each arriving doc land in? The offline
+    * planner (d65) orders by a hash for balance and prefixes GLOBALLY
+    * via the two-stage broadcast — a stream cannot know future bucket
+    * totals, so the live packer does what a 1000-writer pipeline
+    * actually does: docs hash-route to one of 32 WRITERS (the same
+    * `hash32('shard'+id) % 32` law as d65's buckets, so load spreads
+    * identically), each writer packs ITS OWN shard sequence in arrival
+    * order, and the global shard identity is the pair (bucket,
+    * shard_seq) — writer-id × local-seq, no cross-writer coordination
+    * ever. State per writer is ONE long (tokens packed so far): 32
+    * longs forever, d65's two-stage prefix collapsed to its
+    * micro-batch accumulating half. Arrival order within a batch is
+    * doc_id order (the s25 convention — file feeds deliver in id
+    * order; the sort makes it explicit), so stream ≡ the per-bucket
+    * batch cumsum twin exactly. */
+  def shardPack(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    Corpus.normalized(docs)
+      .select(col("doc_id"),
+        (graft.functions.hash32(concat(lit("shard"), col("doc_id").cast("string"))) % 32)
+          .cast("int").as("bucket"),
+        expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+      .as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        packGroup)
+      .toDF()
+  }
+
+  private def packGroup(bucket: Int, docs: Iterator[PackDoc],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[PackOut] = {
+    var cum = state.getOption.getOrElse(0L)
+    val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+      val before = cum
+      cum += d.n_tokens
+      PackOut(d.doc_id, bucket, d.n_tokens, before, before / packShardTokens)
+    }
+    state.update(cum)
+    out.iterator
+  }
+
   def runToMemory(s: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame, mode: String = "complete"): StreamingQuery =
     transform(readDocsStream(s, dir))

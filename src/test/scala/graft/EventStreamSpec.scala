@@ -209,6 +209,35 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming shard packer equals the batch per-bucket prefix twin") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s32_test",
+      DocStream.shardPack, mode = "append")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s32_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s32_stream_shardpack")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the writer-local sequence must actually advance (the packer
+    // closes shards at this SF), and the prefix law must hold row by
+    // row per bucket — recomputed sequentially in plain Scala
+    assert(batch.exists(_.getLong(4) >= 1L), "no bucket ever closed a shard")
+    batch.groupBy(_.getInt(1)).foreach { case (bucket, g) =>
+      val inOrder = g.sortBy(_.getLong(0))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getLong(3) == cum, s"bucket $bucket prefix drift at doc ${r.getLong(0)}")
+        assert(r.getLong(4) == cum / DocStream.packShardTokens,
+          s"bucket $bucket shard law at doc ${r.getLong(0)}")
+        cum += r.getLong(2)
+      }
+    }
+    // buckets genuinely spread the stream (the hash law load-balances
+    // the 32 writers): more than half the writer space is populated
+    assert(batch.map(_.getInt(1)).distinct.length > 16,
+      "hash routing left most writers idle")
+  }
+
   test("streaming crawl-budget gate equals the batch prefix-sum twin") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s25_test",

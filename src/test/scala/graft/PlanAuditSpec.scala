@@ -411,6 +411,8 @@ class PlanAuditSpec extends SparkSpec {
       "s24_stream_url" -> Map("documents" -> 2),
       // s25: one corpus scan through the per-source prefix-sum window
       "s25_stream_budget" -> Map("documents" -> 1),
+      // s32: one corpus scan through the per-bucket prefix-sum window
+      "s32_stream_shardpack" -> Map("documents" -> 1),
       // s26: one events scan into the bounded bin aggregate
       "s26_stream_sizehist" -> Map("events" -> 1),
       // s27: event probe side + the bounded dimension's build side
