@@ -242,6 +242,52 @@ object Similarity {
       post.select("vec_id", "cell").join(codes, Seq("vec_id"))
     }
 
+  /** The ADC-scored IVFPQ candidate stream shared by d80 (top-3 probe)
+    * and d81 (top-10 shortlist + exact rerank): queries route through
+    * the persisted refined centroids, build a per-query 128-entry
+    * integer LOOKUP TABLE against the broadcast codebook (a per-row
+    * projection — the ADC trick), and every cell-mate posting scores
+    * as 8 table lookups summed over its code digits, never a 64-dim
+    * dot. Emits (a_id, qa, na, lut, cell, b_id, cos_pq) — qa rides
+    * along so the rerank stage needs no query-side join-back. */
+  private def ivfpqScored(s: SparkSession, dir: String): DataFrame = {
+    val cents = denull(
+      graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+    val cb = denull(
+      graft.sources.IO.readParquet(s, annIndexPqCb(s, dir)), "cv")
+    val pq = graft.sources.IO.readParquet(s, annIndexPq(s, dir))
+      .select(col("vec_id").as("b_id"), col("cell"),
+        expr("transform(codes, x -> coalesce(x, CAST(0 AS INT)))").as("codes"),
+        greatest(col("rn2"), lit(1L)).as("rnb"))
+    // densify the trained codebook onto the full (j, c) grid so the
+    // LUT is positionally indexable (j·16 + c): codewords that never
+    // won an assignment are absent from the artifact and can never
+    // be referenced by a code — their grid slots carry zero vectors
+    val grid = s.range(0, (PqSub * PqC).toLong)
+      .select((col("id") / PqC).cast("int").as("j"),
+        (col("id") % PqC).cast("int").as("c"))
+    val cbDense = grid.join(cb, Seq("j", "c"), "left")
+      .withColumn("cv",
+        expr(s"coalesce(cv, array_repeat(CAST(0 AS LONG), $PqDim))"))
+    val cbArr = cbDense
+      .agg(expr("array_sort(collect_list(struct(j, c, cv)))").as("cb"))
+    val a = assignTop2(Corpus.qvecs(s, dir), cents)
+      .crossJoin(broadcast(cbArr))
+      .withColumn("lut", expr(
+        s"transform(cb, e -> graft_dot_long(slice(q, e.j * $PqDim + 1, $PqDim), e.cv))"))
+      .select(col("vec_id").as("a_id"), col("q").as("qa"),
+        col("norm2").as("na"), col("lut"),
+        explode(array(col("cell1"), col("cell2"))).as("cell"))
+      .filter(col("cell") >= 0)
+    a.join(pq, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS LONG),
+           |  (acc, j) -> acc + element_at(lut, j * $PqC + element_at(codes, j + 1) + 1))""".stripMargin))
+      .withColumn("cos_pq", col("adc").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("rnb").cast("double"))))
+  }
+
   // ---- Product quantization (d56) ----------------------------------
 
   /** PQ geometry: 64 dims → [[PqSub]] subspaces of [[PqDim]] dims,
@@ -804,43 +850,40 @@ object Similarity {
     // LUT-sum ≡ dot(query, reconstruction) in exact longs, so the
     // oracle mirrors it bit-identically via the reconstructed vectors.
     "d80_ivfpq_probe" -> { (s, dir) =>
-      val cents = denull(
-        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
-      val cb = denull(
-        graft.sources.IO.readParquet(s, annIndexPqCb(s, dir)), "cv")
-      val pq = graft.sources.IO.readParquet(s, annIndexPq(s, dir))
-        .select(col("vec_id").as("b_id"), col("cell"),
-          expr("transform(codes, x -> coalesce(x, CAST(0 AS INT)))").as("codes"),
-          greatest(col("rn2"), lit(1L)).as("rnb"))
-      // densify the trained codebook onto the full (j, c) grid so the
-      // LUT is positionally indexable (j·16 + c): codewords that never
-      // won an assignment are absent from the artifact and can never
-      // be referenced by a code — their grid slots carry zero vectors
-      val grid = s.range(0, (PqSub * PqC).toLong)
-        .select((col("id") / PqC).cast("int").as("j"),
-          (col("id") % PqC).cast("int").as("c"))
-      val cbDense = grid.join(cb, Seq("j", "c"), "left")
-        .withColumn("cv",
-          expr(s"coalesce(cv, array_repeat(CAST(0 AS LONG), $PqDim))"))
-      val cbArr = cbDense
-        .agg(expr("array_sort(collect_list(struct(j, c, cv)))").as("cb"))
-      val a = assignTop2(Corpus.qvecs(s, dir), cents)
-        .crossJoin(broadcast(cbArr))
-        .withColumn("lut", expr(
-          s"transform(cb, e -> graft_dot_long(slice(q, e.j * $PqDim + 1, $PqDim), e.cv))"))
-        .select(col("vec_id").as("a_id"), col("norm2").as("na"), col("lut"),
-          explode(array(col("cell1"), col("cell2"))).as("cell"))
-        .filter(col("cell") >= 0)
-      val scored = a.join(pq, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("adc", expr(
-          s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS LONG),
-             |  (acc, j) -> acc + element_at(lut, j * $PqC + element_at(codes, j + 1) + 1))""".stripMargin))
-        .withColumn("cos_pq", col("adc").cast("double")
-          / (sqrt(col("na").cast("double")) * sqrt(col("rnb").cast("double"))))
-      graft.plans.TopK.perGroup(scored,
+      graft.plans.TopK.perGroup(ivfpqScored(s, dir),
           Seq("a_id"), Seq(("cos_pq", true), ("b_id", false)), k = 3, rankName = "rn")
         .select("a_id", "cell", "b_id", "rn", "cos_pq")
+        .orderBy("a_id", "rn")
+    },
+
+    // IVFPQ + exact RERANK — the two-stage serving path a production
+    // deployment actually runs over a 128×-compressed index (FAISS's
+    // "refine" step, IVFPQR): the cheap ADC ranking shortlists k'=10
+    // candidates per query (d80's machinery — only codes are scanned),
+    // then ONLY the shortlist pays full-precision math: ~10 point
+    // lookups per query against the id-keyed postings (the shortlist
+    // side broadcasts; the 100 TB vector store never shuffles), exact
+    // integer cosine, final top-3. The agreement arc this closes:
+    // raw ADC top-1 sits near chance on this signal-flat fixture
+    // (0.058), the reranked top-1 recovers to the shortlist's recall
+    // of the true neighbor — compression pays for candidate
+    // GENERATION, precision comes from the refine step. prn in the
+    // output records how deep in the ADC shortlist the true winner
+    // sat — the number that tunes k'.
+    "d81_ivfpq_rerank" -> { (s, dir) =>
+      val short = graft.plans.TopK.perGroup(ivfpqScored(s, dir),
+          Seq("a_id"), Seq(("cos_pq", true), ("b_id", false)), k = 10, rankName = "prn")
+        .select("a_id", "qa", "na", "b_id", "prn")
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .select(col("vec_id").as("b_id"), col("q").as("qb"),
+          col("norm2").as("nb"))
+      val rer = short.join(post, Seq("b_id"))
+        .withColumn("cos", DotLong(col("qa"), col("qb")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      graft.plans.TopK.perGroup(rer,
+          Seq("a_id"), Seq(("cos", true), ("b_id", false)), k = 3, rankName = "rn")
+        .select("a_id", "b_id", "prn", "rn", "cos")
         .orderBy("a_id", "rn")
     },
 
@@ -1626,13 +1669,14 @@ object Similarity {
          |  FROM probes a JOIN post8 b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
 
-  /** d80's DuckDB twin: rebuild the index state (cents1 + assignment),
-    * train the PQ codebook exactly as d56's oracle does, RECONSTRUCT
-    * each posting from its codewords (the ADC lookup-table sum is
-    * dot(query, reconstruction) — the same exact integer total, just
-    * summed in subspace order), and score probes asymmetrically with
-    * d53's quotient-of-exact-longs cosine. */
-  private def ivfpqProbeSql: String =
+  /** d80/d81's shared DuckDB chain: rebuild the index state (cents1 +
+    * assignment), train the PQ codebook exactly as d56's oracle does,
+    * RECONSTRUCT each posting from its codewords (the ADC lookup-table
+    * sum is dot(query, reconstruction) — the same exact integer total,
+    * just summed in subspace order), and score every cell-mate pair
+    * asymmetrically with d53's quotient-of-exact-longs cosine, ending
+    * in `pqscored(a_id, cell, b_id, cos_pq)`. */
+  private def ivfpqScoredCte: String =
     ivfCents1Cte +
       s""", ranked AS (
          |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
@@ -1674,16 +1718,45 @@ object Similarity {
          |pqpost AS (
          |  SELECT b.vec_id, b.cell, r.rv,
          |    greatest(CAST(list_sum(list_transform(r.rv, x -> x * x)) AS BIGINT), 1) AS rn2
-         |  FROM assigned b JOIN recon r ON r.vec_id = b.vec_id)
-         |SELECT a_id, cell, b_id, rn, cos_pq FROM (
+         |  FROM assigned b JOIN recon r ON r.vec_id = b.vec_id),
+         |pqscored AS (
          |  SELECT a.vec_id AS a_id, a.cell AS cell, b.vec_id AS b_id,
          |    CAST(${duckDot.format("a.q", "b.rv")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.rn2 AS DOUBLE))) AS cos_pq,
-         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-         |      CAST(${duckDot.format("a.q", "b.rv")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.rn2 AS DOUBLE))) DESC,
-         |      b.vec_id ASC) AS rn
-         |  FROM probes a JOIN pqpost b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.rn2 AS DOUBLE))) AS cos_pq
+         |  FROM probes a JOIN pqpost b ON a.cell = b.cell AND a.vec_id <> b.vec_id)""".stripMargin
+
+  private def ivfpqProbeSql: String =
+    ivfpqScoredCte +
+      """
+        |SELECT a_id, cell, b_id, rn, cos_pq FROM (
+        |  SELECT a_id, cell, b_id, cos_pq,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos_pq DESC, b_id ASC) AS rn
+        |  FROM pqscored) t
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+
+  /** d81's DuckDB twin: the ADC shortlist (prn ≤ 10) reranked with
+    * exact full-precision cosines — the refine step mirrored on the
+    * same qtab values the postings artifact holds. */
+  private def ivfpqRerankSql: String =
+    ivfpqScoredCte +
+      s"""
+         |, short AS (
+         |  SELECT a_id, b_id, prn FROM (
+         |    SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos_pq DESC, b_id ASC) AS prn
+         |    FROM pqscored) t WHERE prn <= 10),
+         |rer AS (
+         |  SELECT s.a_id, s.b_id, s.prn,
+         |    CAST(${duckDot.format("qa.q", "qb.q")} AS DOUBLE)
+         |      / (sqrt(CAST(qa.norm2 AS DOUBLE)) * sqrt(CAST(qb.norm2 AS DOUBLE))) AS cos
+         |  FROM short s JOIN qtab qa ON qa.vec_id = s.a_id
+         |  JOIN qtab qb ON qb.vec_id = s.b_id)
+         |SELECT a_id, b_id, prn, rn, cos FROM (
+         |  SELECT a_id, b_id, prn, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id ASC) AS rn
+         |  FROM rer) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
 
   /** d68's DuckDB twin: the same routed/scored stream ranked at both
@@ -1738,5 +1811,6 @@ object Similarity {
       ("d52_ann_index_update" -> indexUpdateSql) +
       ("d53_sq8_probe" -> sq8ProbeSql) +
       ("d68_ann_recall" -> annRecallSql) +
-      ("d80_ivfpq_probe" -> ivfpqProbeSql)
+      ("d80_ivfpq_probe" -> ivfpqProbeSql) +
+      ("d81_ivfpq_rerank" -> ivfpqRerankSql)
 }

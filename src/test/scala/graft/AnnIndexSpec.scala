@@ -209,6 +209,51 @@ class AnnIndexSpec extends SparkSpec {
       s"IVFPQ top-1 agreement fell below the measured floor: $agree/$total")
   }
 
+  test("d81 rerank: exact cosines on the shortlist, and agreement recovers past raw ADC") {
+    // the refine step's laws: every reranked cosine is the TRUE cosine
+    // (recomputed from raw vectors), ranks follow (cos desc, b_id asc)
+    // within each query's shortlist, and prn records a genuine ADC
+    // shortlist position (1..10)
+    val out = SparkEntry.queries("d81_ivfpq_rerank")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val vecs = Corpus.qvecs(spark, sf).select("vec_id", "q", "norm2").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
+    out.foreach { r =>
+      val (aId, bId, prn, cos) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(4))
+      assert(prn >= 1 && prn <= 10, s"prn out of shortlist range: $prn")
+      val (qa, na) = vecs(aId); val (qb, nb) = vecs(bId)
+      val expect = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      assert(cos == expect, s"rerank cosine not exact at ($aId,$bId)")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (aId, g) =>
+      val byRn = g.sortBy(_.getInt(3))
+      assert(byRn.map(_.getInt(3)).toSeq == (1 to byRn.length), s"rank gap at $aId")
+      byRn.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getDouble(4) > y.getDouble(4)
+            || (x.getDouble(4) == y.getDouble(4) && x.getLong(1) < y.getLong(1)),
+            s"rerank order violated at $aId")
+        case _ =>
+      }
+    }
+    // the agreement arc: reranking the 10-deep ADC shortlist with
+    // exact math must recover top-1 agreement well past raw ADC's
+    // near-chance 0.058 (deterministic pipeline — measured, then
+    // pinned with slack)
+    val top50 = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .filter("rn = 1").selectExpr("a_id", "b_id AS b_full")
+    val top81 = SparkEntry.queries("d81_ivfpq_rerank")(spark, sf)
+      .filter("rn = 1").selectExpr("a_id", "b_id AS b_rer")
+    val j = top50.join(top81, Seq("a_id"), "full_outer")
+    val total = j.count()
+    val agree = j.filter("b_full = b_rer").count()
+    info(s"d81 reranked top-1 agreement vs full precision: $agree/$total")
+    assert(total > 0 && agree.toDouble / total >= 0.20,
+      s"rerank failed to recover precision: $agree/$total")
+  }
+
   test("d53 ADC probe agrees with the full-precision probe on ≥95% of top-1 picks") {
     // the measure-don't-guess gate for serving the compressed index:
     // 8× storage is only a win if the quantized ranking still finds

@@ -218,7 +218,11 @@ class PlanAuditSpec extends SparkSpec {
       // d80: ONE embeddings scan (the query side) — the IVFPQ index
       // (postings cells + PQ codebook + codes) is built construction-
       // time through Scratch; the measured plan reads artifacts back
-      "d80_ivfpq_probe" -> (0, 1))
+      "d80_ivfpq_probe" -> (0, 1),
+      // d81: the same single query-side scan; shortlist refine joins
+      // the id-keyed postings ARTIFACT (broadcast shortlist side),
+      // never the embeddings table
+      "d81_ivfpq_rerank" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
