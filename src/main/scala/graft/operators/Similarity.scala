@@ -583,6 +583,50 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
+    // MRL/truncation EVAL — the dimension-budget trade curve
+    // (Matryoshka Representation Learning, Kusupati et al. 2022): can
+    // this embedding space be served at 32, 16 or 8 of its 64 dims?
+    // A pipeline reads this curve BEFORE cutting index storage 2-8×
+    // by truncation — the cheapest compression there is (no codebook,
+    // no requantization; d53/d80 compress PRECISION, this compresses
+    // DIMENSION, and the two multiply). ONE d06-shaped exact pair
+    // pass computes all four budgets' prefix cosines per pair (the
+    // slices share the scan, the per-budget prefix norms are per-row
+    // folds), each budget's top-1 resolves on TopKPerGroup (map-side
+    // ≤1 row per (budget, query) per partition), and one bounded
+    // aggregate emits the agreement-vs-full curve — counts exact
+    // ints, the fraction a one-shot divide. Declared-exact baseline
+    // (the d06 family); at scale the same curve runs on the d07/d15
+    // candidate stream instead of all pairs.
+    "d82_mrl_truncation" -> { (s, dir) =>
+      val dims = Seq(64, 32, 16, 8)
+      def pnorm(qc: String, d: Int) =
+        s"greatest(aggregate(slice($qc, 1, $d), CAST(0 AS LONG), (acc, x) -> acc + x * x), CAST(1 AS LONG))"
+      val q0 = Corpus.qvecs(s, dir).select(col("vec_id"), col("q"))
+      val a = q0.toDF("a_id", "qa")
+      val b = q0.toDF("b_id", "qb")
+      val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          explode(array(dims.map { d =>
+            struct(lit(d).as("dim"),
+              (DotLong(expr(s"slice(qa, 1, $d)"), expr(s"slice(qb, 1, $d)")).cast("double")
+                / (sqrt(expr(pnorm("qa", d)).cast("double"))
+                  * sqrt(expr(pnorm("qb", d)).cast("double")))).as("cosd"))
+          }: _*)).as("e"))
+        .select(col("a_id"), col("b_id"), col("e.dim").as("dim"), col("e.cosd").as("cosd"))
+      val winners = graft.plans.TopK.perGroup(scored,
+          Seq("dim", "a_id"), Seq(("cosd", true), ("b_id", false)), k = 1, rankName = "rn")
+        .select("dim", "a_id", "b_id")
+      val base = winners.filter(col("dim") === 64)
+        .select(col("a_id"), col("b_id").as("b_full"))
+      winners.join(base, Seq("a_id"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("b_id") === col("b_full"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("agreement", col("n_agree").cast("double") / col("n_queries"))
+        .orderBy(col("dim").desc)
+    },
+
     // LSH ANN: L tables × lshBits(n) sign-projection bits; candidates
     // equi-join per (table, bucket), union-distinct, then top-3 via
     // TopKPerGroup (x04) — the partial prunes the scored candidate
@@ -1338,6 +1382,26 @@ object Similarity {
          |  CAST(sum(d) AS BIGINT) AS recon_err,
          |  CAST(sum(n) AS BIGINT) AS recon_norm2
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    "d82_mrl_truncation" -> (Corpus.qtabCte +
+      """, dims AS (SELECT CAST(unnest([64, 32, 16, 8]) AS INT) AS dim),
+        |pc AS (
+        |  SELECT d.dim, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(list_sum(list_transform(list_zip(a.q[1:d.dim], b.q[1:d.dim]), p -> p[1] * p[2])) AS DOUBLE)
+        |      / (sqrt(CAST(greatest(list_sum(list_transform(a.q[1:d.dim], x -> x * x)), 1) AS DOUBLE))
+        |         * sqrt(CAST(greatest(list_sum(list_transform(b.q[1:d.dim], x -> x * x)), 1) AS DOUBLE))) AS cosd
+        |  FROM qtab a JOIN qtab b ON a.vec_id <> b.vec_id CROSS JOIN dims d),
+        |win AS (
+        |  SELECT dim, a_id, b_id FROM (
+        |    SELECT dim, a_id, b_id, ROW_NUMBER() OVER (PARTITION BY dim, a_id
+        |      ORDER BY cosd DESC, b_id ASC) AS rn
+        |    FROM pc) t WHERE rn = 1),
+        |base AS (SELECT a_id, b_id AS b_full FROM win WHERE dim = 64)
+        |SELECT w.dim, count(1) AS n_queries,
+        |  CAST(sum(CASE WHEN w.b_id = base.b_full THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN w.b_id = base.b_full THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS agreement
+        |FROM win w JOIN base ON w.a_id = base.a_id
+        |GROUP BY w.dim ORDER BY dim DESC""".stripMargin),
 
     "d58_embed_coverage" ->
       """SELECT d.doc_id, d.lang, d.source FROM documents d

@@ -452,6 +452,44 @@ object TextAnalysis {
     // quality) joined per doc, then one bounded bin aggregate;
     // binning on exact cross-engine doubles keeps floor()
     // deterministic.
+    // Quality-bar YIELD CURVE — the threshold sweep run before fixing
+    // the corpus quality cutoff, completing the tuning-curve family
+    // across all three filter axes (d71 prices the Jaccard cutoff,
+    // d68 the ANN nprobe, this the d09/d21 quality bar): at τ ∈
+    // {0.05, 0.10, 0.20, 0.30}, how many documents and tokens survive,
+    // and how near-dup-exposed is the surviving set (does the quality
+    // bar ALSO do dedup's job — d77's correlation question asked as
+    // an actionable per-cutoff trade)? Two cheap passes (the d77
+    // shape: quality+tokens on one corpus scan, dup membership priced
+    // on the signature pass), then every doc fans to the 4 bounded
+    // threshold rows and ONE conditional aggregate emits the whole
+    // curve — the sweep never re-scans. Counts exact ints, fractions
+    // one-shot divides.
+    "d83_quality_curve" -> { (s, dir) =>
+      val sigW = Window.partitionBy("band", "sig")
+      val dup = Dedup.bandSigs(s, dir)
+        .withColumn("bn", count(lit(1)).over(sigW))
+        .groupBy("doc_id")
+        .agg(max(when(col("bn") > 1, 1L).otherwise(0L)).as("is_dup"))
+      val perDoc = qualityCols(Corpus.docs(s, dir))
+        .select(col("doc_id"), col("quality"),
+          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      perDoc
+        .select(col("quality"), col("n_tokens"), col("is_dup"),
+          explode(array(lit(0.05), lit(0.10), lit(0.20), lit(0.30))).as("t"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality") >= col("t"), 1L).otherwise(0L)).as("docs_kept"),
+          sum(when(col("quality") >= col("t"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+          sum(when(col("quality") >= col("t"), col("is_dup")).otherwise(0L)).as("dup_kept"))
+        .withColumn("keep_frac", col("docs_kept").cast("double") / col("n_docs"))
+        .withColumn("dup_rate_kept",
+          col("dup_kept").cast("double") / greatest(col("docs_kept"), lit(1L)))
+        .orderBy("t")
+    },
+
     "d77_quality_dup_corr" -> { (s, dir) =>
       val sigW = Window.partitionBy("band", "sig")
       val dup = Dedup.bandSigs(s, dir)
@@ -959,6 +997,33 @@ object TextAnalysis {
          |JOIN raws r ON r.doc_id = d.doc_id
          |LEFT JOIN dup ON dup.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY d.source""".stripMargin),
+
+    "d83_quality_curve" -> (Dedup.bandSigsCte +
+      s""", dup AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS is_dup
+         |  FROM (SELECT doc_id, count(1) OVER (PARTITION BY band, sig) AS bn FROM sig) t
+         |  GROUP BY 1),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_filter(ws, w -> list_contains($enStopSqlList, w))) AS DOUBLE)
+         |      / greatest(len(ws), 1)
+         |    - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)
+         |    + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    COALESCE(dup.is_dup, 0) AS is_dup
+         |  FROM docs d LEFT JOIN dup ON d.doc_id = dup.doc_id),
+         |th AS (SELECT unnest(CAST([0.05, 0.10, 0.20, 0.30] AS DOUBLE[])) AS t)
+         |SELECT th.t, count(1) AS n_docs,
+         |  CAST(sum(CASE WHEN sc.quality >= th.t THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |  CAST(sum(CASE WHEN sc.quality >= th.t THEN sc.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(CASE WHEN sc.quality >= th.t THEN sc.is_dup ELSE 0 END) AS BIGINT) AS dup_kept,
+         |  CAST(sum(CASE WHEN sc.quality >= th.t THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS keep_frac,
+         |  CAST(sum(CASE WHEN sc.quality >= th.t THEN sc.is_dup ELSE 0 END) AS DOUBLE)
+         |    / greatest(sum(CASE WHEN sc.quality >= th.t THEN 1 ELSE 0 END), 1) AS dup_rate_kept
+         |FROM sc CROSS JOIN th
+         |GROUP BY th.t ORDER BY th.t""".stripMargin),
 
     "d77_quality_dup_corr" -> (Dedup.bandSigsCte +
       s""", dup AS (

@@ -1586,6 +1586,54 @@ class OperatorSpec extends SparkSpec {
     assert(rows.length >= 3 && wantDups > 0)
   }
 
+  test("d83 quality curve: monotone in the bar, totals constant, dup mass ties to d77") {
+    // (t, n_docs, docs_kept, tokens_kept, dup_kept, keep_frac, dup_rate_kept)
+    val rows = SparkEntry.queries("d83_quality_curve")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nDocs = graft.model.Corpus.docs(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nDocs, "every threshold row sees the whole corpus")
+      assert(r.getLong(4) <= r.getLong(2), "dup_kept exceeds docs_kept")
+      assert(r.getDouble(5) == r.getLong(2).toDouble / r.getLong(1))
+      assert(r.getDouble(6) == r.getLong(4).toDouble / math.max(r.getLong(2), 1L))
+    }
+    // raising the bar never keeps more of anything
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(0) < hi.getDouble(0), "thresholds out of order")
+        assert(lo.getLong(2) >= hi.getLong(2), "docs_kept not monotone")
+        assert(lo.getLong(3) >= hi.getLong(3), "tokens_kept not monotone")
+        assert(lo.getLong(4) >= hi.getLong(4), "dup_kept not monotone")
+      case _ =>
+    }
+    // the curve must discriminate at this SF (a flat curve prices nothing)
+    assert(rows.map(_.getLong(2)).distinct.length >= 2,
+      "quality bar never bites — fixture does not discriminate")
+    // dup exposure is d77's membership mass restricted by the bar:
+    // at the lowest bar it can never exceed the corpus-wide dup mass
+    val totalDups = SparkEntry.queries("d77_quality_dup_corr")(spark, sf)
+      .collect().map(_.getLong(2)).sum
+    assert(rows.head.getLong(4) <= totalDups)
+  }
+
+  test("d82 MRL truncation: full-dim row is exact agreement 1.0 and the curve is lawful") {
+    // (dim, n_queries, n_agree, agreement)
+    val rows = SparkEntry.queries("d82_mrl_truncation")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(64, 32, 16, 8), s"dims: ${rows.mkString(",")}")
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs, "every budget ranks every query")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // the 64-dim row IS the baseline: agreement exactly 1
+    assert(rows.head.getLong(2) == rows.head.getLong(1), "full-dim row must self-agree")
+    // truncation must cost something at SOME budget on this fixture
+    // (near-random vectors lose neighbor identity as dims drop)
+    assert(rows.last.getLong(2) < rows.last.getLong(1),
+      "8-dim truncation lost nothing — fixture cannot price the trade")
+  }
+
   test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
     // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
     val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()

@@ -222,7 +222,13 @@ class PlanAuditSpec extends SparkSpec {
       // d81: the same single query-side scan; shortlist refine joins
       // the id-keyed postings ARTIFACT (broadcast shortlist side),
       // never the embeddings table
-      "d81_ivfpq_rerank" -> (0, 1))
+      "d81_ivfpq_rerank" -> (0, 1),
+      // d82: the d06 exact-pair shape (a side + broadcast b side);
+      // all four dimension budgets ride the one pair pass
+      "d82_mrl_truncation" -> (0, 2),
+      // d83: the d77 shape — quality+token pass + the signature pass;
+      // the 4-threshold sweep is a bounded explode, never a re-scan
+      "d83_quality_curve" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
