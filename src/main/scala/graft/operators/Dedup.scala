@@ -195,7 +195,53 @@ object Dedup {
     docs.groupBy(md5(col("norm")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_docs"))
 
+  /** Shared prefix-key projection — the d85 batch audit and the s33
+    * streaming probe must key templates identically, so the prefix
+    * definition lives once: first 8 NORMALIZED words, docs with ≥8
+    * words only (shorter docs can't carry a meaningful template
+    * head). Defined over any frame with (doc_id, text, lang, source). */
+  private[operators] def prefixKeys(df: DataFrame): DataFrame =
+    Corpus.normalized(df)
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", slice(col("ws"), 1, 8)).as("prefix"))
+
+  /** DuckDB twin of [[prefixKeys]], appendable after docsCte. */
+  private[operators] val prefixKeysCte: String =
+    """, pref AS (
+      |  SELECT doc_id, lang, source,
+      |    array_to_string(ws[1:8], ' ') AS prefix
+      |  FROM docs WHERE len(ws) >= 8
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TEMPLATE-PREFIX clusters — boilerplate/template page detection
+    // by shared document HEAD (the "same page skeleton, different
+    // fill" shape crawled corpora are full of: listing pages, error
+    // pages, mirrors): docs sharing their first 8 normalized words
+    // form a template cluster. Near-dup docs share heads too, so the
+    // report overlaps d04 — the point is the PRICE: ONE shuffle on
+    // the prefix string (d01's exact-dedup cost, no shingles, no
+    // signatures, no pair stream), which makes it the cheapest
+    // template triage there is and the first pass a crawl pipeline
+    // runs. Per cluster: size, source/lang spread (a template
+    // spanning many sources is a mirror; one source is a site
+    // skeleton), keeper = min doc_id. Distinct-count spread rides
+    // the same single aggregation (two-phase Expand). The prefix key
+    // is d01-skew-shaped (one hot key possible — the empty-ish
+    // template); AQE skew handling is pinned for this family in
+    // SkewSpec.
+    "d85_template_prefix" -> { (s, dir) =>
+      prefixKeys(Corpus.docs(s, dir))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("prefix"))
+    },
 
     // Dedup-yield THRESHOLD CURVE — the tuning sweep run before fixing
     // a near-dup cutoff (d68's nprobe curve, asked of the text side):
@@ -422,6 +468,14 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d85_template_prefix" -> (Corpus.docsCte + prefixKeysCte +
+      """SELECT prefix, count(1) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(doc_id) AS keep_doc
+        |FROM pref GROUP BY prefix HAVING count(1) > 1
+        |ORDER BY n_docs DESC, prefix""".stripMargin),
+
     "d71_dedup_curve" -> (Corpus.docsCte +
       """, sizes AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1),
         |pj AS (

@@ -828,6 +828,44 @@ object Similarity {
         .orderBy("a_id", "rn")
     },
 
+    // EMBEDDING OUTLIER AUDIT — the data-quality sweep a vector
+    // corpus runs before indexing: vectors anomalously FAR from their
+    // own cell's center (corrupt encodes, wrong-modality rows, zeroed
+    // payloads) poison k-means refinement and recall measurements
+    // alike. Flags vec_id whose center distance d² exceeds its cell's
+    // mean + 2σ — computed EXACTLY: with per-cell n, S=Σd², SS=Σ(d²)²,
+    // the flag is (n·d² − S) > 0 AND (n·d² − S)² > 4(n·SS − S²), the
+    // z-test cross-multiplied so no mean/stddev division ever happens
+    // (sums as DECIMAL(38,0) in Spark / HUGEINT in DuckDB — b29's
+    // 128-bit trick; (d²)² alone overflows a long at this grid).
+    // Rides d15's index build: assignment is the shuffle-free
+    // broadcast fold, stats are ONE √n-row aggregate joined back
+    // broadcast — the vector stream never shuffles. At 100 TB this
+    // audit is a free rider on the nightly index job.
+    "d87_embed_outliers" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val cents1 = refinedCents(s, q, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the assignment feeds both the stats aggregate and the per-row
+      // flag — materialize once (d15's reasoning; there is no exchange
+      // between scan and assignment for reuse to latch onto)
+      val ass = assignTop2(q, cents1)
+        .select(col("vec_id"), col("cell1").as("cell"), col("dist1").as("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = ass.groupBy("cell")
+        .agg(count(lit(1)).as("n_cell"),
+          sum(col("d2").cast("decimal(38,0)")).as("s1"),
+          sum(col("d2").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)")).as("s2"))
+      val nd = col("n_cell").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)")
+      val excess = nd - col("s1")
+      ass.join(broadcast(stats), Seq("cell"))
+        .filter(excess > lit(0) &&
+          excess * excess > lit(4) * (col("n_cell").cast("decimal(19,0)") * col("s2") - col("s1") * col("s1")))
+        .select(col("vec_id"), col("cell"), col("d2"), col("n_cell"))
+        .orderBy("vec_id")
+    },
+
     // IVF probe against the PERSISTED index — the build-once/probe-many
     // split d15 demonstrates in one plan: the expensive clustering (the
     // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
@@ -1283,6 +1321,28 @@ object Similarity {
          |FROM ranked WHERE rn <= 2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   private val oracle0: Map[String, String] = Map(
+    "d87_embed_outliers" -> (ivfCents1Cte +
+      s""", ass AS (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT q.vec_id, ce.c AS cell,
+         |      ${duckSqDist.format("q.q", "ce.cv")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1 ce) t
+         |  WHERE rn = 1),
+         |st AS (
+         |  SELECT cell, count(1) AS n_cell,
+         |    sum(CAST(d2 AS HUGEINT)) AS s1,
+         |    sum(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS s2
+         |  FROM ass GROUP BY cell)
+         |SELECT a.vec_id, a.cell, a.d2, st.n_cell
+         |FROM ass a JOIN st USING (cell)
+         |WHERE CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) > st.s1
+         |  AND (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
+         |      * (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
+         |      > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)
+         |ORDER BY a.vec_id""".stripMargin),
+
     "d06_cosine_topk" -> (Corpus.qtabCte +
       s"""SELECT a_id, b_id, rn, cos FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -20,6 +20,12 @@ object TextAnalysis {
   /** Per-language stopword lexicon, langs in tie-break (alphabetical)
     * order. The lexicon is a compile-time constant, so language scoring
     * is a pure per-row projection — no explode, no join, no shuffle. */
+  /** d84's query-term catalog — a bounded literal set standing in for
+    * the term lists a retrieval deployment broadcasts; shared verbatim
+    * with the DuckDB oracle. */
+  private val bm25Terms: Seq[String] =
+    Seq("customer", "filter", "join", "stream", "vector", "window")
+
   private val langWords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
@@ -196,6 +202,37 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ZIPF HEAD CURVE — rank-frequency over the top-100 terms by
+    // corpus frequency, with each rank's share and the CUMULATIVE
+    // share of the head: the "how head-heavy is this corpus" panel
+    // that sizes tokenizer vocabularies and stopword lists (a head
+    // covering 60% of tokens in 100 terms is a very different
+    // tokenization problem from one covering 5%). d16 ranks by
+    // DOCUMENT frequency (which docs to prune); this ranks by TOKEN
+    // mass (where the token budget goes). One word-keyed aggregate
+    // (the d16 shuffle), top-100 via TakeOrderedAndProject (no
+    // global sort), total-token scalar from the SAME aggregated
+    // frame (exchange reuse, not a second corpus scan), and the
+    // running head-mass is a window over the bounded 100 rows.
+    // Shares divide exact longs → bit-identical doubles.
+    "d86_zipf_curve" -> { (s, dir) =>
+      val cf = Corpus.docs(s, dir)
+        .select(explode(col("ws")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cf"))
+      val tot = cf.agg(sum(col("cf")).as("total"))
+      val top = cf.orderBy(col("cf").desc, col("w").asc).limit(100)
+      val rw = Window.orderBy(col("cf").desc, col("w").asc)
+      top.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .withColumn("cum_cf",
+          sum(col("cf")).over(rw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("w"), col("cf"),
+          (col("cf").cast("double") / col("total").cast("double")).as("share"),
+          (col("cum_cf").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy("rnk")
+    },
+
     // Language ID: stopword-lexicon scoring, argmax lang per doc
     // ('und' when nothing matches). Entirely per-row — one scan, zero
     // shuffles: each language's score is size(filter(ws, ...)) against
@@ -287,6 +324,54 @@ object TextAnalysis {
           Seq("doc_id"), Seq(("score", true), ("w", false)), k = 3, rankName = "rn")
         .select("doc_id", "w", "tf", "df", "score", "rn")
         .orderBy("doc_id", "rn")
+    },
+
+    // BM25 RETRIEVAL — the lexical-search baseline every retrieval
+    // pipeline (and every RAG evaluation) starts from: top-5 docs per
+    // query term under BM25 (k1=1.2, b=0.75), with the RATIONAL idf
+    // variant (N−df+0.5)/(df+0.5) — log() is not bit-stable across
+    // engines' libm (d19's finding) and is monotone, so per-term
+    // rankings are IDENTICAL to the log form; only the absolute
+    // scores differ, and the emitted score is then a pure function of
+    // exact integers through IEEE +,*,/ → bit-identical cross-engine.
+    // ONE token pass carries tf AND dl (doc length rides the explode,
+    // so no per-doc join back); df derives from the tf frame (d19's
+    // exchange-reuse derivation — the tf >= 1 filter keeps the
+    // subtrees shared); N and avgdl come from one corpus-stats scalar
+    // (a second, column-pruned scan) broadcast into the score. Top-5
+    // per term runs on TopKPerGroup (x04): the map-side partial keeps
+    // ≤5 rows per term per partition, so the rank exchange carries
+    // ~terms×5×partitions rows however large the corpus. The query
+    // catalog is a bounded literal set — at 100 TB the same plan
+    // serves any term list that fits a broadcast.
+    "d84_bm25" -> { (s, dir) =>
+      val docs = Corpus.docs(s, dir)
+      val dlCol = size(filter(col("ws"), w => w =!= "")).cast("long")
+      val toks = docs
+        .select(col("doc_id"), dlCol.as("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(bm25Terms: _*))
+      val tf = toks.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      // both predicates are trivially true; they keep tf AND dl
+      // referenced so column pruning cannot diverge the two tf-agg
+      // subtrees — diverged subtrees lose exchange reuse and the
+      // token pass runs twice (d19's finding, extended: max(dl) must
+      // survive in BOTH copies for the exchanges to be identical)
+      val dfreq = tf.filter(col("tf") >= 1 && col("dl") >= 1)
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(dlCol).as("sum_dl"))
+      val scored = tf.join(dfreq, Seq("w"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * (col("dl").cast("double") * col("n_docs").cast("double") / col("sum_dl").cast("double")))))
+      graft.plans.TopK.perGroup(scored,
+          Seq("w"), Seq(("score", true), ("doc_id", false)), k = 5, rankName = "rn")
+        .select("w", "doc_id", "tf", "dl", "df", "score", "rn")
+        .orderBy("w", "rn")
     },
 
     // KMV (k-minimum-values) distinct-count sketch: est = (k−1)·2³²/h_k
@@ -796,6 +881,19 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "d86_zipf_curve" -> (Corpus.docsCte +
+      """, cf AS (
+        |  SELECT w, count(1) AS cf
+        |  FROM (SELECT unnest(ws) AS w FROM docs) t
+        |  WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT sum(cf) AS total FROM cf),
+        |top AS (SELECT w, cf FROM cf ORDER BY cf DESC, w LIMIT 100)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS rnk, w, cf,
+        |  CAST(cf AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(sum(cf) OVER (ORDER BY cf DESC, w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS cum_share
+        |FROM top CROSS JOIN tot ORDER BY rnk""".stripMargin),
+
     "d08_langid" -> (Corpus.docsCte + {
       val scExprs = langWords.map { case (lang, ws) =>
         val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -847,6 +945,32 @@ object TextAnalysis {
         |  (SELECT DISTINCT doc_id, w FROM
         |    (SELECT doc_id, unnest(ws) AS w FROM docs) u) t
         |GROUP BY w ORDER BY doc_freq DESC, w ASC LIMIT 20""".stripMargin),
+
+    "d84_bm25" -> (Corpus.docsCte + {
+      val termList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s""", toks AS (
+         |  SELECT doc_id, CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS dl,
+         |    unnest(ws) AS w
+         |  FROM docs),
+         |tf AS (
+         |  SELECT doc_id, w, count(1) AS tf, max(dl) AS dl
+         |  FROM toks WHERE w IN $termList GROUP BY doc_id, w),
+         |dfq AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
+         |st AS (SELECT count(1) AS n_docs,
+         |  sum(CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT)) AS sum_dl FROM docs),
+         |sc AS (
+         |  SELECT tf.w, tf.doc_id, tf.tf, tf.dl, dfq.df,
+         |    ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(tf.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE) / CAST(st.sum_dl AS DOUBLE)))) AS score
+         |  FROM tf JOIN dfq USING (w) CROSS JOIN st)
+         |SELECT w, doc_id, tf, dl, df, score, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM sc) t
+         |WHERE rn <= 5 ORDER BY w, rn""".stripMargin
+    }),
 
     "d19_tfidf" -> (Corpus.docsCte +
       """, wa AS (SELECT doc_id, unnest(ws) AS w FROM docs),

@@ -1634,6 +1634,97 @@ class OperatorSpec extends SparkSpec {
       "8-dim truncation lost nothing — fixture cannot price the trade")
   }
 
+  test("d84 BM25: ranks lawful per term, score recomputes from exact counts") {
+    // (w, doc_id, tf, dl, df, score, rn)
+    val rows = SparkEntry.queries("d84_bm25")(spark, sf).collect()
+    val byTerm = rows.groupBy(_.getString(0))
+    assert(byTerm.size == 6, s"terms: ${byTerm.keySet}")
+    byTerm.values.foreach { g =>
+      val rns = g.map(r => r.getInt(6)).sorted
+      assert(rns.sameElements(1 to g.length), "rn not contiguous from 1")
+      val byRn = g.sortBy(_.getInt(6)).map(_.getDouble(5))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b },
+        "scores not non-increasing in rank")
+    }
+    // independent recount: N, sum_dl, df per term, and the score formula
+    val docs = graft.model.Corpus.docs(spark, sf)
+      .select(col("doc_id"), expr("size(filter(ws, x -> x != ''))").cast("long").as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.size.toDouble
+    val sumDl = docs.values.sum.toDouble
+    rows.foreach { r =>
+      val (tf, dl, df) = (r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble)
+      assert(dl == docs(r.getLong(1)).toDouble, "dl is not the doc's token count")
+      val want = ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl * n / sumDl)))
+      assert(r.getDouble(5) == want, s"score law broken at $r")
+    }
+  }
+
+  test("d85 template prefixes: exact recount, every cluster >= 2, keeper is min") {
+    // (prefix, n_docs, n_sources, n_langs, keep_doc)
+    val rows = SparkEntry.queries("d85_template_prefix")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has no template clusters")
+    val truth = graft.model.Corpus.docs(spark, sf)
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat_ws(" ", slice(col("ws"), 1, 8)).as("p"))
+      .collect().groupBy(_.getString(3))
+      .filter(_._2.length > 1)
+    assert(rows.length == truth.size, "cluster count differs from recount")
+    rows.foreach { r =>
+      val g = truth(r.getString(0))
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(2) == g.map(_.getString(1)).distinct.length)
+      assert(r.getLong(3) == g.map(_.getString(2)).distinct.length)
+      assert(r.getLong(4) == g.map(_.getLong(0)).min, "keeper is not min doc_id")
+    }
+  }
+
+  test("d86 zipf head: ranks contiguous, cf non-increasing, share laws exact") {
+    // (rnk, w, cf, share, cum_share)
+    val rows = SparkEntry.queries("d86_zipf_curve")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length), "rnk gap")
+    val cfs = rows.map(_.getLong(2))
+    assert(cfs.zip(cfs.tail).forall { case (a, b) => a >= b }, "cf not sorted")
+    val total = graft.model.Corpus.docs(spark, sf)
+      .select(expr("size(filter(ws, x -> x != ''))").cast("long").as("n"))
+      .collect().map(_.getLong(0)).sum
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / total, "share law")
+      assert(r.getDouble(4) == cum.toDouble / total, "cum_share law")
+    }
+    assert(rows.last.getDouble(4) <= 1.0)
+  }
+
+  test("d87 embed outliers: flag set equals the exact BigInt z-test recount") {
+    // (vec_id, cell, d2, n_cell)
+    val rows = SparkEntry.queries("d87_embed_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture produced no outliers — audit proves nothing")
+    // independent recount: rebuild the assignment, do the stats in
+    // driver-side BigInt (no decimal machinery shared with the query)
+    val q = graft.model.Corpus.qvecs(spark, sf)
+    val n = graft.sources.Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    val ass = graft.operators.Similarity.assignTop2(
+        q, graft.operators.Similarity.refinedCents(spark, q, n))
+      .select(col("vec_id"), col("cell1"), col("dist1"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = ass.groupBy(_._2)
+    val want = ass.filter { case (_, c, d2) =>
+      val g = byCell(c)
+      val nn = BigInt(g.length)
+      val s1 = g.map(x => BigInt(x._3)).sum
+      val s2 = g.map(x => BigInt(x._3) * BigInt(x._3)).sum
+      val ex = nn * BigInt(d2) - s1
+      ex > 0 && ex * ex > 4 * (nn * s2 - s1 * s1)
+    }.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == want, "flag set differs from recount")
+    rows.foreach { r => assert(byCell(r.getInt(1)).length == r.getLong(3)) }
+  }
+
   test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
     // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
     val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()

@@ -228,7 +228,18 @@ class PlanAuditSpec extends SparkSpec {
       "d82_mrl_truncation" -> (0, 2),
       // d83: the d77 shape — quality+token pass + the signature pass;
       // the 4-threshold sweep is a bounded explode, never a re-scan
-      "d83_quality_curve" -> (2, 0))
+      "d83_quality_curve" -> (2, 0),
+      // d84: one token pass carrying tf AND dl (df derives from the
+      // tf exchange, d19's reuse) + one column-pruned stats scalar
+      "d84_bm25" -> (2, 0),
+      // d85: template triage is ONE prefix-keyed shuffle — d01's cost
+      "d85_template_prefix" -> (1, 0),
+      // d86: the word-frequency exchange feeds BOTH the top-100 and
+      // the total-token scalar (exchange reuse, no second scan)
+      "d86_zipf_curve" -> (1, 0),
+      // d87: d15's index-build shape — refine pass + assignment pass;
+      // the stats join is broadcast, the vector stream never re-scans
+      "d87_embed_outliers" -> (0, 2))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },

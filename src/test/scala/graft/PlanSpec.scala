@@ -350,9 +350,11 @@ class PlanSpec extends SparkSpec {
       .filter(name => quadratic(SparkEntry.queries(name)(spark, sf)))
     // d06 is the declared-exact brute-force baseline; d74 is the
     // leave-one-out eval BUILT on that baseline (the recall/eval side
-    // must be exact — ANN-evaluating-ANN proves nothing). Everything
-    // else must route through LSH/IVF candidates.
-    assert(offenders == Seq("d06_cosine_topk", "d74_knn_eval"),
+    // must be exact — ANN-evaluating-ANN proves nothing); d82 is the
+    // truncation EVAL, which must rank against exact full-dim truth
+    // for the same reason. Everything else must route through
+    // LSH/IVF candidates.
+    assert(offenders == Seq("d06_cosine_topk", "d74_knn_eval", "d82_mrl_truncation"),
       s"quadratic embeddings pairing in: $offenders")
   }
 
