@@ -200,14 +200,14 @@ object Dedup {
     * definition lives once: first 8 NORMALIZED words, docs with ≥8
     * words only (shorter docs can't carry a meaningful template
     * head). Defined over any frame with (doc_id, text, lang, source). */
-  private[operators] def prefixKeys(df: DataFrame): DataFrame =
+  private[graft] def prefixKeys(df: DataFrame): DataFrame =
     Corpus.normalized(df)
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), col("lang"), col("source"),
         concat_ws(" ", slice(col("ws"), 1, 8)).as("prefix"))
 
   /** DuckDB twin of [[prefixKeys]], appendable after docsCte. */
-  private[operators] val prefixKeysCte: String =
+  private[graft] val prefixKeysCte: String =
     """, pref AS (
       |  SELECT doc_id, lang, source,
       |    array_to_string(ws[1:8], ' ') AS prefix

@@ -333,6 +333,18 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming template gate — d85's triage question asked at
+    // INGESTION: each arriving page's 8-word head probed against the
+    // already-ingested template index (stream-static broadcast,
+    // stateless per-row, append mode). Identical transform over the
+    // batch table; stream ≡ batch proven in EventStreamSpec.
+    "s33_stream_template" -> { (s, dir) =>
+      graft.streaming.DocStream.templateGate(
+          graft.streaming.DocStream.templateIndex(s, dir))(
+          Tables.documents(s, dir))
+        .orderBy("doc_id")
+    },
+
     // Streaming as-of lookup — the same broadcast SCD-2 probe the
     // streaming job runs (pre-intervalized dimension, stateless
     // per-row), applied to the batch table; stream ≡ batch in
@@ -619,6 +631,14 @@ object Streaming {
         |FROM toks, UNNEST(range(0, 4)) t(i)
         |GROUP BY 1, 2 ORDER BY i, cell""".stripMargin
     }),
+
+    "s33_stream_template" -> (graft.model.Corpus.docsCte
+      + graft.operators.Dedup.prefixKeysCte +
+      """, idx AS (SELECT DISTINCT prefix FROM pref WHERE doc_id % 3 = 0)
+        |SELECT p.doc_id, p.prefix,
+        |  (idx.prefix IS NOT NULL) AS is_template
+        |FROM pref p LEFT JOIN idx ON p.prefix = idx.prefix
+        |WHERE p.doc_id % 3 <> 0 ORDER BY p.doc_id""".stripMargin),
 
     "s24_stream_url" ->
       """WITH urls AS (

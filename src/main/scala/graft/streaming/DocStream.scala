@@ -118,6 +118,33 @@ object DocStream {
       .distinct()
   }
 
+  /** s33's static side — the known-template index: distinct 8-word
+    * prefixes of the already-ingested partition (every 3rd doc, the
+    * s10/tileIndex convention). At 100 TB this is the materialized
+    * template catalog the crawl fleet shares; prefix keys come from
+    * the SAME projection d85 audits with ([[graft.operators.Dedup
+    * .prefixKeys]]) so batch triage and live gate can never drift. */
+  def templateIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.prefixKeys(
+        graft.sources.Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0))
+      .select("prefix").distinct()
+
+  /** s33 — the streaming TEMPLATE gate: each arriving page's 8-word
+    * head is computed per-row (stateless) and probed against the
+    * broadcast template index — d85's triage question asked at
+    * ingestion, BEFORE the page pays shingling or signature cost.
+    * Stream-static left join, append mode: no state store, no
+    * watermark, no shuffle at any corpus rate. Docs under 8 words
+    * carry no template head and pass through ungated (they are not
+    * emitted — the d85 eligibility rule, shared via prefixKeys). */
+  def templateGate(index: DataFrame)(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.prefixKeys(docs.filter(col("doc_id") % 3 =!= 0))
+      .join(broadcast(index.withColumn("hit", lit(true))),
+        Seq("prefix"), "left")
+      .select(col("doc_id"), col("prefix"),
+        coalesce(col("hit"), lit(false)).as("is_template"))
+
   /** s10's static side — the known-boilerplate index: distinct tile
     * hashes of the already-ingested partition (every 3rd doc plays
     * that role). At 100 TB this is the materialized dedup index the

@@ -209,6 +209,22 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming template gate equals the batch decision") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s33_test",
+      DocStream.templateGate(DocStream.templateIndex(spark, sf)), mode = "append")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s33_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s33_stream_template")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the gate must discriminate: known templates AND fresh heads both
+    // arrive (the near-dup fixture spans the %3 partition split)
+    assert(batch.exists(_.getBoolean(2)) && batch.exists(!_.getBoolean(2)))
+    // no already-ingested doc leaks into the gated stream
+    assert(batch.forall(_.getLong(0) % 3 != 0))
+  }
+
   test("streaming shard packer equals the batch per-bucket prefix twin") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s32_test",

@@ -430,6 +430,8 @@ class PlanAuditSpec extends SparkSpec {
       "s23_stream_cms" -> Map("documents" -> 1),
       // s24: the arriving stream + the ingested-index side
       "s24_stream_url" -> Map("documents" -> 2),
+      // s33: template-index build scan + the arriving-docs scan
+      "s33_stream_template" -> Map("documents" -> 2),
       // s25: one corpus scan through the per-source prefix-sum window
       "s25_stream_budget" -> Map("documents" -> 1),
       // s32: one corpus scan through the per-bucket prefix-sum window
