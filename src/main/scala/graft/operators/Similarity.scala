@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.DotLong
+import graft.functions.{DotLong, PrefixDotsLong}
 import graft.model.Corpus
 
 /** §2.C d06/d07/d12/d13/d15 — similarity search over embeddings.
@@ -599,19 +599,24 @@ object Similarity {
     // (the d06 family); at scale the same curve runs on the d07/d15
     // candidate stream instead of all pairs.
     "d82_mrl_truncation" -> { (s, dir) =>
-      val dims = Seq(64, 32, 16, 8)
-      def pnorm(qc: String, d: Int) =
-        s"greatest(aggregate(slice($qc, 1, $d), CAST(0 AS LONG), (acc, x) -> acc + x * x), CAST(1 AS LONG))"
+      val cuts = Seq(8, 16, 32, 64)
+      // prefix norms are a PER-VECTOR property — computed once per row
+      // on each join side (the first formulation re-derived them per
+      // PAIR via slice+aggregate: 131 s at sf0.1; this shape runs the
+      // same exact math in 2.5 s). Both norms and pair dots ride the
+      // segmented single-loop kernel (PrefixDotsLong).
       val q0 = Corpus.qvecs(s, dir).select(col("vec_id"), col("q"))
-      val a = q0.toDF("a_id", "qa")
-      val b = q0.toDF("b_id", "qb")
+        .withColumn("pn", PrefixDotsLong(col("q"), col("q"), cuts))
+      val a = q0.select(col("vec_id").as("a_id"), col("q").as("qa"), col("pn").as("pna"))
+      val b = q0.select(col("vec_id").as("b_id"), col("q").as("qb"), col("pn").as("pnb"))
       val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("pd", PrefixDotsLong(col("qa"), col("qb"), cuts))
         .select(col("a_id"), col("b_id"),
-          explode(array(dims.map { d =>
+          explode(array(cuts.zipWithIndex.map { case (d, k) =>
             struct(lit(d).as("dim"),
-              (DotLong(expr(s"slice(qa, 1, $d)"), expr(s"slice(qb, 1, $d)")).cast("double")
-                / (sqrt(expr(pnorm("qa", d)).cast("double"))
-                  * sqrt(expr(pnorm("qb", d)).cast("double")))).as("cosd"))
+              (element_at(col("pd"), k + 1).cast("double")
+                / (sqrt(greatest(element_at(col("pna"), k + 1), lit(1L)).cast("double"))
+                  * sqrt(greatest(element_at(col("pnb"), k + 1), lit(1L)).cast("double")))).as("cosd"))
           }: _*)).as("e"))
         .select(col("a_id"), col("b_id"), col("e.dim").as("dim"), col("e.cosd").as("cosd"))
       val winners = graft.plans.TopK.perGroup(scored,

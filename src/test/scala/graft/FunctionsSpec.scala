@@ -119,6 +119,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("PrefixDotsLong equals per-cut slice dots, interpreted and codegen") {
+    val cuts = Seq(8, 16, 32, 64)
+    val q = graft.model.Corpus.qvecs(spark, sf).limit(40)
+      .select(col("vec_id"), col("q"))
+    val a = q.toDF("a_id", "qa")
+    val b = q.toDF("b_id", "qb")
+    val df = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("pd", graft.functions.PrefixDotsLong(col("qa"), col("qb"), cuts))
+    val withSlices = cuts.zipWithIndex.foldLeft(df) { case (d, (c, k)) =>
+      d.withColumn(s"e$k",
+        graft.functions.DotLong(expr(s"slice(qa, 1, $c)"), expr(s"slice(qb, 1, $c)")))
+    }
+    withSlices.collect().foreach { r =>
+      val pd = r.getSeq[Long](r.fieldIndex("pd"))
+      cuts.indices.foreach { k =>
+        assert(pd(k) == r.getLong(r.fieldIndex(s"e$k")), s"cut ${cuts(k)} differs")
+      }
+    }
+    // x == y yields the prefix norms (the d82 per-vector hoist)
+    val selfRows = q.withColumn("pn",
+        graft.functions.PrefixDotsLong(col("q"), col("q"), cuts))
+      .withColumn("n64", graft.functions.DotLong(col("q"), col("q")))
+      .collect()
+    selfRows.foreach { r =>
+      val pn = r.getSeq[Long](r.fieldIndex("pn"))
+      assert(pn.last == r.getLong(r.fieldIndex("n64")))
+      assert(pn.zip(pn.tail).forall { case (x, y) => x <= y },
+        "prefix norms must be non-decreasing")
+    }
+  }
+
   test("null-element guard is emitted only for nullable-element arrays") {
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
