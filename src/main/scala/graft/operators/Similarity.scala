@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotLong, PrefixDotsLong}
+import graft.functions.{DotLong, PrefixDotsLong, SqDistLong}
 import graft.model.Corpus
 
 /** §2.C d06/d07/d12/d13/d15 — similarity search over embeddings.
@@ -181,6 +181,51 @@ object Similarity {
       assignTop2(Corpus.qvecs(s, dir), cents)
         .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
     }
+
+  /** The exact outlier z-test over (d2, n_cell, s1, s2) columns —
+    * "d² above its cell's mean + 2σ" cross-multiplied so no
+    * mean/stddev division ever happens: (n·d² − S) > 0 AND
+    * (n·d² − S)² > 4(n·SS − S²), sums carried as DECIMAL(38,0)
+    * ((d²)² alone overflows a long at this grid). ONE definition
+    * shared by the d87 batch audit and the s34 ingest gate, so audit
+    * and serving can never drift. */
+  private[graft] def outlierFlag: org.apache.spark.sql.Column = {
+    val excess = col("n_cell").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)") - col("s1")
+    excess > lit(0) &&
+      excess * excess > lit(4) * (col("n_cell").cast("decimal(19,0)") * col("s2") - col("s1") * col("s1"))
+  }
+
+  /** Persisted per-cell distance statistics (cell, n_cell, s1 = Σd²,
+    * s2 = Σ(d²)² as DECIMAL(38,0)) — the third index artifact: what a
+    * serving fleet loads next to the centroids to flag anomalous
+    * arrivals without touching the corpus. Derived from the postings
+    * (the indexed population), distances against the same refined
+    * centroids the postings were assigned to. */
+  private[graft] def annIndexCellStats(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_cell_stats", dir) {
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      denull(graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .join(broadcast(cents.select(col("c").as("cell"), col("cv"))), Seq("cell"))
+        .withColumn("d2", SqDistLong(col("q"), col("cv")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_cell"),
+          sum(col("d2").cast("decimal(38,0)")).as("s1"),
+          sum(col("d2").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)")).as("s2"))
+    }
+
+  /** s34 — the streaming OUTLIER gate: each arriving vector is
+    * assigned to its nearest index centroid (the s17 broadcast fold)
+    * and its center distance tested against the cell's persisted
+    * stats — d87's audit question asked at INGESTION, before a
+    * corrupt vector ever enters the index. Stateless per-row, no
+    * state store; the stats side is √n rows, broadcast. */
+  private[graft] def outlierGate(cents: DataFrame, stats: DataFrame)(
+      vecs: DataFrame): DataFrame =
+    assignTop2(vecs, denull(cents, "cv"))
+      .select(col("vec_id"), col("cell1").as("cell"), col("dist1").as("d2"))
+      .join(broadcast(stats), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("d2"), outlierFlag.as("is_outlier"))
 
   /** Persisted SQ8-COMPRESSED inverted lists (d53) — d32's max-abs
     * int8 quantization applied to the INDEX artifact, the FAISS
@@ -862,11 +907,8 @@ object Similarity {
         .agg(count(lit(1)).as("n_cell"),
           sum(col("d2").cast("decimal(38,0)")).as("s1"),
           sum(col("d2").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)")).as("s2"))
-      val nd = col("n_cell").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)")
-      val excess = nd - col("s1")
       ass.join(broadcast(stats), Seq("cell"))
-        .filter(excess > lit(0) &&
-          excess * excess > lit(4) * (col("n_cell").cast("decimal(19,0)") * col("s2") - col("s1") * col("s1")))
+        .filter(outlierFlag)
         .select(col("vec_id"), col("cell"), col("d2"), col("n_cell"))
         .orderBy("vec_id")
     },

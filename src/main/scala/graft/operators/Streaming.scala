@@ -166,6 +166,19 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Streaming outlier gate — d87's audit question asked at
+    // INGESTION: each arriving vector's center distance tested
+    // against the PERSISTED per-cell stats artifact (centroids +
+    // stats both load from the index, the corpus is never touched) —
+    // a corrupt vector is flagged before it enters the index.
+    // Stateless per-row, append mode; stream ≡ batch in AnnIndexSpec.
+    "s34_stream_outliers" -> { (s, dir) =>
+      val cents = graft.sources.IO.readParquet(s, Similarity.annIndexCents(s, dir))
+      val stats = graft.sources.IO.readParquet(s, Similarity.annIndexCellStats(s, dir))
+      Similarity.outlierGate(cents, stats)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("vec_id")
+    },
+
     // Streaming index maintenance — the d52 freshen decision made as
     // vectors ARRIVE: each micro-batch stream-static LEFT-ANTI-joins
     // its ids against the persisted inverted lists (the static side IS
