@@ -151,12 +151,20 @@ object Bench {
       case (acc, other) => Left(other) :: acc // non-standard id: literal token
     }.reverse.map { case Right(r) => r.render; case Left(t) => t }
       .mkString("\"", " ", "\"")
+    // "zzz" (= 46655) is the reserved CLAMPED sentinel: genuine times
+    // encode at most "zzy" (466.54 s), so bench_compare can surface
+    // ">=466.55s, clamped" instead of misreading a pathological
+    // regression (e.g. 30 min) as exactly 466.55 s — the '___'
+    // failed-marker idea applied to overflow.
     def base36cs(sec: Double): String =
       if (sec < 0) "___"
       else {
-        val cs = math.min(math.round(sec * 100), 46655L)
-        val s = java.lang.Long.toString(cs, 36)
-        "0" * (3 - s.length) + s
+        val cs = math.round(sec * 100)
+        if (cs >= 46655L) "zzz"
+        else {
+          val s = java.lang.Long.toString(cs, 36)
+          "0" * (3 - s.length) + s
+        }
       }
     val qv36 = results.map(r => base36cs(r._2._1)).mkString("\"", "", "\"")
     val total = results.map(_._2._1).filter(_ >= 0).sum

@@ -89,6 +89,12 @@ object Dedup {
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[operators] def bandSigsPersisted(s: SparkSession, dir: String): DataFrame = {
+    // Leak guard: drop entries owned by stopped sessions, so a
+    // long-lived JVM cycling SparkSessions never pins dead analyzed
+    // plans, and a stopped session's cached frame is never re-served.
+    // The map holds one entry per live (session, sf dir) — the sweep
+    // is O(entries) on a tiny map, not a hot-path cost.
+    sigMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val df = sigMemo.computeIfAbsent((s, dir), _ => bandSigs(s, dir))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1367,6 +1367,36 @@ object Similarity {
          |  max(CASE WHEN rn = 1 THEN d END) AS dist1
          |FROM ranked WHERE rn <= 2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** s34's DuckDB twin: d87's outlier audit asked per arriving vector —
+    * the SAME assignment + per-cell stats CTEs, but instead of
+    * FILTERING to flagged rows it emits every vector with its boolean
+    * verdict (an ingest gate decides for every arrival). The stats are
+    * rebuilt from the full assignment because the persisted cell-stats
+    * artifact is exact state over exactly that population (the
+    * d50 ← d15 sharing rationale). */
+  private[graft] def outlierGateSql: String =
+    ivfCents1Cte +
+      s""", ass AS (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT q.vec_id, ce.c AS cell,
+         |      ${duckSqDist.format("q.q", "ce.cv")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1 ce) t
+         |  WHERE rn = 1),
+         |st AS (
+         |  SELECT cell, count(1) AS n_cell,
+         |    sum(CAST(d2 AS HUGEINT)) AS s1,
+         |    sum(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS s2
+         |  FROM ass GROUP BY cell)
+         |SELECT a.vec_id, a.cell, a.d2,
+         |  (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) > st.s1
+         |   AND (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
+         |       * (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
+         |       > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)) AS is_outlier
+         |FROM ass a JOIN st USING (cell)
+         |ORDER BY a.vec_id""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (

@@ -504,6 +504,12 @@ object Streaming {
     // (stream-static anti-join against the same persisted index)
     "s18_stream_index_update" -> Similarity.oracle("d52_ann_index_update"),
 
+    // the ingest-side outlier verdict per arriving vector — d87's
+    // audit CTEs (assignment + per-cell stats), un-filtered: the SQL
+    // rebuilds the cell stats exactly as the persisted artifact holds
+    // them (same exact-state sharing rationale as s17 ← d50)
+    "s34_stream_outliers" -> Similarity.outlierGateSql,
+
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47
     "s19_stream_chunk" -> Curation.oracle("d48_doc_chunk"),

@@ -70,6 +70,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(streamed == batch, "streamed routing diverges from batch routing")
   }
 
+  test("streaming outlier gate (s34) equals the batch gate and the d87 audit") {
+    val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val stats = IO.readParquet(spark, Similarity.annIndexCellStats(spark, sf))
+    val q = VecStream.runToMemory(spark, sf, "graft_s34_test",
+      df => Similarity.outlierGate(cents, stats)(Corpus.qvecsOf(df)))
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s34_test").orderBy("vec_id"))
+    val batch = rows(SparkEntry.queries("s34_stream_outliers")(spark, sf))
+    assert(streamed == batch, "streamed outlier gate diverges from batch gate")
+    // the gate must discriminate: both verdicts occur on the fixture
+    val verdicts = spark.table("graft_s34_test")
+      .select("is_outlier").distinct().collect().map(_.getBoolean(0)).toSet
+    assert(verdicts == Set(true, false),
+      s"fixture must exercise both gate outcomes, got $verdicts")
+    // gate-over-artifact ≡ the d87 batch audit: the flagged ids match
+    val gated = spark.table("graft_s34_test")
+      .filter("is_outlier").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val audited = SparkEntry.queries("d87_embed_outliers")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gated == audited, "ingest gate and batch audit disagree on flagged ids")
+  }
+
   test("streaming index update (s18) equals the batch update") {
     val cents = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
     val post = IO.readParquet(spark, Similarity.annSnapPostings(spark, sf))

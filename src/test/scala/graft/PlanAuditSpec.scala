@@ -419,6 +419,9 @@ class PlanAuditSpec extends SparkSpec {
       // s18: ONE embeddings pass (the arriving feed) anti-joined
       // against the snapshot-index read-back, as d52
       "s18_stream_index_update" -> Map("embeddings" -> 1),
+      // s34: ONE embeddings pass (the arriving feed) against the
+      // centroid + cell-stats artifact read-backs, as s17
+      "s34_stream_outliers" -> Map("embeddings" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom

@@ -54,7 +54,9 @@ def _normalize(doc):
     qv_cs = centisecond ints; -100 marks a failed query, the old -1.0s),
     and the round-14 form (qspec = range-compressed ids, qv36 =
     concatenated fixed-width 3-char base36 centiseconds; "___" marks a
-    failed query). Always returns a doc with a "queries" seconds map."""
+    failed query, "zzz" a CLAMPED time — genuinely >= 466.55s, exact
+    value lost; genuine encodes stop at "zzy"). Always returns a doc
+    with a "queries" seconds map plus a "clamped" id set."""
     if "queries" not in doc and "qspec" in doc and "qv36" in doc:
         ids = _expand_qspec(doc["qspec"])
         raw = doc["qv36"]
@@ -65,6 +67,7 @@ def _normalize(doc):
         doc["queries"] = {
             k: (-1.0 if v == "___" else int(v, 36) / 100.0)
             for k, v in zip(ids, vals)}
+        doc["clamped"] = {k for k, v in zip(ids, vals) if v == "zzz"}
     elif "queries" not in doc and "qk" in doc and "qv_cs" in doc:
         ids = doc["qk"].split()
         doc = dict(doc)
@@ -127,12 +130,24 @@ def main():
     both = sorted(set(qo) & set(qn))
     slower, noisy, faster = [], [], []
     to = tn = 0.0
+    clamped_old = old.get("clamped", set())
+    clamped_new = new.get("clamped", set())
     for k in both:
         if qo[k] <= 0 or qn[k] < 0:
             continue  # failed in either run: no ratio, and not in totals
         to += qo[k]
         tn += qn[k]
         r = qn[k] / qo[k]
+        if k in clamped_new:
+            # a clamped new time is a lower bound: the regression is AT
+            # LEAST r, dispersion can never excuse it
+            slower.append((k, qo[k], qn[k], r,
+                           " CLAMPED>=466.55s (ratio is a lower bound)", ""))
+            continue
+        if k in clamped_old and r < 1 / thr:
+            faster.append((k, qo[k], qn[k], r,
+                           " (old value clamped: true speedup is larger)", ""))
+            continue
         if r > thr:
             covered, (tag, note) = dispersion_note(new, k, r - 1, "new")
             (noisy if covered else slower).append((k, qo[k], qn[k], r, tag, note))
