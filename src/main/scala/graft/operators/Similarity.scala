@@ -227,6 +227,42 @@ object Similarity {
       .join(broadcast(stats), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("d2"), outlierFlag.as("is_outlier"))
 
+  /** Persisted per-cell REPRESENTATIVES (cell, rep_id, qr, nr) — the
+    * fourth index artifact: the min-id member of each cell with its
+    * inline vector, d35's representative election run over the
+    * postings and stored next to the centroids. √n rows, broadcast by
+    * every consumer; at 100 TB this is what a semantic-dedup serving
+    * fleet loads instead of re-electing reps per batch. */
+  private[graft] def annIndexReps(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_reps", dir) {
+      denull(graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .groupBy("cell")
+        .agg(min(struct(col("vec_id"), col("q"), col("norm2"))).as("r"))
+        .select(col("cell"), col("r.vec_id").as("rep_id"),
+          col("r.q").as("qr"), col("r.norm2").as("nr"))
+    }
+
+  /** s35 — the streaming SEMANTIC-DEDUP gate: each arriving vector is
+    * routed to its nearest index centroid (s17's broadcast fold) and
+    * scored against that cell's persisted representative — d35's
+    * cluster-dedup decision asked at INGESTION, one broadcast cosine
+    * per arrival instead of a nightly sweep. Same action law as d35
+    * (rep / drop at cos ≥ 0.25 / keep); stateless per-row, no state
+    * store, no shuffle — centroids and reps are both √n-row artifact
+    * read-backs. */
+  private[graft] def semdedupGate(cents: DataFrame, reps: DataFrame)(
+      vecs: DataFrame): DataFrame =
+    assignTop2(vecs, denull(cents, "cv"))
+      .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+      .join(broadcast(denull(reps, "qr")), Seq("cell"))
+      .withColumn("cos",
+        DotLong(col("q"), col("qr")).cast("double")
+          / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double"))))
+      .select(col("vec_id"), col("cell"), col("rep_id"), col("cos"),
+        when(col("vec_id") === col("rep_id"), lit("rep"))
+          .when(col("cos") >= 0.25, lit("drop"))
+          .otherwise(lit("keep")).as("action"))
+
   /** Persisted SQ8-COMPRESSED inverted lists (d53) — d32's max-abs
     * int8 quantization applied to the INDEX artifact, the FAISS
     * IVF-SQ8 layout: each posting stores 1-byte codes (`array<tinyint>`
@@ -913,6 +949,93 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // k-NN GRAPH HUBNESS audit (Radovanović et al. 2010, JMLR — "Hubs
+    // in Space"): high-dimensional k-NN graphs grow HUB nodes that
+    // appear in far more neighbor lists than average, poisoning
+    // retrieval diversity and graph-based clustering alike; this is
+    // the per-node degree report a pipeline reads before trusting a
+    // k-NN graph. Directed edges are d50's probe stream verbatim
+    // (route the ONE corpus scan against the persisted index, top-3
+    // per node via TopKPerGroup); the edge list (≤3n rows of two
+    // longs) is persisted once and feeds BOTH the degree rollup (one
+    // union-shaped shuffle carries out- AND in-degree) and the
+    // reciprocity semi-join (an edge is MUTUAL iff its reverse
+    // exists). is_hub cross-multiplies in_deg·n > 2·Σedges — strictly
+    // more than twice the mean in-degree — so the verdict is exact
+    // integer arithmetic, no float mean. The node list comes from the
+    // postings artifact (8 bytes/row), never a second corpus scan.
+    "d88_knn_hubness" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      // the edge list feeds three consumers (degrees, both sides of
+      // the reciprocity semi-join, the total) — materialize once
+      val edges = ivfTopK(assignTop2(Corpus.qvecs(s, dir), cents), post)
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.select(col("a_id").as("vec_id"), lit(1L).as("o"), lit(0L).as("i"))
+        .unionAll(edges.select(col("b_id").as("vec_id"), lit(0L).as("o"), lit(1L).as("i")))
+        .groupBy("vec_id")
+        .agg(sum(col("o")).as("out_deg"), sum(col("i")).as("in_deg"))
+      val mutual = edges
+        .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+          Seq("a_id", "b_id"), "left_semi")
+        .groupBy(col("a_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_mutual"))
+      val totals = edges.agg(count(lit(1)).as("total_edges"))
+      post.select("vec_id")
+        .join(deg, Seq("vec_id"), "left")
+        .join(mutual, Seq("vec_id"), "left")
+        .na.fill(0L, Seq("out_deg", "in_deg", "n_mutual"))
+        .crossJoin(broadcast(totals))
+        .select(col("vec_id"), col("out_deg"), col("in_deg"), col("n_mutual"),
+          (col("in_deg") * lit(n) > lit(2L) * col("total_edges")).as("is_hub"))
+        .orderBy("vec_id")
+    },
+
+    // Embedding variance SPECTRUM — the anisotropy health check an
+    // embedding space gets before anyone trusts its cosines (Mu &
+    // Viswanath 2018 "All-but-the-Top"; Ethayarajh 2019): if variance
+    // concentrates in a few rogue dimensions, cosine similarity
+    // degenerates to those dimensions and every downstream op (d06
+    // search, d35 dedup, d15 cells) inherits the bias. Per-dimension
+    // variance NUMERATOR V_d = n·Σx² − (Σx)² over the quantized grid
+    // — EXACT integer sums carried as DECIMAL(38,0) (b29's 128-bit
+    // trick; n·Σx² alone overflows a long at 100 TB), shares and the
+    // descending cumulative curve are one-shot divides of the exact
+    // sums cast to double. ONE corpus scan fans 64× into a bounded
+    // 64-row aggregate (map-side partial per dimension); the ranking
+    // window runs over 64 rows, never the corpus. The cum_share curve
+    // IS the scree plot: var_rank where cum_share crosses 0.9 is the
+    // space's effective dimensionality.
+    "d89_embed_spectrum" -> { (s, dir) =>
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val perDim = Corpus.qvecs(s, dir)
+        .select(posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sx2"))
+        .select(col("pos"),
+          (lit(n).cast("decimal(19,0)") * col("sx2")
+            - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+            .as("var_num"))
+      val byVar = org.apache.spark.sql.expressions.Window
+        .orderBy(col("var_num").desc, col("pos").asc)
+      perDim
+        .withColumn("var_rank", row_number().over(byVar))
+        .withColumn("cum_num", sum(col("var_num")).over(
+          byVar.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum(col("var_num")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("pos"), col("var_rank"),
+          col("var_num").cast("double").as("var_num"),
+          (col("var_num").cast("double") / col("tot").cast("double")).as("var_share"),
+          (col("cum_num").cast("double") / col("tot").cast("double")).as("cum_share"))
+        .orderBy("pos")
+    },
+
     // IVF probe against the PERSISTED index — the build-once/probe-many
     // split d15 demonstrates in one plan: the expensive clustering (the
     // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
@@ -1397,6 +1520,34 @@ object Similarity {
          |FROM ass a JOIN st USING (cell)
          |ORDER BY a.vec_id""".stripMargin
 
+  /** s35's DuckDB twin: d35's representative scoring against the
+    * REFINED index cells — assignment + min-id rep election rebuilt
+    * from cents1 (the persisted reps artifact is exact state over
+    * exactly that assignment, the d50 ← d15 sharing rationale). */
+  private[graft] def semdedupGateSql: String =
+    ivfCents1Cte +
+      s""", asg AS (
+         |  SELECT vec_id, cell, q, norm2 FROM (
+         |    SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1 ce) t
+         |  WHERE rn = 1),
+         |repv AS (
+         |  SELECT a.cell, a.vec_id AS rep_id, a.q AS qr, a.norm2 AS nr
+         |  FROM asg a JOIN (SELECT cell, min(vec_id) AS rep_id FROM asg GROUP BY cell) r
+         |    ON a.vec_id = r.rep_id)
+         |SELECT vec_id, cell, rep_id, cos,
+         |  CASE WHEN vec_id = rep_id THEN 'rep'
+         |       WHEN cos >= 0.25 THEN 'drop'
+         |       ELSE 'keep' END AS action
+         |FROM (
+         |  SELECT a.vec_id, a.cell, r.rep_id,
+         |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
+         |  FROM asg a JOIN repv r ON a.cell = r.cell) t
+         |ORDER BY vec_id""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (
@@ -1419,6 +1570,65 @@ object Similarity {
          |      * (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
          |      > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)
          |ORDER BY a.vec_id""".stripMargin),
+
+    "d88_knn_hubness" -> (ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce
+         |),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
+         |edges AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |        b.vec_id ASC) AS rn
+         |    FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3),
+         |deg AS (
+         |  SELECT vec_id, CAST(sum(o) AS BIGINT) AS out_deg,
+         |         CAST(sum(i) AS BIGINT) AS in_deg FROM (
+         |    SELECT a_id AS vec_id, 1 AS o, 0 AS i FROM edges
+         |    UNION ALL SELECT b_id, 0, 1 FROM edges) u GROUP BY vec_id),
+         |mut AS (
+         |  SELECT e.a_id AS vec_id, count(1) AS n_mutual
+         |  FROM edges e JOIN edges r ON e.a_id = r.b_id AND e.b_id = r.a_id
+         |  GROUP BY e.a_id),
+         |tot AS (SELECT count(1) AS total_edges FROM edges),
+         |nv AS (SELECT count(1) AS n FROM qtab)
+         |SELECT q.vec_id,
+         |  COALESCE(d.out_deg, 0) AS out_deg,
+         |  COALESCE(d.in_deg, 0) AS in_deg,
+         |  COALESCE(m.n_mutual, 0) AS n_mutual,
+         |  COALESCE(d.in_deg, 0) * nv.n > 2 * tot.total_edges AS is_hub
+         |FROM qtab q LEFT JOIN deg d USING (vec_id) LEFT JOIN mut m USING (vec_id)
+         |CROSS JOIN tot CROSS JOIN nv
+         |ORDER BY q.vec_id""".stripMargin),
+
+    "d89_embed_spectrum" -> (Corpus.qtabCte +
+      s""", perdim AS (
+         |  SELECT pos0 AS pos,
+         |    CAST((SELECT count(1) FROM qtab) AS HUGEINT)
+         |      * sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+         |      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS var_num
+         |  FROM (SELECT pos - 1 AS pos0, q[pos] AS x
+         |        FROM qtab, UNNEST(range(1, 65)) t(pos)) s
+         |  GROUP BY pos0),
+         |ranked AS (
+         |  SELECT pos, var_num,
+         |    ROW_NUMBER() OVER (ORDER BY var_num DESC, pos ASC) AS var_rank,
+         |    sum(var_num) OVER (ORDER BY var_num DESC, pos ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_num,
+         |    sum(var_num) OVER () AS tot
+         |  FROM perdim)
+         |SELECT pos, var_rank, CAST(var_num AS DOUBLE) AS var_num,
+         |  CAST(var_num AS DOUBLE) / CAST(tot AS DOUBLE) AS var_share,
+         |  CAST(cum_num AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+         |FROM ranked ORDER BY pos""".stripMargin),
 
     "d06_cosine_topk" -> (Corpus.qtabCte +
       s"""SELECT a_id, b_id, rn, cos FROM (

@@ -179,6 +179,20 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Streaming semantic-dedup gate — d35's cluster-dedup decision
+    // asked at INGESTION: each arriving vector folds to its nearest
+    // index centroid and is scored against that cell's PERSISTED
+    // representative (centroids + reps both √n-row index artifacts,
+    // broadcast) — one cosine per arrival decides rep/drop/keep
+    // before the vector ever reaches the corpus. Stateless per-row,
+    // append mode; stream ≡ batch proven in AnnIndexSpec.
+    "s35_stream_semdedup" -> { (s, dir) =>
+      val cents = graft.sources.IO.readParquet(s, Similarity.annIndexCents(s, dir))
+      val reps = graft.sources.IO.readParquet(s, Similarity.annIndexReps(s, dir))
+      Similarity.semdedupGate(cents, reps)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("vec_id")
+    },
+
     // Streaming index maintenance — the d52 freshen decision made as
     // vectors ARRIVE: each micro-batch stream-static LEFT-ANTI-joins
     // its ids against the persisted inverted lists (the static side IS
@@ -509,6 +523,11 @@ object Streaming {
     // rebuilds the cell stats exactly as the persisted artifact holds
     // them (same exact-state sharing rationale as s17 ← d50)
     "s34_stream_outliers" -> Similarity.outlierGateSql,
+
+    // the ingest-side semantic-dedup verdict — d35's rep scoring
+    // against the refined index cells; the SQL rebuilds assignment +
+    // rep election exactly as the persisted reps artifact holds them
+    "s35_stream_semdedup" -> Similarity.semdedupGateSql,
 
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47

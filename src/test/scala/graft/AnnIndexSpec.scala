@@ -93,6 +93,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(gated == audited, "ingest gate and batch audit disagree on flagged ids")
   }
 
+  test("streaming semdedup gate (s35) equals the batch gate; reps artifact is the min-id member per cell") {
+    // the reps artifact must be exactly d35's election over the postings
+    val post = IO.readParquet(spark, Similarity.annIndexPostings(spark, sf))
+    val reps = IO.readParquet(spark, Similarity.annIndexReps(spark, sf))
+    val wantReps = post.collect()
+      .map(r => (r.getInt(1), (r.getLong(0), r.getSeq[Long](2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).minBy(_._1)).toMap
+    val gotReps = reps.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    assert(gotReps == wantReps, "reps artifact diverges from the min-id election")
+    val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val q = VecStream.runToMemory(spark, sf, "graft_s35_test",
+      df => Similarity.semdedupGate(cents, reps)(Corpus.qvecsOf(df)))
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s35_test").orderBy("vec_id"))
+    val batch = rows(SparkEntry.queries("s35_stream_semdedup")(spark, sf))
+    assert(streamed == batch, "streamed semdedup gate diverges from batch gate")
+    // the gate must discriminate: all three actions occur
+    val actions = spark.table("graft_s35_test")
+      .select("action").distinct().collect().map(_.getString(0)).toSet
+    assert(actions == Set("rep", "drop", "keep"),
+      s"fixture must exercise all three actions, got $actions")
+  }
+
   test("streaming index update (s18) equals the batch update") {
     val cents = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
     val post = IO.readParquet(spark, Similarity.annSnapPostings(spark, sf))

@@ -1725,6 +1725,68 @@ class OperatorSpec extends SparkSpec {
     rows.foreach { r => assert(byCell(r.getInt(1)).length == r.getLong(3)) }
   }
 
+  test("d88 knn hubness: degrees/mutuality recount from the d50 edge list, exact hub law, both outcomes") {
+    // (vec_id, out_deg, in_deg, n_mutual, is_hub)
+    val rows = SparkEntry.queries("d88_knn_hubness")(spark, sf).collect()
+    val n = graft.sources.Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    assert(rows.length == n, "one row per indexed vector")
+    // independent edge list: d50's probe output IS the directed 3-NN
+    // graph (its own oracle hash-proves it) — recount every degree
+    // and every mutual edge from it driver-side
+    val edges = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val out = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mut = edges.filter { case (a, b) => eset((b, a)) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val total = edges.length.toLong
+    rows.foreach { r =>
+      val (v, o, i, m, h) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(o == out.getOrElse(v, 0L), s"out_deg($v)")
+      assert(i == in.getOrElse(v, 0L), s"in_deg($v)")
+      assert(m == mut.getOrElse(v, 0L), s"n_mutual($v)")
+      assert(o <= 3 && m <= math.min(o, i), s"degree bounds($v)")
+      assert(h == (i * n > 2 * total), s"hub law($v)")
+    }
+    val hubs = rows.count(_.getBoolean(4))
+    assert(hubs > 0 && hubs < rows.length,
+      s"fixture must exercise both hub outcomes ($hubs hubs)")
+  }
+
+  test("d89 embed spectrum: exact BigInt variance recount, partition of unity, rank/cum laws") {
+    // (pos, var_rank, var_num, var_share, cum_share)
+    val rows = SparkEntry.queries("d89_embed_spectrum")(spark, sf).collect()
+    assert(rows.length == 64, "one row per dimension")
+    // independent recount: per-dim n·Σx² − (Σx)² in driver-side BigInt
+    val vecs = graft.model.Corpus.qvecs(spark, sf).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val n = BigInt(vecs.length)
+    val want = (0 until 64).map { d =>
+      val xs = vecs.map(v => BigInt(v(d)))
+      n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    }
+    val tot = want.sum
+    rows.foreach { r =>
+      val (pos, rank, vn, vs, cs) = (r.getInt(0), r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(vn == want(pos).toDouble, s"var_num($pos) != exact recount")
+      // rank = 1 + #dims with strictly larger variance (+ smaller pos ties)
+      val wantRank = 1 + want.zipWithIndex.count { case (w, p) =>
+        w > want(pos) || (w == want(pos) && p < pos) }
+      assert(rank == wantRank, s"var_rank($pos)")
+      assert(math.abs(vs - want(pos).toDouble / tot.toDouble) < 1e-12, s"var_share($pos)")
+      assert(cs >= vs - 1e-12 && cs <= 1.0 + 1e-12, s"cum_share($pos) bounds")
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+      "var_share must partition unity")
+    // the rank-64 dimension's cumulative share closes the curve at 1
+    val last = rows.find(_.getInt(1) == 64).get
+    assert(math.abs(last.getDouble(4) - 1.0) < 1e-12, "cum_share(rank 64) != 1")
+  }
+
   test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
     // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
     val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()

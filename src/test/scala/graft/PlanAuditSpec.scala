@@ -239,7 +239,13 @@ class PlanAuditSpec extends SparkSpec {
       "d86_zipf_curve" -> (1, 0),
       // d87: d15's index-build shape — refine pass + assignment pass;
       // the stats join is broadcast, the vector stream never re-scans
-      "d87_embed_outliers" -> (0, 2))
+      "d87_embed_outliers" -> (0, 2),
+      // d88: ONE embeddings pass (the probe side) against the index
+      // read-backs; the persisted edge list feeds degrees + mutuality
+      "d88_knn_hubness" -> (0, 1),
+      // d89: one corpus scan fans 64× into the bounded per-dim agg;
+      // ranking/cumulation windows run over 64 rows, never the corpus
+      "d89_embed_spectrum" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -422,6 +428,9 @@ class PlanAuditSpec extends SparkSpec {
       // s34: ONE embeddings pass (the arriving feed) against the
       // centroid + cell-stats artifact read-backs, as s17
       "s34_stream_outliers" -> Map("embeddings" -> 1),
+      // s35: ONE embeddings pass (the arriving feed) against the
+      // centroid + reps artifact read-backs, as s34
+      "s35_stream_semdedup" -> Map("embeddings" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom
