@@ -69,6 +69,27 @@ object Corpus {
           "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
         ))).as("tile"))
 
+  /** POSITIONAL non-overlapping 8-word tile hashes per doc (docs with
+    * ≥8 words): (doc_id, i, tile) with i the tile's offset in the doc —
+    * [[tiles]] without the distinct, keeping order, so consumers can
+    * reason about CONTIGUOUS duplicated extents (d90's span runs)
+    * instead of set membership alone. */
+  def posTiles(df: DataFrame): DataFrame =
+    normalized(df)
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
+      )).as(Seq("i", "tile")))
+
+  /** CTE suffix after [[docsCte]]: ptiles(doc_id, i, tile) — the
+    * DuckDB twin of [[posTiles]]. */
+  val posTilesCte: String =
+    """, ptiles AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i * 8 + 1):(i * 8 + 8)], ' ')) AS tile
+      |  FROM docs, UNNEST(range(0, len(ws) // 8)) t(i)
+      |  WHERE len(ws) >= 8
+      |)""".stripMargin
+
   /** Quantized embeddings: vec_id, q (array<long>, round(x*1000)),
     * norm2 (exact Σq², long). The lambda result is coalesced so `q` is
     * typed ArrayType(..., containsNull=false) — the parquet embedding

@@ -441,6 +441,44 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Duplicated-span EXTENTS (the positional completion of d36's
+    // suffix-array-dedup analogue, Lee et al. 2022): d36 PRICES each
+    // doc's duplicated-tile fraction; this op LOCATES the longest
+    // CONTIGUOUS duplicated extent — the "remove the span, not the
+    // document" decision substring dedup actually makes (a doc with
+    // 30% scattered dup tiles is noisy; a doc with a 10-tile
+    // contiguous run contains a verbatim lifted passage). A tile is
+    // dup only when ≥2 DISTINCT docs share it (min≠max doc over the
+    // tile partition — doc-internal repetition is d29's business, not
+    // cross-doc leakage); runs come from the gaps-and-islands window
+    // (i − row_number per doc over dup tiles). Scale: ONE corpus scan
+    // explodes to |words|/8 positional tiles; the tile window is one
+    // hash exchange on the tile stream (min/max ride the same window
+    // pass, no df join); the flagged stream persists once and feeds
+    // the per-doc rollup AND the island windows (both repartition by
+    // doc_id, co-partitioned with each other).
+    "d90_dup_spans" -> { (s, dir) =>
+      val byTile = org.apache.spark.sql.expressions.Window.partitionBy("tile")
+      val flagged = graft.model.Corpus
+        .posTiles(graft.sources.Tables.documents(s, dir))
+        .withColumn("is_dup",
+          min(col("doc_id")).over(byTile) =!= max(col("doc_id")).over(byTile))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_tiles"))
+      val runs = flagged.filter(col("is_dup"))
+        .withColumn("grp", col("i") - row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id").agg(max(col("run_len")).as("max_dup_run"))
+      agg.join(runs, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("max_dup_run"))
+        .select(col("doc_id"), col("n_tiles"), col("n_dup_tiles"),
+          col("max_dup_run"), (col("max_dup_run") >= 2).as("has_dup_span"))
+        .orderBy("doc_id")
+    },
+
     // Text↔embedding dedup CONSENSUS — do the two independent near-dup
     // signals (d04's MinHash-LSH over shingles, d17's cosine-LSH over
     // embeddings) agree? A production pipeline runs this before
@@ -591,6 +629,29 @@ object Dedup {
         |FROM tiles t JOIN dfreq d ON t.tile = d.tile
         |GROUP BY t.doc_id
         |ORDER BY doc_id""".stripMargin),
+
+    "d90_dup_spans" -> (Corpus.docsCte + Corpus.posTilesCte +
+      """, flag AS (
+        |  SELECT doc_id, i,
+        |    min(doc_id) OVER (PARTITION BY tile)
+        |      <> max(doc_id) OVER (PARTITION BY tile) AS is_dup
+        |  FROM ptiles),
+        |agg AS (
+        |  SELECT doc_id, count(1) AS n_tiles,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles
+        |  FROM flag GROUP BY doc_id),
+        |druns AS (
+        |  SELECT doc_id, count(1) AS run_len
+        |  FROM (SELECT doc_id, i,
+        |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM flag WHERE is_dup) r
+        |  GROUP BY doc_id, grp),
+        |best AS (SELECT doc_id, max(run_len) AS max_dup_run FROM druns GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tiles, a.n_dup_tiles,
+        |  COALESCE(b.max_dup_run, 0) AS max_dup_run,
+        |  COALESCE(b.max_dup_run, 0) >= 2 AS has_dup_span
+        |FROM agg a LEFT JOIN best b USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin),
 
     "d41_dedup_consensus" -> (lshPairsCte + Similarity.embedDupPairsCte +
       """, tpairs AS (

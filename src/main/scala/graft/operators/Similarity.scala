@@ -242,6 +242,20 @@ object Similarity {
           col("r.q").as("qr"), col("r.norm2").as("nr"))
     }
 
+  /** Per-dimension MOMENTS (pos, n_vals, sum_x, sum_x2) — the bounded
+    * 64-row sketch d89's spectrum derives from, and the state s36
+    * maintains live: count/sum/sum-of-squares are associative, so
+    * micro-batches merge exactly and stream ≡ batch is EXACT (the
+    * s26/s29 sketch-as-state argument in the vector domain). Long
+    * sums hold to ~3·10¹¹ vectors per dimension at this grid; d89
+    * widens to DECIMAL only for the n·Σx² product. */
+  private[graft] def dimMoments(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+
   /** s35 — the streaming SEMANTIC-DEDUP gate: each arriving vector is
     * routed to its nearest index centroid (s17's broadcast fold) and
     * scored against that cell's persisted representative — d35's
@@ -556,8 +570,8 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  private def centsSqlFrom(ncExpr: String): String =
-    s"""cents AS (
+  private def centsSqlFrom(ncExpr: String, sfx: String = ""): String =
+    s"""cents$sfx AS (
        |  SELECT c, list_transform(range(0, 64), i ->
        |    ${Corpus.hash32Sql("concat('cent', CAST(c AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) AS cv
        |  FROM (SELECT unnest(range(0, $ncExpr)) AS c)
@@ -1011,15 +1025,10 @@ object Similarity {
     // IS the scree plot: var_rank where cum_share crosses 0.9 is the
     // space's effective dimensionality.
     "d89_embed_spectrum" -> { (s, dir) =>
-      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val perDim = Corpus.qvecs(s, dir)
-        .select(posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("pos")
-        .agg(sum(col("x").cast("decimal(38,0)")).as("sx"),
-          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sx2"))
+      val perDim = dimMoments(Corpus.qvecs(s, dir))
         .select(col("pos"),
-          (lit(n).cast("decimal(19,0)") * col("sx2")
-            - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+          (col("n_vals").cast("decimal(19,0)") * col("sum_x2").cast("decimal(19,0)")
+            - col("sum_x").cast("decimal(19,0)") * col("sum_x").cast("decimal(19,0)"))
             .as("var_num"))
       val byVar = org.apache.spark.sql.expressions.Window
         .orderBy(col("var_num").desc, col("pos").asc)
@@ -1034,6 +1043,42 @@ object Similarity {
           (col("var_num").cast("double") / col("tot").cast("double")).as("var_share"),
           (col("cum_num").cast("double") / col("tot").cast("double")).as("cum_share"))
         .orderBy("pos")
+    },
+
+    // Re-cluster DRIFT — the index REBUILD trigger, measured instead
+    // of guessed: after the corpus outgrows its snapshot index (d52's
+    // maintenance appends to OLD cells), how much would a fresh
+    // clustering actually move? Cell ids are not comparable across
+    // two clusterings (renumbering is not drift), so the measure is
+    // the LABEL-INVARIANT contingency: per fresh cell, how many of
+    // its members came from its single dominant snapshot cell
+    // (dom_share ≈ 1 ⟺ the refresh just renamed structure; many
+    // parents ⟺ genuinely new geometry — the purity machinery of d75
+    // pointed old→new instead of label→cell). Both assignments ride
+    // ONE corpus scan through two chained broadcast folds (snapshot +
+    // current centroid artifacts, √n rows each); the contingency is
+    // bounded at (√n)² cells and aggregates twice map-side. At 100 TB
+    // this report is what decides between tonight's cheap append
+    // (d52) and the expensive full re-cluster.
+    "d91_recluster_drift" -> { (s, dir) =>
+      val snapC = denull(
+        graft.sources.IO.readParquet(s, annSnapCents(s, dir)), "cv")
+      val curC = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val both = assignTop2(
+          assignTop2(Corpus.qvecs(s, dir), snapC)
+            .select(col("vec_id"), col("q"), col("norm2"),
+              col("cell1").as("old_cell")),
+          curC)
+        .select(col("cell1").as("cell"), col("old_cell"))
+      both.groupBy("cell", "old_cell").agg(count(lit(1)).as("c"))
+        .groupBy("cell")
+        .agg(sum(col("c")).as("n_vecs"),
+          count(lit(1)).as("n_parents"),
+          max(col("c")).as("n_dominant"))
+        .withColumn("dom_share",
+          col("n_dominant").cast("double") / col("n_vecs").cast("double"))
+        .orderBy("cell")
     },
 
     // IVF probe against the PERSISTED index — the build-once/probe-many
@@ -1453,22 +1498,22 @@ object Similarity {
     * vector population `src` being indexed: ⌈√|src|⌉ seed centroids +
     * the one deterministic k-means refinement — `cents1` is exactly
     * the persisted index's centroid table over that population. */
-  private def ivfCents1CteFrom(src: String): String =
-    centsSqlFrom(s"(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM $src)") +
-      s""", assign0 AS (
+  private def ivfCents1CteFrom(src: String, sfx: String = ""): String =
+    centsSqlFrom(s"(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM $src)", sfx) +
+      s""", assign0$sfx AS (
          |  SELECT vec_id, c AS cell, q FROM (
          |    SELECT q.vec_id, ce.c, q.q,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
          |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |    FROM $src q CROSS JOIN cents ce) t
+         |    FROM $src q CROSS JOIN cents$sfx ce) t
          |  WHERE rn = 1
          |),
-         |comps AS (
+         |comps$sfx AS (
          |  SELECT cell, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1)) AS BIGINT) AS cmp
-         |  FROM assign0, UNNEST(range(1, 65)) t(pos)
+         |  FROM assign0$sfx, UNNEST(range(1, 65)) t(pos)
          |  GROUP BY cell, pos
          |),
-         |cents1 AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps GROUP BY cell)""".stripMargin
+         |cents1$sfx AS (SELECT cell AS c, list(cmp ORDER BY pos) AS cv FROM comps$sfx GROUP BY cell)""".stripMargin
 
   /** The full-corpus instance (d15/d50/s17 oracles). */
   private def ivfCents1Cte: String =
@@ -1548,6 +1593,17 @@ object Similarity {
          |  FROM asg a JOIN repv r ON a.cell = r.cell) t
          |ORDER BY vec_id""".stripMargin
 
+  /** s36's DuckDB twin: the per-dimension moment sketch over the
+    * quantized grid — exact integer counts/sums, 64 rows. */
+  private[graft] def dimMomentsSql: String =
+    Corpus.qtabCte +
+      """SELECT pos0 AS pos, count(1) AS n_vals,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |FROM (SELECT pos - 1 AS pos0, q[pos] AS x
+        |      FROM qtab, UNNEST(range(1, 65)) t(pos)) s
+        |GROUP BY pos0 ORDER BY pos""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (
@@ -1609,10 +1665,37 @@ object Similarity {
          |CROSS JOIN tot CROSS JOIN nv
          |ORDER BY q.vec_id""".stripMargin),
 
+    "d91_recluster_drift" -> (Corpus.qtabCte +
+      s", snap AS (SELECT * FROM qtab WHERE $snapCond), " +
+      ivfCents1CteFrom("snap", "_s") + ", " + ivfCents1CteFrom("qtab") +
+      s""", oldass AS (
+         |  SELECT vec_id, cell AS old_cell FROM (
+         |    SELECT q.vec_id, ce.c AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1_s ce) t
+         |  WHERE rn = 1),
+         |newass AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, ce.c AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents1 ce) t
+         |  WHERE rn = 1),
+         |cont AS (
+         |  SELECT n.cell, o.old_cell, count(1) AS c
+         |  FROM newass n JOIN oldass o USING (vec_id)
+         |  GROUP BY n.cell, o.old_cell)
+         |SELECT cell, CAST(sum(c) AS BIGINT) AS n_vecs,
+         |  count(1) AS n_parents,
+         |  CAST(max(c) AS BIGINT) AS n_dominant,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dom_share
+         |FROM cont GROUP BY cell ORDER BY cell""".stripMargin),
+
     "d89_embed_spectrum" -> (Corpus.qtabCte +
       s""", perdim AS (
          |  SELECT pos0 AS pos,
-         |    CAST((SELECT count(1) FROM qtab) AS HUGEINT)
+         |    CAST(count(1) AS HUGEINT)
          |      * sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
          |      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS var_num
          |  FROM (SELECT pos - 1 AS pos0, q[pos] AS x

@@ -193,6 +193,18 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Live per-dimension moment sketch — the bounded 64-row state
+    // that FEEDS d89's spectrum, maintained as vectors ARRIVE:
+    // count/Σx/Σx² per dimension are associative, so micro-batches
+    // merge exactly in complete mode and the state never grows with
+    // the stream (s26's histogram argument, s29's sketch argument, in
+    // the vector domain — the spectrum's input is always current, no
+    // nightly recompute). Stream ≡ batch EXACT (integer sums are
+    // order-invariant); proven in AnnIndexSpec.
+    "s36_stream_spectrum" -> { (s, dir) =>
+      Similarity.dimMoments(graft.model.Corpus.qvecs(s, dir)).orderBy("pos")
+    },
+
     // Streaming index maintenance — the d52 freshen decision made as
     // vectors ARRIVE: each micro-batch stream-static LEFT-ANTI-joins
     // its ids against the persisted inverted lists (the static side IS
@@ -528,6 +540,10 @@ object Streaming {
     // against the refined index cells; the SQL rebuilds assignment +
     // rep election exactly as the persisted reps artifact holds them
     "s35_stream_semdedup" -> Similarity.semdedupGateSql,
+
+    // the live moment sketch's batch twin — exact integer per-dim
+    // counts/sums over the quantized grid
+    "s36_stream_spectrum" -> Similarity.dimMomentsSql,
 
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47

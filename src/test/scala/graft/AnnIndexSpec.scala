@@ -117,6 +117,27 @@ class AnnIndexSpec extends SparkSpec {
       s"fixture must exercise all three actions, got $actions")
   }
 
+  test("streaming moment sketch (s36) equals the batch moments and derives d89's spectrum") {
+    val q = VecStream.runToMemory(spark, sf, "graft_s36_test",
+      df => Similarity.dimMoments(Corpus.qvecsOf(df)), mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s36_test").orderBy("pos"))
+    val batch = rows(SparkEntry.queries("s36_stream_spectrum")(spark, sf))
+    assert(streamed == batch, "streamed moments diverge from batch moments")
+    // the state bound: 64 dimension rows, never stream-length
+    assert(batch.length == 64, s"moment state grew to ${batch.length} rows")
+    // the sketch IS the spectrum's input: n·Σx² − (Σx)² from the
+    // moments must reproduce d89's var_num exactly, dimension by
+    // dimension
+    val moments = spark.table("graft_s36_test").collect()
+      .map(r => r.getInt(0) -> (BigInt(r.getLong(1)) * BigInt(r.getLong(3))
+        - BigInt(r.getLong(2)) * BigInt(r.getLong(2)))).toMap
+    SparkEntry.queries("d89_embed_spectrum")(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) == moments(r.getInt(0)).toDouble,
+        s"spectrum var_num(${r.getInt(0)}) not derivable from the live sketch")
+    }
+  }
+
   test("streaming index update (s18) equals the batch update") {
     val cents = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
     val post = IO.readParquet(spark, Similarity.annSnapPostings(spark, sf))
@@ -127,6 +148,36 @@ class AnnIndexSpec extends SparkSpec {
     val streamed = rows(spark.table("graft_s18_test").orderBy("vec_id"))
     val batch = rows(SparkEntry.queries("s18_stream_index_update")(spark, sf))
     assert(streamed == batch, "streamed index update diverges from batch update")
+  }
+
+  test("d91 recluster drift: contingency recount from the two artifact assignments, mass conservation") {
+    // (cell, n_vecs, n_parents, n_dominant, dom_share)
+    val rows = SparkEntry.queries("d91_recluster_drift")(spark, sf).collect()
+    val n = Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    assert(rows.map(_.getLong(1)).sum == n, "every vector sits in exactly one fresh cell")
+    // independent recount: both assignments driver-side from the
+    // persisted centroid artifacts
+    val q = Corpus.qvecs(spark, sf)
+    val snapC = IO.readParquet(spark, Similarity.annSnapCents(spark, sf))
+    val curC = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    def assign(cents: DataFrame): Map[Long, Int] =
+      Similarity.assignTop2(q, cents).select("vec_id", "cell1")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val oldA = assign(snapC); val newA = assign(curC)
+    val cont = newA.toSeq.map { case (v, c) => (c, oldA(v)) }
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1)
+    rows.foreach { r =>
+      val g = cont(r.getInt(0)).map(_._2)
+      assert(r.getLong(1) == g.sum, s"n_vecs(${r.getInt(0)})")
+      assert(r.getLong(2) == g.size, s"n_parents(${r.getInt(0)})")
+      assert(r.getLong(3) == g.max, s"n_dominant(${r.getInt(0)})")
+      assert(r.getDouble(4) == g.max.toDouble / g.sum.toDouble, s"dom_share(${r.getInt(0)})")
+    }
+    // the fixture must discriminate: renamed-structure cells AND
+    // genuinely reshuffled cells both occur
+    assert(rows.exists(_.getLong(2) > 1), "no multi-parent cell — drift invisible")
+    assert(rows.exists(_.getDouble(4) >= 0.9), "no stable cell — fixture degenerate")
   }
 
   test("d53 SQ8 artifact: genuine 1-byte codes, exact norms, full coverage") {

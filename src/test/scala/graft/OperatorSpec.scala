@@ -1787,6 +1787,39 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - 1.0) < 1e-12, "cum_share(rank 64) != 1")
   }
 
+  test("d90 dup spans: sequential islands recount, cross-doc-only law, both outcomes") {
+    // (doc_id, n_tiles, n_dup_tiles, max_dup_run, has_dup_span)
+    val rows = SparkEntry.queries("d90_dup_spans")(spark, sf).collect()
+    // independent recount: positional tiles driver-side, dup = tile in
+    // ≥2 distinct docs, runs counted by a sequential scan (no window
+    // machinery shared with the query)
+    val pt = graft.model.Corpus
+      .posTiles(graft.sources.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val docsOf = pt.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    val byDoc = pt.groupBy(_._1)
+    assert(rows.length == byDoc.size, "one row per tiled doc")
+    rows.foreach { r =>
+      val (doc, nt, nd, mr, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val tiles = byDoc(doc).sortBy(_._2)
+      val dups = tiles.map(t => docsOf(t._3) >= 2)
+      assert(nt == tiles.length, s"n_tiles($doc)")
+      assert(nd == dups.count(identity), s"n_dup_tiles($doc)")
+      // longest run of consecutive dup tiles, sequentially
+      var best = 0L; var cur = 0L
+      dups.foreach { d => if (d) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+      assert(mr == best, s"max_dup_run($doc): $mr != $best")
+      assert(flag == (best >= 2), s"has_dup_span($doc)")
+    }
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged < rows.length,
+      s"fixture must exercise both span outcomes ($flagged flagged)")
+    // cross-doc law: a doc whose every tile is unique corpus-wide
+    // reports zero dup tiles (doc-internal repetition never counts)
+    assert(rows.exists(r => r.getLong(2) == 0), "no clean doc in fixture")
+  }
+
   test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
     // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
     val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()

@@ -245,7 +245,13 @@ class PlanAuditSpec extends SparkSpec {
       "d88_knn_hubness" -> (0, 1),
       // d89: one corpus scan fans 64× into the bounded per-dim agg;
       // ranking/cumulation windows run over 64 rows, never the corpus
-      "d89_embed_spectrum" -> (0, 1))
+      "d89_embed_spectrum" -> (0, 1),
+      // d90: one corpus scan into the positional tile explode; the
+      // persisted flagged stream feeds the rollup AND the island runs
+      "d90_dup_spans" -> (1, 0),
+      // d91: ONE corpus scan through two chained broadcast folds
+      // (snapshot + current centroid artifacts are read-backs)
+      "d91_recluster_drift" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -431,6 +437,8 @@ class PlanAuditSpec extends SparkSpec {
       // s35: ONE embeddings pass (the arriving feed) against the
       // centroid + reps artifact read-backs, as s34
       "s35_stream_semdedup" -> Map("embeddings" -> 1),
+      // s36: one corpus pass into the bounded per-dim moment agg
+      "s36_stream_spectrum" -> Map("embeddings" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom
