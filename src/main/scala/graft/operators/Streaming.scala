@@ -205,6 +205,17 @@ object Streaming {
       Similarity.dimMoments(graft.model.Corpus.qvecs(s, dir)).orderBy("pos")
     },
 
+    // Streaming Gopher gate — d92's rule panel asked as pages LAND:
+    // every verdict is per-row HOF work over the doc's own words
+    // (zero shuffles, no state, append mode), so the ingestion gate
+    // and the 100 TB backfill sweep are ONE code path at scan cost —
+    // the cheapest possible "refuse at the door" filter. Output
+    // contract ≡ d92 (shared transform + oracle); stream ≡ batch
+    // proven in EventStreamSpec.
+    "s37_stream_gopher" -> { (s, dir) =>
+      TextAnalysis.gopherPanel(graft.model.Corpus.docs(s, dir)).orderBy("doc_id")
+    },
+
     // Streaming index maintenance — the d52 freshen decision made as
     // vectors ARRIVE: each micro-batch stream-static LEFT-ANTI-joins
     // its ids against the persisted inverted lists (the static side IS
@@ -544,6 +555,10 @@ object Streaming {
     // the live moment sketch's batch twin — exact integer per-dim
     // counts/sums over the quantized grid
     "s36_stream_spectrum" -> Similarity.dimMomentsSql,
+
+    // the streaming Gopher gate is the d92 panel verbatim (stateless
+    // per-row rule verdicts) — shared oracle like s15 ← d47
+    "s37_stream_gopher" -> TextAnalysis.oracle("d92_gopher_rules"),
 
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47

@@ -57,6 +57,55 @@ object TextAnalysis {
           + when(col("n_words").between(5, 200), 0.1).otherwise(0.0))
   }
 
+  /** The Gopher/MassiveText quality-rule PANEL (Rae et al. 2021,
+    * Appendix A — the named rule set Gopher/Chinchilla corpora were
+    * filtered with) over a docs-shaped frame (`doc_id` + `ws`):
+    * word-count window, mean-word-length window, substantive-token
+    * floor, stop-word presence, and top-unigram dominance, each as a
+    * SEPARATE attributable verdict plus the conjunctive keep. Every
+    * verdict is an integer CROSS-MULTIPLY of exact per-row counts (no
+    * float threshold anywhere), and the whole panel is per-row higher-
+    * order-function work — no explode, no shuffle, stateless — so the
+    * batch sweep (d92) and the ingestion gate (s37) are ONE transform
+    * at scan cost. The canonical alphabetic-word rule is vacuous on an
+    * all-alphabetic corpus, so the panel keeps its spirit as the
+    * substantive-token fraction (words of ≥3 chars ≥ 80%). Dominance
+    * is the unigram face of Gopher's repetition family (d29 owns the
+    * n-gram/line faces). */
+  private[graft] def gopherPanel(docs: DataFrame): DataFrame = {
+    val enArr = array(enStop.map(lit): _*)
+    docs
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("wchars",
+        expr("CAST(aggregate(ws, 0, (acc, x) -> acc + length(x)) AS LONG)"))
+      .withColumn("n_subst",
+        expr("CAST(size(filter(ws, x -> length(x) >= 3)) AS LONG)"))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(col("ws")), enArr)).cast("long"))
+      // top-unigram count via sort + one linear run-length fold
+      // (w·log w per row) — the distinct×filter formulation is
+      // quadratic per row and measured 2× slower at sf0.1
+      .withColumn("top_word_n", expr(
+        """CAST(aggregate(array_sort(ws),
+          |  named_struct('p', CAST(NULL AS STRING), 'r', 0, 'b', 0),
+          |  (acc, x) -> named_struct('p', x,
+          |    'r', IF(acc.p <=> x, acc.r + 1, 1),
+          |    'b', greatest(acc.b, IF(acc.p <=> x, acc.r + 1, 1))),
+          |  acc -> acc.b) AS LONG)""".stripMargin))
+      .withColumn("r_count", col("n_words").between(50L, 100000L))
+      .withColumn("r_wlen",
+        col("wchars") >= lit(3L) * col("n_words")
+          && col("wchars") <= lit(10L) * col("n_words"))
+      .withColumn("r_subst", lit(5L) * col("n_subst") >= lit(4L) * col("n_words"))
+      .withColumn("r_stop", col("n_stop_kinds") >= 2L)
+      .withColumn("r_rep", lit(5L) * col("top_word_n") <= col("n_words"))
+      .withColumn("keep",
+        col("r_count") && col("r_wlen") && col("r_subst")
+          && col("r_stop") && col("r_rep"))
+      .select("doc_id", "n_words", "wchars", "n_subst", "n_stop_kinds",
+        "top_word_n", "r_count", "r_wlen", "r_subst", "r_stop", "r_rep", "keep")
+  }
+
   private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   /** URL pattern (Java-regex ∩ RE2 common subset, as d25's patterns):
@@ -265,6 +314,15 @@ object TextAnalysis {
         .select("doc_id", "n_chars_raw", "n_words", "n_digits", "n_punct",
           "n_stop", "stop_ratio", "punct_ratio", "quality")
         .orderBy("doc_id")
+    },
+
+    // The Gopher rule PANEL — d09 scores quality on a continuous
+    // scale; this is the named RULE SET (Rae et al. 2021) with each
+    // rule's verdict attributable per doc, the report a curation run
+    // publishes so "why was this dropped?" has an answer. Per-row
+    // HOF work over one corpus scan, zero shuffles (see gopherPanel).
+    "d92_gopher_rules" -> { (s, dir) =>
+      gopherPanel(Corpus.docs(s, dir)).orderBy("doc_id")
     },
 
     // Token counting: whitespace words, regex tokens, BPE-ish estimate.
@@ -932,6 +990,32 @@ object TextAnalysis {
          |    / greatest(length(text), 1)
          |  + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality
          |FROM docs ORDER BY doc_id""".stripMargin),
+
+    "d92_gopher_rules" -> (Corpus.docsCte +
+      s""", wtab AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+         |per AS (
+         |  SELECT doc_id, w, count(1) AS c, len(w) AS wl
+         |  FROM wtab GROUP BY doc_id, w),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(c * wl) AS BIGINT) AS wchars,
+         |    CAST(sum(CASE WHEN wl >= 3 THEN c ELSE 0 END) AS BIGINT) AS n_subst,
+         |    CAST(count(CASE WHEN list_contains($enStopSqlList, w) THEN 1 END) AS BIGINT) AS n_stop_kinds,
+         |    CAST(max(c) AS BIGINT) AS top_word_n
+         |  FROM per GROUP BY doc_id)
+         |SELECT doc_id, n_words, wchars, n_subst, n_stop_kinds, top_word_n,
+         |  n_words BETWEEN 50 AND 100000 AS r_count,
+         |  (wchars >= 3 * n_words AND wchars <= 10 * n_words) AS r_wlen,
+         |  5 * n_subst >= 4 * n_words AS r_subst,
+         |  n_stop_kinds >= 2 AS r_stop,
+         |  5 * top_word_n <= n_words AS r_rep,
+         |  ((n_words BETWEEN 50 AND 100000)
+         |   AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+         |   AND 5 * n_subst >= 4 * n_words
+         |   AND n_stop_kinds >= 2
+         |   AND 5 * top_word_n <= n_words) AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin),
 
     "d10_tokens" -> (Corpus.docsCte +
       s"""SELECT doc_id,

@@ -308,6 +308,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming Gopher gate equals the batch rule panel (stateless append)") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s37_test",
+      df => graft.operators.TextAnalysis.gopherPanel(
+        graft.model.Corpus.normalized(df)), mode = "append")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s37_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s37_stream_gopher")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // the gate must discriminate: both keep outcomes occur
+    val keeps = streamed.map(_.getBoolean(11)).toSet
+    assert(keeps == Set(true, false), s"gate outcomes: $keeps")
+  }
+
   test("streaming decon gate equals the batch d22 join formulation (stateless append)") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s13_test",

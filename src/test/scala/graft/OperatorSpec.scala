@@ -1787,6 +1787,42 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - 1.0) < 1e-12, "cum_share(rank 64) != 1")
   }
 
+  test("d92 gopher rules: sequential per-doc recount, cross-multiply law, attributable verdicts") {
+    // (doc_id, n_words, wchars, n_subst, n_stop_kinds, top_word_n,
+    //  r_count, r_wlen, r_subst, r_stop, r_rep, keep)
+    val rows = SparkEntry.queries("d92_gopher_rules")(spark, sf).collect()
+    val stops = Set("the", "a", "and", "of", "to", "in", "is")
+    val docs = graft.model.Corpus.docs(spark, sf).select("doc_id", "ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.length == docs.size, "one row per doc")
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0))
+      val n = ws.length.toLong
+      val wc = ws.map(_.length.toLong).sum
+      val subst = ws.count(_.length >= 3).toLong
+      val kinds = ws.toSet.intersect(stops).size.toLong
+      val top = if (ws.isEmpty) 0L else ws.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == wc && r.getLong(3) == subst
+        && r.getLong(4) == kinds && r.getLong(5) == top, s"counts(${r.getLong(0)})")
+      assert(r.getBoolean(6) == (n >= 50 && n <= 100000))
+      assert(r.getBoolean(7) == (wc >= 3 * n && wc <= 10 * n))
+      assert(r.getBoolean(8) == (5 * subst >= 4 * n))
+      assert(r.getBoolean(9) == (kinds >= 2))
+      assert(r.getBoolean(10) == (5 * top <= n))
+      assert(r.getBoolean(11) == (r.getBoolean(6) && r.getBoolean(7)
+        && r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10)))
+    }
+    // at least two DIFFERENT rules must be the sole killer somewhere —
+    // the panel's value is attribution, not just the keep bit
+    val soleKillers = rows.filter(!_.getBoolean(11)).map { r =>
+      val verdicts = (6 to 10).map(r.getBoolean)
+      verdicts.indexOf(false)
+    }.filter(_ >= 0).toSet
+    assert(soleKillers.size >= 2, s"only rules $soleKillers ever fire on the fixture")
+    assert(rows.exists(_.getBoolean(11)) && rows.exists(!_.getBoolean(11)),
+      "both keep outcomes must occur")
+  }
+
   test("d90 dup spans: sequential islands recount, cross-doc-only law, both outcomes") {
     // (doc_id, n_tiles, n_dup_tiles, max_dup_run, has_dup_span)
     val rows = SparkEntry.queries("d90_dup_spans")(spark, sf).collect()

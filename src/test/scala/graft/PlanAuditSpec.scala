@@ -251,7 +251,9 @@ class PlanAuditSpec extends SparkSpec {
       "d90_dup_spans" -> (1, 0),
       // d91: ONE corpus scan through two chained broadcast folds
       // (snapshot + current centroid artifacts are read-backs)
-      "d91_recluster_drift" -> (0, 1))
+      "d91_recluster_drift" -> (0, 1),
+      // d92: pure per-row HOF panel — one corpus scan, zero shuffles
+      "d92_gopher_rules" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -439,6 +441,8 @@ class PlanAuditSpec extends SparkSpec {
       "s35_stream_semdedup" -> Map("embeddings" -> 1),
       // s36: one corpus pass into the bounded per-dim moment agg
       "s36_stream_spectrum" -> Map("embeddings" -> 1),
+      // s37: the d92 panel verbatim — pure per-row, one corpus pass
+      "s37_stream_gopher" -> Map("documents" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom
