@@ -321,6 +321,38 @@ object Multimodal {
       dimsSweep(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // RESIZE planning — the thumbnail stage of an image pipeline as a
+    // metadata-only plan (completes the decode / feature-extract /
+    // frame-sample / RESIZE quartet): per container, the aspect-
+    // preserving target dims under a 128-px long-side budget, the
+    // no-op verdict (never upscale), and the output-byte estimate the
+    // downstream writer provisions with — all from d47's header peek,
+    // no pixel is ever touched at plan time (the resize EXECUTION at
+    // 100 TB is embarrassingly parallel per row; this is the plan
+    // that sizes it). Thumb math is exact integer floor division
+    // (tw·h ≤ 128·h, th = ⌊h·128/w⌋ — bit-stable cross-engine);
+    // zero-dim containers are planned invalid (ok=false, zeroed
+    // targets) instead of dividing by zero.
+    "d93_resize_plan" -> { (s, dir) =>
+      dimsSweep(Tables.documents(s, dir))
+        .withColumn("valid", col("width") > 0 && col("height") > 0)
+        .withColumn("no_op",
+          col("valid") && greatest(col("width"), col("height")) <= 128)
+        .withColumn("tw", when(!col("valid"), 0L)
+          .when(col("no_op"), col("width"))
+          .when(col("width") >= col("height"), lit(128L))
+          .otherwise(expr("CAST(width * 128 DIV height AS LONG)")))
+        .withColumn("th", when(!col("valid"), 0L)
+          .when(col("no_op"), col("height"))
+          .when(col("width") >= col("height"),
+            expr("CAST(height * 128 DIV width AS LONG)"))
+          .otherwise(lit(128L)))
+        .withColumn("est_bytes", col("tw") * col("th") * lit(3L))
+        .select("doc_id", "width", "height", "valid", "no_op",
+          "tw", "th", "est_bytes")
+        .orderBy("doc_id")
+    },
+
     // Clip-level near-dup via shared frame fingerprints — the video
     // twin of shingle dedup: each clip contributes one fingerprint per
     // fixed-stride frame (50-char windows standing in for decoded
@@ -399,6 +431,37 @@ object Multimodal {
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height,
         |  CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // the thumb math over the same header-derived dims d47 reads
+    "d93_resize_plan" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 640 AS width,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 480 AS height
+        |  FROM documents WHERE text IS NOT NULL),
+        |plan AS (
+        |  SELECT doc_id, width, height,
+        |    (width > 0 AND height > 0) AS valid,
+        |    (width > 0 AND height > 0 AND greatest(width, height) <= 128) AS no_op
+        |  FROM dims)
+        |SELECT doc_id, width, height, valid, no_op,
+        |  CASE WHEN NOT valid THEN 0
+        |       WHEN no_op THEN width
+        |       WHEN width >= height THEN 128
+        |       ELSE width * 128 // height END AS tw,
+        |  CASE WHEN NOT valid THEN 0
+        |       WHEN no_op THEN height
+        |       WHEN width >= height THEN height * 128 // width
+        |       ELSE 128 END AS th,
+        |  (CASE WHEN NOT valid THEN 0
+        |       WHEN no_op THEN width
+        |       WHEN width >= height THEN 128
+        |       ELSE width * 128 // height END)
+        |  * (CASE WHEN NOT valid THEN 0
+        |       WHEN no_op THEN height
+        |       WHEN width >= height THEN height * 128 // width
+        |       ELSE 128 END) * 3 AS est_bytes
+        |FROM plan ORDER BY doc_id""".stripMargin,
 
     // the closed loop: a re-driven doc decodes to exactly the features
     // the clean ingest (d14) would have produced for it

@@ -1787,6 +1787,38 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - 1.0) < 1e-12, "cum_share(rank 64) != 1")
   }
 
+  test("d93 resize plan: thumb math recount from d47's dims, no-upscale and aspect laws, all verdicts") {
+    // (doc_id, width, height, valid, no_op, tw, th, est_bytes)
+    val rows = SparkEntry.queries("d93_resize_plan")(spark, sf).collect()
+    val dims = SparkEntry.queries("d47_media_dims")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length == dims.size, "one plan row per peeked container")
+    rows.foreach { r =>
+      val (w, h) = dims(r.getLong(0))
+      assert(r.getLong(1) == w && r.getLong(2) == h, "dims must be d47's")
+      val valid = w > 0 && h > 0
+      val noOp = valid && math.max(w, h) <= 128
+      assert(r.getBoolean(3) == valid && r.getBoolean(4) == noOp)
+      val (tw, th) =
+        if (!valid) (0L, 0L)
+        else if (noOp) (w, h)
+        else if (w >= h) (128L, h * 128 / w)
+        else (w * 128 / h, 128L)
+      assert(r.getLong(5) == tw && r.getLong(6) == th, s"thumb(${r.getLong(0)})")
+      assert(r.getLong(7) == tw * th * 3, "est_bytes law")
+      if (valid && !noOp) {
+        assert(math.max(tw, th) == 128, "long side must hit the budget")
+        assert(tw <= w && th <= h, "never upscale")
+        // floor-division aspect law: th/tw brackets h/w within one unit
+        if (w >= h) assert(th * w <= h * 128 && (th + 1) * w > h * 128)
+        else assert(tw * h <= w * 128 && (tw + 1) * h > w * 128)
+      }
+    }
+    assert(rows.exists(r => r.getBoolean(3) && !r.getBoolean(4))
+      && rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(3)),
+      "fixture must exercise resize, no-op AND invalid verdicts")
+  }
+
   test("d92 gopher rules: sequential per-doc recount, cross-multiply law, attributable verdicts") {
     // (doc_id, n_words, wchars, n_subst, n_stop_kinds, top_word_n,
     //  r_count, r_wlen, r_subst, r_stop, r_rep, keep)

@@ -253,7 +253,9 @@ class PlanAuditSpec extends SparkSpec {
       // (snapshot + current centroid artifacts are read-backs)
       "d91_recluster_drift" -> (0, 1),
       // d92: pure per-row HOF panel — one corpus scan, zero shuffles
-      "d92_gopher_rules" -> (1, 0))
+      "d92_gopher_rules" -> (1, 0),
+      // d93: d47's header peek + per-row integer thumb math
+      "d93_resize_plan" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
