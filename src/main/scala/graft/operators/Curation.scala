@@ -486,6 +486,45 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // TEMPERATURE-smoothed multilingual sampling weights (Conneau &
+    // Lample 2019, XLM; the α-law mT5/XLM-R corpora were drawn with):
+    // q_l(α) ∝ p_l^α — α<1 boosts low-resource languages, α>1
+    // sharpens the head; this computes the TARGET mixture d51's
+    // planner consumes (d51 prices actual-vs-target, THIS is where
+    // the target comes from). α ∈ {0.5, 1, 2} picked for EXACT
+    // cross-engine floats: n^0.5 is one correctly-rounded IEEE sqrt
+    // of an exact long, n^1/n^2 are exact — no libm pow anywhere.
+    // The per-lang table collapses to ONE sorted struct array and
+    // every sum folds LEFT-TO-RIGHT over it (Spark aggregate() HOF ≡
+    // DuckDB list_reduce — sequential by definition on both sides),
+    // so the float denominators are bit-identical cross-engine. ONE
+    // corpus scan, map-side partial to a lang-bounded aggregate; the
+    // α explode happens on the one packed row, never the corpus.
+    "d94_lang_temperature" -> { (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .agg(expr("array_sort(collect_list(struct(lang, n_docs)))").as("ls"))
+        .select(explode(expr(
+          """flatten(transform(array(0.5D, 1.0D, 2.0D), a ->
+            |  transform(ls, x -> struct(
+            |    a AS alpha, x.lang AS lang, x.n_docs AS n_docs,
+            |    CASE WHEN a = 0.5D THEN sqrt(CAST(x.n_docs AS DOUBLE))
+            |         WHEN a = 1.0D THEN CAST(x.n_docs AS DOUBLE)
+            |         ELSE CAST(x.n_docs AS DOUBLE) * CAST(x.n_docs AS DOUBLE) END AS w,
+            |    aggregate(ls, CAST(0 AS DOUBLE), (acc, y) -> acc +
+            |      CASE WHEN a = 0.5D THEN sqrt(CAST(y.n_docs AS DOUBLE))
+            |           WHEN a = 1.0D THEN CAST(y.n_docs AS DOUBLE)
+            |           ELSE CAST(y.n_docs AS DOUBLE) * CAST(y.n_docs AS DOUBLE) END) AS denom,
+            |    aggregate(ls, CAST(0 AS LONG), (acc, y) -> acc + y.n_docs) AS n_total))))"""
+            .stripMargin)).as("r"))
+        .select(col("r.alpha").as("alpha"), col("r.lang").as("lang"),
+          col("r.n_docs").as("n_docs"),
+          (col("r.w") / col("r.denom")).as("share"),
+          (col("r.w") / col("r.denom") * col("r.n_total").cast("double")
+            / col("r.n_docs").cast("double")).as("boost"))
+        .orderBy("alpha", "lang")
+    },
+
     // Near-dup clusters: connected components over the d04 LSH pairs —
     // pairwise near-dup hits become transitive KEEP-one groups.
     "d24_dup_clusters" -> { (s, dir) =>
@@ -952,6 +991,29 @@ object Curation {
          |FROM docs d LEFT JOIN hits h USING (doc_id)
          |WHERE NOT (${benchCondOn("d")})
          |ORDER BY doc_id""".stripMargin),
+
+    // the α-law over lang counts: w per (alpha, lang), denominators as
+    // an ORDERED sequential list_reduce (≡ Spark's left fold over the
+    // sorted struct array — bit-identical float sums), boost left-assoc
+    "d94_lang_temperature" ->
+      """WITH counts AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+        |al AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)]) AS alpha),
+        |w AS (
+        |  SELECT a.alpha, c.lang, c.n_docs,
+        |    CASE WHEN a.alpha = 0.5 THEN sqrt(CAST(c.n_docs AS DOUBLE))
+        |         WHEN a.alpha = 1.0 THEN CAST(c.n_docs AS DOUBLE)
+        |         ELSE CAST(c.n_docs AS DOUBLE) * CAST(c.n_docs AS DOUBLE) END AS w
+        |  FROM al a CROSS JOIN counts c),
+        |den AS (
+        |  SELECT alpha,
+        |    CAST(list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS DOUBLE) AS denom
+        |  FROM w GROUP BY alpha)
+        |SELECT w.alpha, w.lang, w.n_docs,
+        |  w.w / den.denom AS share,
+        |  w.w / den.denom * CAST(t.n_total AS DOUBLE) / CAST(w.n_docs AS DOUBLE) AS boost
+        |FROM w JOIN den USING (alpha) CROSS JOIN tot t
+        |ORDER BY alpha, lang""".stripMargin,
 
     "d23_corpus_mix" -> {
       val rateSql = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }

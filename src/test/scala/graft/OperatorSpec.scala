@@ -1787,6 +1787,41 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - 1.0) < 1e-12, "cum_share(rank 64) != 1")
   }
 
+  test("d94 lang temperature: sequential-fold recount, alpha laws, low-resource boost ordering") {
+    // (alpha, lang, n_docs, share, boost)
+    val rows = SparkEntry.queries("d94_lang_temperature")(spark, sf).collect()
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nTotal = counts.map(_._2).sum
+    assert(rows.length == 3 * counts.length, "one row per (alpha, lang)")
+    def w(a: Double, n: Long): Double =
+      if (a == 0.5) math.sqrt(n.toDouble)
+      else if (a == 1.0) n.toDouble else n.toDouble * n.toDouble
+    rows.foreach { r =>
+      val (a, l, n) = (r.getDouble(0), r.getString(1), r.getLong(2))
+      assert(n == counts.toMap.apply(l))
+      // the same left-to-right fold over the lang-sorted table
+      val denom = counts.foldLeft(0.0) { case (acc, (_, cn)) => acc + w(a, cn) }
+      assert(r.getDouble(3) == w(a, n) / denom, s"share($a, $l)")
+      assert(r.getDouble(4) == w(a, n) / denom * nTotal.toDouble / n.toDouble,
+        s"boost($a, $l)")
+    }
+    // α = 1 is the identity mixture
+    rows.filter(_.getDouble(0) == 1.0)
+      .foreach(r => assert(r.getDouble(4) == 1.0, "alpha=1 must not reweight"))
+    // α < 1 boosts low-resource: boost strictly decreases as n grows
+    val half = rows.filter(_.getDouble(0) == 0.5)
+      .sortBy(_.getLong(2)).map(_.getDouble(4))
+    assert(half.zip(half.tail).forall { case (x, y) => x > y },
+      "alpha=0.5 boost must decrease with corpus size")
+    // shares partition unity per alpha (float fold: tolerance)
+    Seq(0.5, 1.0, 2.0).foreach { a =>
+      val s = rows.filter(_.getDouble(0) == a).map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"shares(alpha=$a) sum to $s")
+    }
+  }
+
   test("d93 resize plan: thumb math recount from d47's dims, no-upscale and aspect laws, all verdicts") {
     // (doc_id, width, height, valid, no_op, tw, th, est_bytes)
     val rows = SparkEntry.queries("d93_resize_plan")(spark, sf).collect()

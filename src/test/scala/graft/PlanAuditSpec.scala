@@ -255,7 +255,10 @@ class PlanAuditSpec extends SparkSpec {
       // d92: pure per-row HOF panel — one corpus scan, zero shuffles
       "d92_gopher_rules" -> (1, 0),
       // d93: d47's header peek + per-row integer thumb math
-      "d93_resize_plan" -> (1, 0))
+      "d93_resize_plan" -> (1, 0),
+      // d94: one corpus scan map-side-reduced to the lang-bounded
+      // aggregate; the α explode happens on ONE packed row
+      "d94_lang_temperature" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
