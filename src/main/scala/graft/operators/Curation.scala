@@ -296,116 +296,133 @@ object Curation {
     * (`a_id`, `b_id`) → exact per-node labels (`id`, `lbl`) where `lbl`
     * is the component's minimum member id. The d24 clustering runs on
     * this; it is also the reusable primitive for any transitive-closure
-    * grouping (near-dup clusters, entity resolution).
+    * grouping (near-dup clusters, entity resolution, d95's mutual-kNN
+    * communities).
     *
-    * Min-label propagation (each node takes the min label among itself
-    * and its neighbors) + pointer jumping (then takes its label's
-    * label) to the exact fixpoint. Jumping makes rounds O(log
-    * diameter); near-dup components are shallow (dups of dups), so
-    * this converges in 2–3 rounds. Each round is two hash-partitioned
-    * joins + one sum — no collect of rows ever.
+    * Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"): each round
+    * REWRITES THE EDGE SET so every node hooks toward its neighborhood
+    * minimum — the graph itself contracts toward one star per
+    * component, which bounds convergence at O(log² n) rounds
+    * REGARDLESS OF DIAMETER. The previous min-label propagation
+    * converged in O(diameter) rounds: fine for d24's shallow
+    * dup-of-dup clusters (2–3 rounds), but d95's mutual-kNN giant
+    * component measured diameter 85 at sf0.1 — 37 propagation rounds,
+    * past any sane cap, and a path-shaped component at 100 TB has no
+    * bound at all. Star contraction closes the same graph in 7.
     *
-    * localCheckpoint (not persist) each round: the round plan
-    * references the previous round's frame multiple times (propagated
-    * on both sides of the jump join), so with lazy lineage the logical
-    * plan grows geometrically and the driver ends up re-analyzing
-    * exponentially many copies of the upstream pipeline — at sf0.1 the
-    * FINAL tiny report alone paid ~1.7s of pure plan analysis before
-    * this cut. Checkpointing pins each round to its materialized
-    * blocks, so every loop plan stays O(1) size. Trade-off (same as
-    * GraphX's iterative cut): checkpoint blocks are executor-local, so
-    * an executor loss mid-loop fails the query instead of recomputing —
-    * acceptable for a seconds-long loop; a long-lived cluster
-    * deployment would set a reliable checkpoint dir and use
-    * Dataset.checkpoint on the same cadence. */
+    * Convergence detection is EXACT from one tiny agg per round:
+    * every edge a star pass rewrites strictly lowers its partner, so
+    * (count, Σ(lo+hi)) over the canonical set is monotone and
+    * unchanged ⟺ fixpoint. NON-convergence inside the 50-round cap
+    * throws: loud beats silently-wrong labels (50 rounds ≈ log² of an
+    * absurd node count; the cap exists only as a runaway backstop).
+    *
+    * localCheckpoint each round: the round plan references the
+    * previous round's frame multiple times (both stars, both sides of
+    * the convergence check), so with lazy lineage the logical plan
+    * would grow geometrically and the driver would re-analyze
+    * exponentially many copies of the upstream pipeline. Checkpointing
+    * pins each round to its materialized blocks, so every loop plan
+    * stays O(1) size. Trade-off (same as GraphX's iterative cut):
+    * checkpoint blocks are executor-local, so an executor loss
+    * mid-loop fails the query instead of recomputing — acceptable for
+    * a seconds-long loop; a long-lived cluster deployment would set a
+    * reliable checkpoint dir and use Dataset.checkpoint on the same
+    * cadence. */
   private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val p2 = pairs.toDF("a_id", "b_id")
-    val sym = p2.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(p2.select(col("b_id").as("src"), col("a_id").as("dst")))
-    // self-loops let each round's min-pass see the node's OWN label
-    // through the same neighbor join — no per-round union back to
-    // `labels` (a self-union of a checkpointed frame also trips
-    // Union's constraint rewrite on duplicate attribute ids). No
-    // distinct on the loops: one loop per incident edge is harmless
-    // under the min-aggregate and skips a |sym| shuffle.
-    // materialized UNDER THE CALLER'S CONF: the edge pipeline includes
-    // the corpus-side candidate generation (LSH joins), which needs the
-    // caller's AQE/partitioning — only the loop below wants them dialed
-    // down
-    val edges0 = sym
-      .union(sym.select(col("src"), col("src").as("dst")))
+    // canonical undirected edges (lo < hi), deduplicated — materialized
+    // UNDER THE CALLER'S CONF: the edge pipeline includes the
+    // corpus-side candidate generation (LSH joins, ANN probes), which
+    // needs the caller's AQE/partitioning — only the loop below wants
+    // them dialed down
+    val e0 = p2
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint()
-    // loop-local tuning: the convergence rounds run over the cached
-    // near-dup minority (KBs–MBs even when the corpus is 100 TB — the
-    // edge set is the candidate-pair output, not the corpus), so each
-    // round's job is pure scheduling overhead. AQE would split every
-    // round into per-stage jobs and re-optimize each; 32 shuffle
-    // partitions would schedule 32 tasks per tiny exchange. The loop
-    // runs on an ISOLATED session (newSession: own SQLConf, shared
-    // SparkContext and cache) so the overrides cannot leak into
-    // queries concurrently planned on the caller's session — AQE
-    // skew-splitting is the 100×-scale protection a co-tenant query
-    // must never silently lose. The pinned edge blocks cross sessions
-    // through the public Row-RDD bridge: one conversion pass over the
-    // bounded edge minority, re-pinned so loop plans stay O(1).
+    // loop-local tuning: the contraction rounds run over the clustered
+    // minority (KBs–MBs even when the corpus is 100 TB — the edge set
+    // is the candidate-pair output, not the corpus), so each round's
+    // job is pure scheduling overhead; AQE and 32-partition exchanges
+    // would multiply it. The loop runs on an ISOLATED session
+    // (newSession: own SQLConf, shared SparkContext and cache) so the
+    // overrides cannot leak into queries concurrently planned on the
+    // caller's session. Edge blocks cross sessions through the public
+    // Row-RDD bridge.
     val loop = loopSession(s)
-    val edges = loop.createDataFrame(edges0.rdd, edges0.schema).localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    // Convergence telemetry: per-node labels are NON-INCREASING, so
-    // the label sum strictly decreases every non-converged round — an
-    // unchanged sum IS the fixpoint proof. Exact decimal keeps that
-    // argument airtight at any node count (no silent long wraparound
-    // to alias two states).
-    def lblSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over an empty frame is NULL — normalize so an empty pair
-      // graph (no near-dups at all) converges on the first check
-      val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
+    var edges = loop.createDataFrame(e0.rdd, e0.schema).localCheckpoint()
+
+    // LARGE-STAR: every strictly-larger neighbor of u hooks to
+    // m = min(N(u) ∪ {u}) — long chains fold toward minima
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+      // no distinct here: small-star's terminal dedup covers the round,
+      // and its min-agg is duplicate-insensitive — one fewer exchange
     }
-    // no baseline sum job: every node comes from an edge, so every
-    // component has >= 2 members and its non-min members MUST change
-    // in round 1 — the first possible fixpoint is round 2, and the
-    // first comparable pair of sums is (round 1, round 2)
-    var prevSum: java.math.BigDecimal = null
+
+    // SMALL-STAR: every smaller-or-equal neighbor of u (and u itself)
+    // hooks to the minimum — stars flatten to their root
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(col("hi").as("u"), col("lo").as("v")) // v < u
+      val m = canon.groupBy("u").agg(min(col("v")).as("m"))      // m < u
+      val rewired = canon.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))            // m < v
+      val hooked = m.select(col("m").as("lo"), col("u").as("hi"))
+      rewired.union(hooked).filter(col("lo") =!= col("hi")).distinct()
+    }
+
+    // EXACT fixpoint detection from one tiny agg per round: every edge
+    // a star pass actually rewrites strictly lowers its partner to the
+    // neighborhood minimum, so Σ(lo+hi) over the canonical set is
+    // MONOTONE-DECREASING and (count, Σ) unchanged ⟺ no edge changed
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("lo") + col("hi")).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = sig(edges)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
-      // one min-pass: each node takes min over {its own label} ∪
-      // {neighbor labels} — the self label enters through the
-      // self-loop edge, so the round is a single join + aggregate
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("lbl"))
-        .groupBy("id").agg(min("lbl").as("lbl"))
-      // pointer jumping: follow one indirection (label's label).
-      // propagated feeds both sides, but its expensive subtree (the
-      // edge join) sits BELOW the min-agg exchange, which
-      // ReuseExchange dedupes — only the tiny post-shuffle merge
-      // evaluates per side, so no persist is needed here.
-      val next = propagated.as("a")
-        .join(propagated.select(col("id").as("lbl"), col("lbl").as("ll")).as("b"),
-          Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
-        .localCheckpoint() // materializes the round; truncates lineage
-      val roundSum = lblSum(next) // second micro-job over the cached blocks
-      labels = next
-      converged = prevSum != null && roundSum.compareTo(prevSum) == 0
-      prevSum = roundSum
+    while (!converged && rounds < 50) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = sig(edges)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
       rounds += 1
     }
-    // the returned frame reads the FINAL round's checkpoint blocks
-    // (bounded by the clustered minority, not the corpus);
-    // intermediate rounds' and edges' blocks are reclaimed by the
-    // ContextCleaner once their RDDs become unreachable. Bridge the
-    // result BACK to the caller's session: a frame left bound to the
-    // loop session would silently plan every downstream consumer (the
-    // d24 report, any corpus-sized join rooted here) with AQE off and
-    // 8 partitions — the exact leak the isolation exists to prevent,
-    // in the other direction.
+    // convergence telemetry (stderr only): the loop's cost model is
+    // rounds × fixed scheduling overhead — keep the round count
+    // observable so growth at a new SF is attributable
+    System.err.println(s"[cc] converged=$converged rounds=$rounds")
+    require(converged,
+      s"connected-components failed to converge in $rounds rounds")
+    // the fixpoint edge set is one star per component rooted at the
+    // component minimum: label(hi) = lo; roots label themselves
+    val lbls = edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("lbl"))
+    val nodes0 = e0.select(col("lo").as("id"))
+      .union(e0.select(col("hi").as("id"))).distinct()
+    val nodes = loop.createDataFrame(nodes0.rdd, nodes0.schema)
+    val labels = nodes
+      .join(lbls, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      .localCheckpoint()
+    // bridge the result BACK to the caller's session: a frame left
+    // bound to the loop session would silently plan every downstream
+    // consumer with AQE off and 8 partitions
     s.createDataFrame(labels.rdd, labels.schema)
   }
-
   /** One dialed-down loop session per SparkContext, created lazily and
     * REUSED — newSession per invocation would register a fresh
     * ExecutionListenerBus on the shared LiveListenerBus every call and

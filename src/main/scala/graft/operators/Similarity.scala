@@ -320,6 +320,10 @@ object Similarity {
     * and the reconstruction norm ADC divides by. 8×4 bits of code +
     * one norm long per vector — the 128× cut beyond SQ8's 8×; only
     * this table scales with n, the codebook stays 128 rows forever.
+    * Also carries `re` = Σ‖sub − cw‖² (the vector's total distortion):
+    * one long that makes the artifact the SINGLE source of codes for
+    * both the serving probes (d80/d81) and the encoding audit (d56) —
+    * build once, consume everywhere.
     * Derived ONCE from the full-precision postings artifact (build →
     * compress → serve, the d53 lineage at the deeper compression
     * point). */
@@ -333,7 +337,8 @@ object Similarity {
         .groupBy("vec_id")
         .agg(expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)")
           .as("codes"),
-          sum(col("cwn")).as("rn2"))
+          sum(col("cwn")).as("rn2"),
+          sum(col("d")).as("re"))
       post.select("vec_id", "cell").join(codes, Seq("vec_id"))
     }
 
@@ -1081,6 +1086,38 @@ object Similarity {
         .orderBy("cell")
     },
 
+    // Mutual-kNN COMMUNITIES — the clustering the kNN graph was built
+    // for: an undirected edge where BOTH endpoints rank each other in
+    // their top-3 (the mutual-kNN criterion — robust to hubs precisely
+    // because a hub's victims rarely rank IT back; d88 measures that
+    // asymmetry, this exploits it), then connected components over the
+    // mutual edges — semantic communities in embedding space, the
+    // vector-side twin of d24's text-LSH clusters and the grouping a
+    // SemDeDup-style "keep best per community" pass consumes. Edges
+    // are d50's probe stream (one corpus scan against the persisted
+    // index); the mutual filter is a self-semi-join on the ≤3n-row
+    // edge list; the CC loop runs over the mutual MINORITY (d24's
+    // convergence machinery, shared), never the corpus.
+    "d95_knn_communities" -> { (s, dir) =>
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      val edges = ivfTopK(assignTop2(Corpus.qvecs(s, dir), cents), post)
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mutual = edges
+        .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+          Seq("a_id", "b_id"), "left_semi")
+        .filter(col("a_id") < col("b_id"))
+      val labels = Curation.connectedComponents(s, mutual)
+      labels
+        .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+
     // IVF probe against the PERSISTED index — the build-once/probe-many
     // split d15 demonstrates in one plan: the expensive clustering (the
     // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
@@ -1158,9 +1195,12 @@ object Similarity {
     // "refine" step, IVFPQR): the cheap ADC ranking shortlists k'=10
     // candidates per query (d80's machinery — only codes are scanned),
     // then ONLY the shortlist pays full-precision math: ~10 point
-    // lookups per query against the id-keyed postings (the shortlist
-    // side broadcasts; the 100 TB vector store never shuffles), exact
-    // integer cosine, final top-3. The agreement arc this closes:
+    // lookups per query against the id-keyed postings via the b_id
+    // EQUI-join (which side broadcasts is a stats call — a tiny query
+    // set broadcasts its shortlist; a corpus-wide eval lets AQE
+    // shuffle both sides on b_id — either way no re-pairing beyond
+    // the shortlist; PlanSpec pins the equi shape), exact integer
+    // cosine, final top-3. The agreement arc this closes:
     // raw ADC top-1 sits near chance on this signal-flat fixture
     // (0.058), the reranked top-1 recovers to the shortlist's recall
     // of the true neighbor — compression pays for candidate
@@ -1188,25 +1228,26 @@ object Similarity {
     // 128× compression step beyond d53's SQ8 (8 subspaces × 16
     // codewords → one 32-bit code per vector; the codebook is 128 tiny
     // centroids, broadcastable at ANY corpus size — PQ's core trade:
-    // only the 4-byte codes scale with n). This is the nightly job a
-    // deployment runs BEFORE enabling PQ serving: train the codebook
+    // only the 4-byte codes scale with n). The training + encoding
     // (one deterministic k-means refinement per subspace — d15's law,
-    // 8× independently), encode every vector (shuffle-free broadcast
-    // fold per subspace), and report EXACT integer distortion
-    // (recon_err = Σ_j ‖sub_j − cw_j‖², the measure-don't-guess gate
-    // on whether 4 bits/subspace is survivable) plus the
-    // reconstruction norm ADC cosine serving would divide by. Two
-    // corpus passes total (train, encode) — the d15 shape; every
-    // aggregate in between is bounded (1024 cells).
+    // 8× independently — then a shuffle-free broadcast-fold encode)
+    // run ONCE inside the persisted [[annIndexPq]] artifact build (the
+    // nightly job a deployment runs BEFORE enabling PQ serving); this
+    // query is the encoding AUDIT over that single artifact — the
+    // packed 32-bit code, the EXACT integer distortion (recon_err =
+    // Σ_j ‖sub_j − cw_j‖², the measure-don't-guess gate on whether 4
+    // bits/subspace is survivable) and the reconstruction norm ADC
+    // cosine serving divides by. One codes artifact feeds d56's audit
+    // AND d80/d81's serving probes — the codes a deployment audits
+    // are bit-identical to the codes it serves.
     "d56_pq_encode" -> { (s, dir) =>
-      val q = Corpus.qvecs(s, dir)
-      val cb1 = pqCodebook(s, q)
-      pqAssign(pqSubs(q), cb1)
-        .groupBy("vec_id")
-        .agg(
-          sum(expr("shiftleft(CAST(c AS LONG), j * 4)")).as("code"),
-          sum(col("d")).as("recon_err"),
-          sum(col("cwn")).as("recon_norm2"))
+      graft.sources.IO.readParquet(s, annIndexPq(s, dir))
+        .select(col("vec_id"),
+          expr(s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS LONG),
+                  |  (acc, j) -> acc + shiftleft(CAST(coalesce(element_at(codes, j + 1), 0) AS LONG), j * 4))""".stripMargin)
+            .as("code"),
+          col("re").as("recon_err"),
+          col("rn2").as("recon_norm2"))
         .orderBy("vec_id")
     },
 
@@ -1604,7 +1645,47 @@ object Similarity {
         |      FROM qtab, UNNEST(range(1, 65)) t(pos)) s
         |GROUP BY pos0 ORDER BY pos""".stripMargin
 
+  /** Shared CTE chain ending in `edges(a_id, b_id)` — the directed
+    * 3-NN graph over the rebuilt index state (d88's hubness audit and
+    * d95's community extraction consume the same graph). */
+  private def knnEdgesCte: String =
+    ivfCents1Cte +
+      s""", ranked AS (
+         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |  FROM qtab q CROSS JOIN cents1 ce
+         |),
+         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
+         |edges AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
+         |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
+         |        b.vec_id ASC) AS rn
+         |    FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3)""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
+    "d95_knn_communities" -> (
+      knnEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, mut AS (
+        |  SELECT e.a_id, e.b_id FROM edges e
+        |  JOIN edges r ON e.a_id = r.b_id AND e.b_id = r.a_id
+        |  WHERE e.a_id < e.b_id),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM mut
+        |        UNION ALL SELECT b_id, a_id FROM mut),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
+        |SELECT l.id AS vec_id, l.cluster_id, s.cluster_size
+        |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY vec_id""".stripMargin),
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (
          |  SELECT vec_id, cell, d2 FROM (
@@ -1627,25 +1708,8 @@ object Similarity {
          |      > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)
          |ORDER BY a.vec_id""".stripMargin),
 
-    "d88_knn_hubness" -> (ivfCents1Cte +
-      s""", ranked AS (
-         |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |  FROM qtab q CROSS JOIN cents1 ce
-         |),
-         |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
-         |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
-         |edges AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-         |        CAST(${duckDot.format("a.q", "b.q")} AS DOUBLE)
-         |        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) DESC,
-         |        b.vec_id ASC) AS rn
-         |    FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-         |  WHERE rn <= 3),
-         |deg AS (
+    "d88_knn_hubness" -> (knnEdgesCte +
+      s""", deg AS (
          |  SELECT vec_id, CAST(sum(o) AS BIGINT) AS out_deg,
          |         CAST(sum(i) AS BIGINT) AS in_deg FROM (
          |    SELECT a_id AS vec_id, 1 AS o, 0 AS i FROM edges

@@ -180,6 +180,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.exists(_.getDouble(4) >= 0.9), "no stable cell — fixture degenerate")
   }
 
+  test("d95 knn communities: union-find recount over mutual edges from d50's graph") {
+    // (vec_id, cluster_id, cluster_size)
+    val rows = SparkEntry.queries("d95_knn_communities")(spark, sf).collect()
+    // independent edges: d50's oracle-proven probe output; mutual =
+    // edge AND reverse; communities by driver-side union-find
+    val edges = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val mutual = edges.filter { case (a, b) => a < b && eset((b, a)) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    // min-id canonical labels: re-minimize per component
+    val canon = want.groupBy(_._2).flatMap { case (_, m) =>
+      val lbl = m.keys.min; m.keys.map(_ -> lbl)
+    }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == canon, "community labels diverge from the union-find recount")
+    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)),
+      s"cluster_size(${r.getLong(0)})"))
+    assert(sizes.size > 1, "fixture must produce more than one community")
+    // every mutual edge is intra-community by construction
+    mutual.foreach { case (a, b) => assert(canon(a) == canon(b)) }
+  }
+
   test("d53 SQ8 artifact: genuine 1-byte codes, exact norms, full coverage") {
     val post8 = IO.readParquet(spark, Similarity.annIndexSq8(spark, sf))
     // the storage claim is real only if parquet holds int8, not int64
@@ -235,7 +269,7 @@ class AnnIndexSpec extends SparkSpec {
 
   test("d80 IVFPQ artifact: 8 valid code digits, full coverage, d50 cells kept, exact recon norms") {
     val pq = IO.readParquet(spark, Similarity.annIndexPq(spark, sf))
-    assert(pq.columns.toSeq == Seq("vec_id", "cell", "codes", "rn2"),
+    assert(pq.columns.toSeq == Seq("vec_id", "cell", "codes", "rn2", "re"),
       s"IVFPQ postings schema: ${pq.columns.mkString(",")}")
     val n = Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
     assert(pq.count() == n, "PQ postings must cover every vector")
@@ -243,16 +277,28 @@ class AnnIndexSpec extends SparkSpec {
     // reconstruction norm is EXACTLY the sum of its codewords' norms
     // (what the ADC cosine divides by — a wrong norm silently skews
     // every score)
-    val cwNorm = IO.readParquet(spark, Similarity.annIndexPqCb(spark, sf))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) ->
-        r.getSeq[Long](2).map(x => x * x).sum).toMap
+    val cbRows = IO.readParquet(spark, Similarity.annIndexPqCb(spark, sf)).collect()
+    val cwNorm = cbRows.map(r => (r.getInt(0), r.getInt(1)) ->
+      r.getSeq[Long](2).map(x => x * x).sum).toMap
+    val cwVec = cbRows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    val rawQ = Corpus.qvecs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     pq.collect().foreach { r =>
       val codes = r.getSeq[Int](2)
       assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} digits")
       val rn2 = codes.zipWithIndex.map { case (c, j) => cwNorm((j, c)) }.sum
       assert(r.getLong(3) == rn2,
         s"rn2 mismatch at vec ${r.getLong(0)}: stored ${r.getLong(3)} vs $rn2")
+      // stored distortion = Σ_j ‖sub_j − cw_j‖² recomputed from the RAW
+      // vector — the single number d56's audit republishes, so a wrong
+      // `re` here corrupts the encoding report downstream
+      val q = rawQ(r.getLong(0))
+      val re = codes.zipWithIndex.map { case (c, j) =>
+        q.slice(j * 8, j * 8 + 8).zip(cwVec((j, c)))
+          .map { case (a, b) => val d = a - b; d * d }.sum
+      }.sum
+      assert(r.getLong(4) == re,
+        s"re mismatch at vec ${r.getLong(0)}: stored ${r.getLong(4)} vs $re")
     }
     // same cells as the full-precision postings: compression changes
     // storage, never routing (the d53 law at the deeper point)

@@ -142,9 +142,10 @@ class PlanAuditSpec extends SparkSpec {
       // deny-list build is a construction-time Scratch artifact; the
       // verify join reads the artifact back, never the corpus
       "d55_blocklist_bloom" -> (1, 0),
-      // d56: two passes, the d15 shape — one to train the codebook
-      // (bounded 1024-cell aggregate), one to encode
-      "d56_pq_encode" -> (0, 2),
+      // d56: ZERO live scans — train + encode run inside the
+      // construction-time annIndexPq artifact build; the audit reads
+      // the same persisted codes d80/d81 serve from
+      "d56_pq_encode" -> (0, 0),
       // d57: pure per-row split assignment over one fingerprint scan
       "d57_data_split" -> (1, 0),
       // d58: one corpus pass anti-joined against one id-pruned
@@ -258,14 +259,18 @@ class PlanAuditSpec extends SparkSpec {
       "d93_resize_plan" -> (1, 0),
       // d94: one corpus scan map-side-reduced to the lang-bounded
       // aggregate; the α explode happens on ONE packed row
-      "d94_lang_temperature" -> (1, 0))
+      "d94_lang_temperature" -> (1, 0),
+      // d95: ONE embeddings pass (d88's probe side, counted with the
+      // listener like d24 — the CC loop runs over the mutual minority)
+      "d95_knn_communities" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
       SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted,
       Seq("documents", "embeddings"),
       name =>
-        if (Set("d24_dup_clusters", "d67_cluster_keep_best")(name))
+        if (Set("d24_dup_clusters", "d67_cluster_keep_best",
+            "d95_knn_communities")(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }

@@ -503,6 +503,39 @@ class PlanSpec extends SparkSpec {
       s"per-source sketch frame not persisted:\n$p")
   }
 
+  test("d80 IVFPQ probe: broadcast codebook LUT, cell equi-join, serving scan pruned to codes") {
+    // the flagship serving plan's structure, pinned (not just its
+    // values): the 128-entry dense codebook reaches the query side as
+    // a broadcast single-row array (the LUT is then a per-row
+    // projection — BroadcastNestedLoopJoin of a 1-row build side);
+    // candidate generation is the cell EQUI-join against the code
+    // postings — never an all-pairs pairing of queries × postings
+    val p = SparkEntry.queries("d80_ivfpq_probe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ADC degenerated to cartesian:\n$p")
+    assert(p.contains("Join [cell"), s"candidate join lost the cell equi-key:\n$p")
+    // the serving scan reads ONLY (vec_id, cell, codes, rn2) — the
+    // audit column `re` (d56's distortion) must be pruned off, or the
+    // 128× compression claim quietly pays an extra long per posting
+    assert(p.contains("struct<vec_id:bigint,cell:int,codes:array<int>,rn2:bigint>"),
+      s"IVFPQ serving scan not pruned to the code columns:\n$p")
+  }
+
+  test("d81 rerank: only the k'-deep ADC shortlist meets full vectors, on the b_id equi-key") {
+    // the refine stage's structure: the shortlist is bounded BEFORE
+    // the join (TopKPerGroup k'=10 emits prn), and full-precision
+    // vectors are fetched by b_id EQUI-join — point lookups, never a
+    // cartesian re-pairing (which side broadcasts is a stats call:
+    // tiny query sets broadcast the shortlist, corpus-wide evals let
+    // AQE shuffle both — both are equi plans)
+    val p = SparkEntry.queries("d81_ivfpq_rerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"rerank degenerated to cartesian:\n$p")
+    assert(p.contains("Join [b_id"), s"vector fetch lost the b_id equi-key:\n$p")
+    assert(p.contains("10, prn"), s"shortlist not bounded by the k'=10 TopK before the join:\n$p")
+  }
+
   test("d46 re-drive broadcasts the worklist against a pushdown-pruned corpus scan") {
     // the 100 TB contract of the quarantine loop's consumer side: the
     // corpus (the big side) is scanned once with the text filter AT the
