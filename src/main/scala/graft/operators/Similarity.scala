@@ -661,6 +661,39 @@ object Similarity {
   private val duckSqDist =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
 
+  /** Directed 3-NN edge stream (`a_id`, `b_id`) over the PERSISTED
+    * index — d50's probe shape, materialized once because every
+    * graph-analytics consumer (d88 degrees, d95 communities, d96
+    * modularity, d97 medoids) reads it several times. ONE corpus scan;
+    * the ≤3n-row edge list is the working set from here on. */
+  private def knnGraph(s: SparkSession, dir: String,
+      q0: Option[DataFrame] = None): DataFrame = {
+    val cents = denull(
+      graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+    val post = denull(
+      graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+    // q0: a caller-persisted qvecs frame when the caller ALSO reads the
+    // vectors downstream (d97) — the probe stream then fills the cache
+    // and the member fetch reads it, one physical corpus scan total
+    ivfTopK(assignTop2(q0.getOrElse(Corpus.qvecs(s, dir)), cents), post)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Mutual-kNN community labels (`id`, `lbl`) over a directed edge
+    * frame: keep an undirected edge iff BOTH endpoints rank each other
+    * (one self-semi-join on the edge minority), then exact connected
+    * components via d24's shared star-contraction loop. Nodes outside
+    * any mutual edge are absent — callers that need singletons
+    * coalesce the label to the node's own id. */
+  private def mutualLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    val mutual = edges
+      .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id"))
+    Curation.connectedComponents(s, mutual)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-5 neighbors per vector (baseline). The
@@ -1099,23 +1132,100 @@ object Similarity {
     // edge list; the CC loop runs over the mutual MINORITY (d24's
     // convergence machinery, shared), never the corpus.
     "d95_knn_communities" -> { (s, dir) =>
-      val cents = denull(
-        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
-      val post = denull(
-        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
-      val edges = ivfTopK(assignTop2(Corpus.qvecs(s, dir), cents), post)
-        .select(col("a_id"), col("b_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mutual = edges
-        .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
-          Seq("a_id", "b_id"), "left_semi")
-        .filter(col("a_id") < col("b_id"))
-      val labels = Curation.connectedComponents(s, mutual)
+      val labels = mutualLabels(s, knnGraph(s, dir))
       labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size")), Seq("lbl"))
         .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
           col("cluster_size"))
         .orderBy("vec_id")
+    },
+
+    // Directed MODULARITY of the d95 partition over the FULL kNN graph
+    // — the measure-don't-guess gate on whether mutual-CC communities
+    // actually capture the graph's edge mass or just shatter it
+    // (Newman 2004; Leicht & Newman 2008 directed form): Q = Σ_c
+    // [e_c/m − (dout_c/m)(din_c/m)], evaluated over ALL 3-NN edges
+    // (the mutual filter built the partition; the full graph judges
+    // it). Emitted EXACT: qnum_c = m·e_c − dout_c·din_c, so m²·Q =
+    // Σ qnum — pure BIGINT cross-multiplies, no float division on
+    // either engine (a 100 TB deployment would carry qnum as
+    // decimal(38,0); at any SF the per-community rows also localize
+    // WHICH community leaks — the audit d95's consumer reads before
+    // trusting the grouping). Nodes outside any mutual edge are
+    // singleton communities of themselves. Same ONE corpus scan as
+    // d95 (the persisted edge list feeds labels, degrees and intra
+    // counts); every aggregate after it runs on the ≤3n edge minority.
+    "d96_knn_modularity" -> { (s, dir) =>
+      val edges = knnGraph(s, dir)
+      val cc = mutualLabels(s, edges)
+      val nodes = edges.select(col("a_id").as("id"))
+        .union(edges.select(col("b_id").as("id"))).distinct()
+      val lab = nodes.join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("cid"))
+      val e2 = edges
+        .join(lab.select(col("id").as("a_id"), col("cid").as("ca")), Seq("a_id"))
+        .join(lab.select(col("id").as("b_id"), col("cid").as("cb")), Seq("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outd = e2.groupBy(col("ca").as("cluster_id"))
+        .agg(count(lit(1)).as("d_out"),
+          sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_intra"))
+      val ind = e2.groupBy(col("cb").as("cluster_id"))
+        .agg(count(lit(1)).as("d_in"))
+      val sizes = lab.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val m = e2.agg(count(lit(1)).as("m"))
+      sizes
+        .join(outd, Seq("cluster_id"), "left")
+        .join(ind, Seq("cluster_id"), "left")
+        .na.fill(0L, Seq("d_out", "e_intra", "d_in"))
+        .crossJoin(broadcast(m))
+        .select(col("cluster_id"), col("n_nodes"), col("e_intra"),
+          col("d_out"), col("d_in"),
+          (col("m") * col("e_intra") - col("d_out") * col("d_in")).as("qnum"))
+        .orderBy("cluster_id")
+    },
+
+    // Community MEDOID — the "keep best per community" act d95's
+    // grouping exists for (SemDeDup's representative selection,
+    // Abbas et al. 2023, at the community rather than cell level):
+    // per community the member minimizing total squared distance to
+    // the others. The brute-force medoid is O(size²) pair math; this
+    // uses the EXACT linear identity Σ_j‖x_i−x_j‖² = n_c·‖x_i‖² +
+    // Σ_j‖x_j‖² − 2·⟨x_i, S_c⟩ with S_c = Σ_j x_j — ONE elementwise
+    // community-sum pass (64-long rows grouped by (community, dim),
+    // the only exchange beyond the label join) and one dot per member
+    // against its community sum. All integer on the quantized grid:
+    // bit-identical cross-engine, no cosine floats anywhere. Ties
+    // break to the smaller vec_id via lexicographic struct min. Same
+    // ONE corpus scan as d95 (qvecs feeds both the probe stream and
+    // the member vectors through the cached scan).
+    "d97_community_medoid" -> { (s, dir) =>
+      val q = Corpus.qvecs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = mutualLabels(s, knnGraph(s, dir, Some(q)))
+      val mem = q
+        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
+          Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val longf = mem.select(col("cluster_id"), col("vec_id"), col("norm2"),
+        posexplode(col("q")).as(Seq("pos", "v")))
+      val csum = longf.groupBy("cluster_id", "pos").agg(sum(col("v")).as("sv"))
+      val dots = longf.join(csum, Seq("cluster_id", "pos"))
+        .groupBy("cluster_id", "vec_id")
+        .agg(sum(col("v") * col("sv")).as("dot_s"))
+      val stats = mem.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("norm2")).as("n2_sum"))
+      mem.select(col("cluster_id"), col("vec_id"), col("norm2"))
+        .join(dots, Seq("cluster_id", "vec_id"))
+        .join(stats, Seq("cluster_id"))
+        .withColumn("ssd",
+          col("n_nodes") * col("norm2") + col("n2_sum") - lit(2L) * col("dot_s"))
+        .groupBy("cluster_id")
+        .agg(min(struct(col("ssd"), col("vec_id"))).as("w"),
+          first(col("n_nodes")).as("n_nodes"))
+        .select(col("cluster_id"), col("w.vec_id").as("medoid_id"),
+          col("n_nodes"), col("w.ssd").as("ssd"))
+        .orderBy("cluster_id")
     },
 
     // IVF probe against the PERSISTED index — the build-once/probe-many
@@ -1647,10 +1757,15 @@ object Similarity {
 
   /** Shared CTE chain ending in `edges(a_id, b_id)` — the directed
     * 3-NN graph over the rebuilt index state (d88's hubness audit and
-    * d95's community extraction consume the same graph). */
+    * the d95/d96/d97 community family consume the same graph).
+    * `ranked` and `edges` are MATERIALIZED: DuckDB inlines CTEs by
+    * default, and every consumer references `edges` several times —
+    * inside d95/d96/d97's recursive reachability that re-evaluated the
+    * window-heavy edge pipeline ONCE PER ITERATION (the d96 oracle ran
+    * minutes and 11 GB before this hint; 0.5 s after). */
   private def knnEdgesCte: String =
     ivfCents1Cte +
-      s""", ranked AS (
+      s""", ranked AS MATERIALIZED (
          |  SELECT q.vec_id, ce.c AS cell, q.q, q.norm2,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
          |      ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
@@ -1658,7 +1773,7 @@ object Similarity {
          |),
          |assigned AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn = 1),
          |probes AS (SELECT vec_id, cell, q, norm2 FROM ranked WHERE rn <= 2),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a_id, b_id FROM (
          |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
@@ -1668,24 +1783,93 @@ object Similarity {
          |    FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |  WHERE rn <= 3)""".stripMargin
 
-  private val oracle0: Map[String, String] = Map(
-    "d95_knn_communities" -> (
-      knnEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, mut AS (
+  /** Shared CTE chain extending [[knnEdgesCte]] with the mutual-kNN
+    * community labels: recursive-CTE reachability over the mutual
+    * edge subgraph, ending in `lbl(id, cluster_id)` (min-member-id
+    * canonical labels; nodes with no mutual edge absent — d95/d96/d97
+    * all consume this one chain). */
+  private def knnCommunityCte: String =
+    knnEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, mut AS MATERIALIZED (
         |  SELECT e.a_id, e.b_id FROM edges e
         |  JOIN edges r ON e.a_id = r.b_id AND e.b_id = r.a_id
         |  WHERE e.a_id < e.b_id),
-        |sym AS (SELECT a_id AS src, b_id AS dst FROM mut
+        |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM mut
         |        UNION ALL SELECT b_id, a_id FROM mut),
         |nodes AS (SELECT DISTINCT src AS id FROM sym),
         |reach(id, r) AS (
         |  SELECT id, id FROM nodes
         |  UNION
         |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
-        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val oracle0: Map[String, String] = Map(
+    "d95_knn_communities" -> (knnCommunityCte +
+      """, sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
         |SELECT l.id AS vec_id, l.cluster_id, s.cluster_size
         |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY vec_id""".stripMargin),
+
+    "d96_knn_modularity" -> (knnCommunityCte +
+      // allnodes dedups in a SUBQUERY, not a top-level UNION: under
+      // WITH RECURSIVE, DuckDB 1.0 treats ANY cte body shaped
+      // `a UNION b` as a recursive evaluation and skips the dedup —
+      // a quiet 2× node inflation that multiplied through every join
+      """, allnodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT a_id AS id FROM edges UNION ALL SELECT b_id FROM edges) u),
+        |lab AS (
+        |  SELECT n.id, COALESCE(l.cluster_id, n.id) AS cid
+        |  FROM allnodes n LEFT JOIN lbl l ON l.id = n.id),
+        |e2 AS (
+        |  SELECT la.cid AS ca, lb.cid AS cb FROM edges e
+        |  JOIN lab la ON la.id = e.a_id JOIN lab lb ON lb.id = e.b_id),
+        |outd AS (
+        |  SELECT ca AS cluster_id, count(1) AS d_out,
+        |    CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS e_intra
+        |  FROM e2 GROUP BY 1),
+        |ind AS (SELECT cb AS cluster_id, count(1) AS d_in FROM e2 GROUP BY 1),
+        |sizes AS (SELECT cid AS cluster_id, count(1) AS n_nodes FROM lab GROUP BY 1),
+        |tot AS (SELECT count(1) AS m FROM e2)
+        |SELECT s.cluster_id, s.n_nodes,
+        |  COALESCE(o.e_intra, 0) AS e_intra,
+        |  COALESCE(o.d_out, 0) AS d_out,
+        |  COALESCE(i.d_in, 0) AS d_in,
+        |  tot.m * COALESCE(o.e_intra, 0)
+        |    - COALESCE(o.d_out, 0) * COALESCE(i.d_in, 0) AS qnum
+        |FROM sizes s LEFT JOIN outd o USING (cluster_id)
+        |  LEFT JOIN ind i USING (cluster_id), tot
+        |ORDER BY s.cluster_id""".stripMargin),
+
+    "d97_community_medoid" -> (knnCommunityCte +
+      """, mem AS (
+        |  SELECT l.id AS vec_id, l.cluster_id, q.q, q.norm2
+        |  FROM lbl l JOIN qtab q ON q.vec_id = l.id),
+        |lf AS (
+        |  SELECT cluster_id, vec_id, norm2, pos, q[pos] AS v
+        |  FROM mem, UNNEST(range(1, 65)) t(pos)),
+        |csum AS (
+        |  SELECT cluster_id, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM lf GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT lf.cluster_id, lf.vec_id,
+        |    CAST(sum(lf.v * c.sv) AS BIGINT) AS dot_s
+        |  FROM lf JOIN csum c ON c.cluster_id = lf.cluster_id AND c.pos = lf.pos
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT cluster_id, count(1) AS n_nodes,
+        |    CAST(sum(norm2) AS BIGINT) AS n2_sum
+        |  FROM mem GROUP BY 1),
+        |scored AS (
+        |  SELECT m.cluster_id, m.vec_id, st.n_nodes,
+        |    st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s AS ssd,
+        |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id ORDER BY
+        |      st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s ASC,
+        |      m.vec_id ASC) AS rn
+        |  FROM mem m
+        |  JOIN dots d ON d.cluster_id = m.cluster_id AND d.vec_id = m.vec_id
+        |  JOIN stats st ON st.cluster_id = m.cluster_id)
+        |SELECT cluster_id, vec_id AS medoid_id, n_nodes, ssd
+        |FROM scored WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (
          |  SELECT vec_id, cell, d2 FROM (

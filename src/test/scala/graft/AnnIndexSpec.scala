@@ -190,6 +190,23 @@ class AnnIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     val eset = edges.toSet
     val mutual = edges.filter { case (a, b) => a < b && eset((b, a)) }
+    val canon = ufCommunities(edges)
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == canon, "community labels diverge from the union-find recount")
+    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)),
+      s"cluster_size(${r.getLong(0)})"))
+    assert(sizes.size > 1, "fixture must produce more than one community")
+    // every mutual edge is intra-community by construction
+    mutual.foreach { case (a, b) => assert(canon(a) == canon(b)) }
+  }
+
+  /** Union-find community labels over the mutual subset of a directed
+    * edge list — the driver-side recount d95/d96/d97 are all checked
+    * against (min-member-id canonical labels, mutual-graph nodes only). */
+  private def ufCommunities(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val eset = edges.toSet
+    val mutual = edges.filter { case (a, b) => a < b && eset((b, a)) }
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -199,19 +216,86 @@ class AnnIndexSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val want = parent.keys.map(x => x -> find(x)).toMap
-    // min-id canonical labels: re-minimize per component
-    val canon = want.groupBy(_._2).flatMap { case (_, m) =>
+    val roots = parent.keys.map(x => x -> find(x)).toMap
+    roots.groupBy(_._2).flatMap { case (_, m) =>
       val lbl = m.keys.min; m.keys.map(_ -> lbl)
     }
-    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == canon, "community labels diverge from the union-find recount")
-    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)),
-      s"cluster_size(${r.getLong(0)})"))
-    assert(sizes.size > 1, "fixture must produce more than one community")
-    // every mutual edge is intra-community by construction
-    mutual.foreach { case (a, b) => assert(canon(a) == canon(b)) }
+  }
+
+  test("d96 modularity: exact recount over d50's edges + partition laws") {
+    val rows = SparkEntry.queries("d96_knn_modularity")(spark, sf).collect()
+    val edges = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = ufCommunities(edges)
+    // full-graph node set; non-mutual nodes are singletons of themselves
+    val lab: Map[Long, Long] =
+      edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> canon.getOrElse(n, n)).toMap
+    val m = edges.length.toLong
+    val dOut = edges.groupBy(e => lab(e._1)).view.mapValues(_.length.toLong).toMap
+    val dIn = edges.groupBy(e => lab(e._2)).view.mapValues(_.length.toLong).toMap
+    val eIn = edges.filter(e => lab(e._1) == lab(e._2))
+      .groupBy(e => lab(e._1)).view.mapValues(_.length.toLong).toMap
+    val nNodes = lab.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_.getLong(0)).toSeq == nNodes.keys.toSeq.sorted,
+      "community id set diverges from the recount")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == nNodes(c), s"n_nodes($c)")
+      assert(r.getLong(2) == eIn.getOrElse(c, 0L), s"e_intra($c)")
+      assert(r.getLong(3) == dOut.getOrElse(c, 0L), s"d_out($c)")
+      assert(r.getLong(4) == dIn.getOrElse(c, 0L), s"d_in($c)")
+      assert(r.getLong(5) ==
+        m * eIn.getOrElse(c, 0L) - dOut.getOrElse(c, 0L) * dIn.getOrElse(c, 0L),
+        s"qnum($c) breaks the m·e − dout·din identity")
+    }
+    // partition laws: degree mass is conserved; every directed edge
+    // whose pair is mutual is intra by construction (2 per mutual pair)
+    assert(rows.map(_.getLong(3)).sum == m, "Σd_out ≠ m")
+    assert(rows.map(_.getLong(4)).sum == m, "Σd_in ≠ m")
+    val eset = edges.toSet
+    val nMutual = edges.count { case (a, b) => a < b && eset((b, a)) }
+    assert(rows.map(_.getLong(2)).sum >= 2L * nMutual,
+      "intra edge mass lost mutual pairs")
+    // the partition must beat the null model on this fixture: m²·Q > 0
+    val qnumSum = rows.map(_.getLong(5)).sum
+    assert(qnumSum > 0 && qnumSum <= m * m,
+      s"modularity numerator $qnumSum outside (0, m²]")
+  }
+
+  test("d97 medoid: brute-force O(size²) recount per community") {
+    val rows = SparkEntry.queries("d97_community_medoid")(spark, sf).collect()
+    val edges = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = ufCommunities(edges)
+    val vecs = Corpus.qvecs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // brute-force: per community, every member's TRUE pairwise
+    // Σ‖xi−xj‖² — the O(size²) definition the linear identity replaces
+    val best = canon.groupBy(_._2).map { case (c, mmap) =>
+      val ids = mmap.keys.toSeq.sorted
+      val scored = ids.map { i =>
+        val ssd = ids.filter(_ != i).map { j =>
+          vecs(i).zip(vecs(j)).map { case (a, b) => val d = a - b; d * d }.sum
+        }.sum
+        (ssd, i)
+      }
+      c -> scored.min // (ssd, vec_id) lexicographic = the tie rule
+    }
+    assert(rows.map(_.getLong(0)).toSeq == best.keys.toSeq.sorted,
+      "community id set diverges from the recount")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val (ssd, id) = best(c)
+      assert(r.getLong(1) == id, s"medoid($c): got ${r.getLong(1)}, want $id")
+      assert(r.getLong(3) == ssd, s"ssd($c): got ${r.getLong(3)}, want $ssd")
+      assert(r.getLong(2) == canon.count(_._2 == c), s"n_nodes($c)")
+    }
+    // the linear identity must have had something to beat: some
+    // community bigger than 2 (where medoid choice is non-trivial)
+    assert(rows.exists(_.getLong(2) >= 3), "fixture communities all trivial")
   }
 
   test("d53 SQ8 artifact: genuine 1-byte codes, exact norms, full coverage") {

@@ -262,7 +262,14 @@ class PlanAuditSpec extends SparkSpec {
       "d94_lang_temperature" -> (1, 0),
       // d95: ONE embeddings pass (d88's probe side, counted with the
       // listener like d24 — the CC loop runs over the mutual minority)
-      "d95_knn_communities" -> (0, 1))
+      "d95_knn_communities" -> (0, 1),
+      // d96: same ONE probe pass as d95; modularity aggregates run on
+      // the persisted ≤3n edge list, never the corpus
+      "d96_knn_modularity" -> (0, 1),
+      // d97: ONE physical pass — the persisted qvecs frame feeds both
+      // the probe stream and the member-vector fetch (cache, not
+      // a second scan)
+      "d97_community_medoid" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -270,7 +277,8 @@ class PlanAuditSpec extends SparkSpec {
       Seq("documents", "embeddings"),
       name =>
         if (Set("d24_dup_clusters", "d67_cluster_keep_best",
-            "d95_knn_communities")(name))
+            "d95_knn_communities", "d96_knn_modularity",
+            "d97_community_medoid")(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }
