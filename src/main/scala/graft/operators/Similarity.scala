@@ -277,6 +277,80 @@ object Similarity {
           .when(col("cos") >= 0.25, lit("drop"))
           .otherwise(lit("keep")).as("action"))
 
+  /** Persisted community MEDOIDS (cluster_id, medoid_id, qm, nm) — the
+    * fifth index artifact: d95's mutual-kNN communities and d97's
+    * medoid election run over the POSTINGS (the indexed population —
+    * the corpus is never touched at build time) and stored next to the
+    * centroids. This is what a community-aware serving fleet loads to
+    * answer "which semantic group does this arrival join" without
+    * re-clustering. Broadcast by consumers: the medoid count is the
+    * community count (≪ n; a 100 TB deployment with millions of
+    * communities would shard medoids by their index cell and route
+    * arrivals through the d50 scatter first — same artifact, routed
+    * rather than broadcast). */
+  private[graft] def annIndexMedoids(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_medoids", dir) {
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      val cents = denull(
+        graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
+      // the postings ARE the vector set: build the 3-NN graph from the
+      // index state alone (assignTop2 only needs vec_id/q/norm2)
+      val edges = ivfTopK(assignTop2(post.select("vec_id", "q", "norm2"), cents), post)
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = mutualLabels(s, edges)
+      val mem = post
+        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
+          Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val longf = mem.select(col("cluster_id"), col("vec_id"), col("norm2"),
+        posexplode(col("q")).as(Seq("pos", "v")))
+      val csum = longf.groupBy("cluster_id", "pos").agg(sum(col("v")).as("sv"))
+      val dots = longf.join(csum, Seq("cluster_id", "pos"))
+        .groupBy("cluster_id", "vec_id")
+        .agg(sum(col("v") * col("sv")).as("dot_s"))
+      val stats = mem.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("norm2")).as("n2_sum"))
+      mem.select(col("cluster_id"), col("vec_id"), col("q"), col("norm2"))
+        .join(dots, Seq("cluster_id", "vec_id"))
+        .join(stats, Seq("cluster_id"))
+        .withColumn("ssd",
+          col("n_nodes") * col("norm2") + col("n2_sum") - lit(2L) * col("dot_s"))
+        .groupBy("cluster_id")
+        .agg(min(struct(col("ssd"), col("vec_id"), col("q"), col("norm2"))).as("w"))
+        .select(col("cluster_id"), col("w.vec_id").as("medoid_id"),
+          col("w.q").as("qm"), col("w.norm2").as("nm"))
+    }
+
+  /** s38 — the streaming COMMUNITY-ROUTING gate: each arriving vector
+    * folds over the broadcast persisted medoids to its nearest
+    * semantic community (exact integer ‖x − m‖², ties to the smaller
+    * cluster_id then medoid_id) — "which group does this arrival
+    * join", the per-arrival form of the d95/d97 nightly clustering.
+    * Stateless per-row, append mode, no state store, no shuffle of
+    * the feed. */
+  private[graft] def communityGate(medoids: DataFrame)(
+      vecs: DataFrame): DataFrame = {
+    // the medoid table collapses to ONE broadcast row so the argmin is
+    // a per-row fold (assignTop2's shape) — no aggregation, so the
+    // gate streams in append mode with no state store
+    val medArr = denull(medoids, "qm")
+      .agg(expr("array_sort(collect_list(struct(cluster_id, medoid_id, qm)))")
+        .as("meds"))
+    vecs.crossJoin(broadcast(medArr))
+      .withColumn("w", expr(
+        s"""aggregate(
+           |  transform(meds, m -> named_struct(
+           |    'd2', graft_sqdist_long(q, m.qm),
+           |    'cid', m.cluster_id, 'mid', m.medoid_id)),
+           |  named_struct('d2', CAST(${Long.MaxValue} AS LONG),
+           |               'cid', CAST(-1 AS LONG), 'mid', CAST(-1 AS LONG)),
+           |  (acc, e) -> CASE WHEN e.d2 < acc.d2 THEN e ELSE acc END)""".stripMargin))
+      .select(col("vec_id"), col("w.cid").as("cluster_id"),
+        col("w.mid").as("medoid_id"), col("w.d2").as("d2"))
+  }
+
   /** Persisted SQ8-COMPRESSED inverted lists (d53) — d32's max-abs
     * int8 quantization applied to the INDEX artifact, the FAISS
     * IVF-SQ8 layout: each posting stores 1-byte codes (`array<tinyint>`
@@ -1228,6 +1302,37 @@ object Similarity {
         .orderBy("cluster_id")
     },
 
+    // Community PURITY against the ground-truth labels — d75's
+    // clustering-eval question asked of the d95 partition instead of
+    // the IVF cells: does the mutual-kNN criterion recover the true
+    // classes, or does hub noise fuse them? Per community the member
+    // count, distinct-label count, majority label (ties to the
+    // smaller label, d75's convention) and its share — the external
+    // validation a deployment runs on a labeled slice before trusting
+    // unsupervised communities on the unlabeled 100 TB. Labels ride
+    // the ONE quantization scan (qvecsAll persisted — the probe
+    // stream and the label lookup read the same cached corpus pass);
+    // everything after is bounded by the community minority. Purity
+    // divides identical integers in both engines → bit-identical
+    // doubles.
+    "d98_community_purity" -> { (s, dir) =>
+      val qAll = Corpus.qvecsAll(graft.sources.Tables.embeddings(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = mutualLabels(s,
+        knnGraph(s, dir, Some(qAll.select("vec_id", "q", "norm2"))))
+      val cl = qAll.select(col("vec_id"), col("label"))
+        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
+          Seq("vec_id"))
+        .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+      cl.groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_members"),
+          count(lit(1)).as("n_labels"),
+          max_by(col("label"), struct(col("n"), lit(0L) - col("label"))).as("top_label"),
+          max_by(col("n"), struct(col("n"), lit(0L) - col("label"))).as("n_top"))
+        .withColumn("purity", col("n_top").cast("double") / col("n_members"))
+        .orderBy("cluster_id")
+    },
+
     // IVF probe against the PERSISTED index — the build-once/probe-many
     // split d15 demonstrates in one plan: the expensive clustering (the
     // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
@@ -1803,6 +1908,64 @@ object Similarity {
         |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared CTE chain extending [[knnCommunityCte]] with d97's medoid
+    * scoring: community members joined back to their vectors, the
+    * exact linear-identity total squared distance per member, ending
+    * in `scored(cluster_id, vec_id, n_nodes, ssd, rn)` with rn = 1 at
+    * the medoid (ties to the smaller vec_id). `mem`/`scored` are
+    * MATERIALIZED so multi-reference consumers don't re-run the
+    * recursive reachability. */
+  private def medoidScoredCte: String =
+    knnCommunityCte +
+      """, mem AS MATERIALIZED (
+        |  SELECT l.id AS vec_id, l.cluster_id, q.q, q.norm2
+        |  FROM lbl l JOIN qtab q ON q.vec_id = l.id),
+        |lf AS (
+        |  SELECT cluster_id, vec_id, norm2, pos, q[pos] AS v
+        |  FROM mem, UNNEST(range(1, 65)) t(pos)),
+        |csum AS (
+        |  SELECT cluster_id, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM lf GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT lf.cluster_id, lf.vec_id,
+        |    CAST(sum(lf.v * c.sv) AS BIGINT) AS dot_s
+        |  FROM lf JOIN csum c ON c.cluster_id = lf.cluster_id AND c.pos = lf.pos
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT cluster_id, count(1) AS n_nodes,
+        |    CAST(sum(norm2) AS BIGINT) AS n2_sum
+        |  FROM mem GROUP BY 1),
+        |scored AS MATERIALIZED (
+        |  SELECT m.cluster_id, m.vec_id, st.n_nodes,
+        |    st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s AS ssd,
+        |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id ORDER BY
+        |      st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s ASC,
+        |      m.vec_id ASC) AS rn
+        |  FROM mem m
+        |  JOIN dots d ON d.cluster_id = m.cluster_id AND d.vec_id = m.vec_id
+        |  JOIN stats st ON st.cluster_id = m.cluster_id)
+        |""".stripMargin
+
+  /** s38's DuckDB twin: communities + medoid election rebuilt in SQL
+    * (the persisted medoid artifact is exact state over exactly the
+    * indexed population — the d50 ← d15 sharing rationale), then every
+    * vector routed to its nearest medoid by exact integer distance,
+    * ties to the smaller cluster_id. */
+  private[graft] def communityGateSql: String =
+    medoidScoredCte +
+      s""", meds AS MATERIALIZED (
+         |  SELECT s.cluster_id, s.vec_id AS medoid_id, q.q AS qm
+         |  FROM scored s JOIN qtab q ON q.vec_id = s.vec_id
+         |  WHERE s.rn = 1)
+         |SELECT vec_id, cluster_id, medoid_id, d2 FROM (
+         |  SELECT v.vec_id, m.cluster_id, m.medoid_id,
+         |    ${duckSqDist.format("v.q", "m.qm")} AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${duckSqDist.format("v.q", "m.qm")} ASC,
+         |      m.cluster_id ASC) AS rn
+         |  FROM qtab v CROSS JOIN meds m) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
     "d95_knn_communities" -> (knnCommunityCte +
       """, sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
@@ -1840,36 +2003,24 @@ object Similarity {
         |  LEFT JOIN ind i USING (cluster_id), tot
         |ORDER BY s.cluster_id""".stripMargin),
 
-    "d97_community_medoid" -> (knnCommunityCte +
-      """, mem AS (
-        |  SELECT l.id AS vec_id, l.cluster_id, q.q, q.norm2
-        |  FROM lbl l JOIN qtab q ON q.vec_id = l.id),
-        |lf AS (
-        |  SELECT cluster_id, vec_id, norm2, pos, q[pos] AS v
-        |  FROM mem, UNNEST(range(1, 65)) t(pos)),
-        |csum AS (
-        |  SELECT cluster_id, pos, CAST(sum(v) AS BIGINT) AS sv
-        |  FROM lf GROUP BY 1, 2),
-        |dots AS (
-        |  SELECT lf.cluster_id, lf.vec_id,
-        |    CAST(sum(lf.v * c.sv) AS BIGINT) AS dot_s
-        |  FROM lf JOIN csum c ON c.cluster_id = lf.cluster_id AND c.pos = lf.pos
-        |  GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT cluster_id, count(1) AS n_nodes,
-        |    CAST(sum(norm2) AS BIGINT) AS n2_sum
-        |  FROM mem GROUP BY 1),
-        |scored AS (
-        |  SELECT m.cluster_id, m.vec_id, st.n_nodes,
-        |    st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s AS ssd,
-        |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id ORDER BY
-        |      st.n_nodes * m.norm2 + st.n2_sum - 2 * d.dot_s ASC,
-        |      m.vec_id ASC) AS rn
-        |  FROM mem m
-        |  JOIN dots d ON d.cluster_id = m.cluster_id AND d.vec_id = m.vec_id
-        |  JOIN stats st ON st.cluster_id = m.cluster_id)
-        |SELECT cluster_id, vec_id AS medoid_id, n_nodes, ssd
+    "d97_community_medoid" -> (medoidScoredCte +
+      """SELECT cluster_id, vec_id AS medoid_id, n_nodes, ssd
         |FROM scored WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    "d98_community_purity" -> (knnCommunityCte +
+      """, cl AS (
+        |  SELECT l.cluster_id, e.label, count(1) AS n
+        |  FROM lbl l JOIN embeddings e ON e.vec_id = l.id
+        |  GROUP BY 1, 2),
+        |prnk AS (
+        |  SELECT cluster_id, label, n,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n DESC, label ASC) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+        |    count(1) OVER (PARTITION BY cluster_id) AS n_labels
+        |  FROM cl)
+        |SELECT cluster_id, n_members, n_labels, label AS top_label, n AS n_top,
+        |  CAST(n AS DOUBLE) / n_members AS purity
+        |FROM prnk WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     "d87_embed_outliers" -> (ivfCents1Cte +
       s""", ass AS (
          |  SELECT vec_id, cell, d2 FROM (

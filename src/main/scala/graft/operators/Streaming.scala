@@ -193,6 +193,22 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Streaming community-routing gate — the d95/d97 nightly
+    // clustering's question asked PER ARRIVAL: each arriving vector
+    // folds over the broadcast PERSISTED community medoids (the fifth
+    // index artifact, built once from the postings) to its nearest
+    // semantic group — "which community does this vector join",
+    // decided at the door with exact integer distances. Stateless
+    // per-row (the medoid table collapses to one broadcast row and the
+    // argmin is a per-row fold — no aggregation, no state store, no
+    // shuffle of the feed), append mode; backfill and live feed run
+    // the SAME transform. Stream ≡ batch proven in AnnIndexSpec.
+    "s38_stream_communities" -> { (s, dir) =>
+      val meds = graft.sources.IO.readParquet(s, Similarity.annIndexMedoids(s, dir))
+      Similarity.communityGate(meds)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("vec_id")
+    },
+
     // Live per-dimension moment sketch — the bounded 64-row state
     // that FEEDS d89's spectrum, maintained as vectors ARRIVE:
     // count/Σx/Σx² per dimension are associative, so micro-batches
@@ -546,6 +562,11 @@ object Streaming {
     // rebuilds the cell stats exactly as the persisted artifact holds
     // them (same exact-state sharing rationale as s17 ← d50)
     "s34_stream_outliers" -> Similarity.outlierGateSql,
+
+    // the ingest-side community routing — the full community + medoid
+    // election rebuilt in SQL (the persisted medoid artifact is exact
+    // state over the indexed population), then nearest-medoid argmin
+    "s38_stream_communities" -> Similarity.communityGateSql,
 
     // the ingest-side semantic-dedup verdict — d35's rep scoring
     // against the refined index cells; the SQL rebuilds assignment +

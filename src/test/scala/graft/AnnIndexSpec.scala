@@ -117,6 +117,43 @@ class AnnIndexSpec extends SparkSpec {
       s"fixture must exercise all three actions, got $actions")
   }
 
+  test("streaming community gate (s38) equals the batch gate; medoid artifact equals d97's election") {
+    // the medoid artifact must be exactly d97's election (the postings
+    // and the corpus hold the same vector set, so the artifact built
+    // from the index state matches the query computed over the corpus)
+    val meds = IO.readParquet(spark, Similarity.annIndexMedoids(spark, sf))
+    val wantMeds = SparkEntry.queries("d97_community_medoid")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotMeds = meds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMeds == wantMeds, "medoid artifact diverges from the d97 election")
+    // the inline medoid vector must be the member's actual vector
+    val vecs = Corpus.qvecs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    meds.collect().foreach { r =>
+      val (qv, n2) = vecs(r.getLong(1))
+      assert(r.getSeq[Long](2) == qv && r.getLong(3) == n2,
+        s"medoid vector payload corrupt at cluster ${r.getLong(0)}")
+    }
+    val q = VecStream.runToMemory(spark, sf, "graft_s38_test",
+      df => Similarity.communityGate(meds)(Corpus.qvecsOf(df)))
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s38_test").orderBy("vec_id"))
+    val batch = rows(SparkEntry.queries("s38_stream_communities")(spark, sf))
+    assert(streamed == batch, "streamed community gate diverges from batch gate")
+    // routing is total and meaningful: every vector lands somewhere,
+    // more than one community receives arrivals, and every medoid
+    // routes to its own community at distance 0
+    val routed = spark.table("graft_s38_test").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(routed.size == vecs.size, "gate dropped arrivals")
+    assert(routed.values.map(_._1).toSet.size > 1, "all arrivals in one community")
+    gotMeds.foreach { case (c, mid) =>
+      assert(routed(mid) == ((c, mid, 0L)),
+        s"medoid $mid does not route to its own community at d2=0")
+    }
+  }
+
   test("streaming moment sketch (s36) equals the batch moments and derives d89's spectrum") {
     val q = VecStream.runToMemory(spark, sf, "graft_s36_test",
       df => Similarity.dimMoments(Corpus.qvecsOf(df)), mode = "complete")
@@ -296,6 +333,46 @@ class AnnIndexSpec extends SparkSpec {
     // the linear identity must have had something to beat: some
     // community bigger than 2 (where medoid choice is non-trivial)
     assert(rows.exists(_.getLong(2) >= 3), "fixture communities all trivial")
+  }
+
+  test("d98 community purity: exact recount against the ground-truth labels") {
+    val rows = SparkEntry.queries("d98_community_purity")(spark, sf).collect()
+    val edges = SparkEntry.queries("d50_ann_index_probe")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = ufCommunities(edges)
+    val lblOf = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val want = canon.groupBy(_._2).map { case (c, mmap) =>
+      val ls = mmap.keys.toSeq.map(lblOf)
+      val byLbl = ls.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // majority label, ties to the smaller label (d75's convention)
+      val (topLbl, nTop) = byLbl.toSeq.minBy { case (l, n) => (-n, l) }
+      c -> (ls.size.toLong, byLbl.size.toLong, topLbl, nTop)
+    }
+    assert(rows.map(_.getLong(0)).toSeq == want.keys.toSeq.sorted,
+      "community id set diverges from the recount")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val (nm, nl, tl, nt) = want(c)
+      assert(r.getLong(1) == nm, s"n_members($c)")
+      assert(r.getLong(2) == nl, s"n_labels($c)")
+      assert(r.getInt(3).toLong == tl, s"top_label($c)")
+      assert(r.getLong(4) == nt, s"n_top($c)")
+      assert(r.getDouble(5) == nt.toDouble / nm, s"purity($c)")
+    }
+    // the eval must discriminate on this fixture (labels are
+    // signal-flat by design — d81's recall arc measures the same
+    // thing — so NO community reaches purity 1; what the eval owes is
+    // a real spread and the bounds)
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
+        s"purity(${r.getLong(0)}) out of (0,1]")
+    }
+    assert(rows.exists(_.getDouble(5) < 1.0), "every community pure — eval vacuous")
+    assert(rows.map(_.getDouble(5)).distinct.length > 1,
+      "purity constant across communities — eval does not discriminate")
   }
 
   test("d53 SQ8 artifact: genuine 1-byte codes, exact norms, full coverage") {

@@ -269,7 +269,10 @@ class PlanAuditSpec extends SparkSpec {
       // d97: ONE physical pass — the persisted qvecs frame feeds both
       // the probe stream and the member-vector fetch (cache, not
       // a second scan)
-      "d97_community_medoid" -> (0, 1))
+      "d97_community_medoid" -> (0, 1),
+      // d98: ONE physical pass — labels ride the persisted qvecsAll
+      // frame that also feeds the probe stream
+      "d98_community_purity" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -278,7 +281,7 @@ class PlanAuditSpec extends SparkSpec {
       name =>
         if (Set("d24_dup_clusters", "d67_cluster_keep_best",
             "d95_knn_communities", "d96_knn_modularity",
-            "d97_community_medoid")(name))
+            "d97_community_medoid", "d98_community_purity")(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }
@@ -459,6 +462,9 @@ class PlanAuditSpec extends SparkSpec {
       "s35_stream_semdedup" -> Map("embeddings" -> 1),
       // s36: one corpus pass into the bounded per-dim moment agg
       "s36_stream_spectrum" -> Map("embeddings" -> 1),
+      // s38: ONE embeddings pass (the arriving feed) folded over the
+      // broadcast medoid artifact read-back, as s17/s34/s35
+      "s38_stream_communities" -> Map("embeddings" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
