@@ -21,11 +21,12 @@ import graft.model.Corpus
   *     and engines (no rand()).
   *   - d24 duplicate clusters: connected components over the d04
   *     MinHash-LSH candidate pairs — pairwise near-dup hits become
-  *     transitive KEEP-one groups. Iterative min-label propagation
-  *     with pointer jumping: O(log diameter) rounds, each one
-  *     hash-partitioned join, no driver-side data (the loop's only
-  *     driver value is the converged? count — the same class of
-  *     per-iteration statistic every iterative-ML Spark job reads).
+  *     transitive KEEP-one groups. Alternating large-star/small-star
+  *     contraction: O(log² n) rounds regardless of diameter, each a
+  *     pair of hash-partitioned join+agg passes, no driver-side data
+  *     (the loop's only driver value is the convergence signature —
+  *     the same class of per-iteration statistic every iterative-ML
+  *     Spark job reads).
   *   - d25 PII scrub: detect + redact emails / IPv4s / phone numbers
   *     before training. Per-row regex projections, zero shuffles. The
   *     corpus text is synthetic word salad, so deterministic PII is
