@@ -352,7 +352,14 @@ object Curation {
     // overrides cannot leak into queries concurrently planned on the
     // caller's session. Edge blocks cross sessions through the public
     // Row-RDD bridge.
-    val loop = loopSession(s)
+    // size the loop's parallelism to the MEASURED edge minority (one
+    // count over the pinned blocks): a near-dup edge set is KBs–MBs
+    // even on a 100 TB corpus, and 8-partition exchanges over KBs are
+    // pure scheduling overhead — tiered so a genuinely large minority
+    // still fans out (≈16 B/edge: tier 2 ≈ ≤1 GB, ≈128 MB/task)
+    val m0 = e0.count()
+    val loop = loopSession(s,
+      if (m0 <= 200000L) 1 else if (m0 <= 64000000L) 8 else 64)
     var edges = loop.createDataFrame(e0.rdd, e0.schema).localCheckpoint()
 
     // LARGE-STAR: every strictly-larger neighbor of u hooks to
@@ -393,6 +400,12 @@ object Curation {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
+    // ONE materialization per LS/SS round — a longer un-checkpointed
+    // stride is a measured loser: each star pass references its input
+    // ~3× (sym/canon feed both the min-agg and the join), so chaining
+    // k passes lazily grows the logical plan 3^k-fold and the
+    // analyzer/optimizer swamps the actual µs of data work (stride-2
+    // measured 6× slower than per-round checkpoints on the same graph)
     var prev = sig(edges)
     var converged = false
     var rounds = 0
@@ -406,18 +419,18 @@ object Curation {
     // convergence telemetry (stderr only): the loop's cost model is
     // rounds × fixed scheduling overhead — keep the round count
     // observable so growth at a new SF is attributable
-    System.err.println(s"[cc] converged=$converged rounds=$rounds")
+    System.err.println(s"[cc] converged=$converged rounds=$rounds edges=$m0")
     require(converged,
       s"connected-components failed to converge in $rounds rounds")
-    // the fixpoint edge set is one star per component rooted at the
-    // component minimum: label(hi) = lo; roots label themselves
-    val lbls = edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("lbl"))
-    val nodes0 = e0.select(col("lo").as("id"))
-      .union(e0.select(col("hi").as("id"))).distinct()
-    val nodes = loop.createDataFrame(nodes0.rdd, nodes0.schema)
-    val labels = nodes
-      .join(lbls, Seq("id"), "left")
-      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    // the fixpoint edge set is EXACTLY one star per component rooted
+    // at the component minimum (smallStar-identity means every node's
+    // canonical neighbor set is its single root; LS/SS preserve the
+    // node set — no self-loops can arise, so no node ever drops), so
+    // labels read straight off the stars: each hi appears exactly
+    // once (one root), each root self-labels once via the distinct
+    val labels = edges.select(col("hi").as("id"), col("lo").as("lbl"))
+      .unionAll(edges.select(col("lo")).distinct()
+        .select(col("lo").as("id"), col("lo").as("lbl")))
       .localCheckpoint()
     // bridge the result BACK to the caller's session: a frame left
     // bound to the loop session would silently plan every downstream
@@ -429,20 +442,23 @@ object Curation {
     * ExecutionListenerBus on the shared LiveListenerBus every call and
     * never release it (Bench alone runs the d24 loop three times). */
   private val loopSessions =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
-  private[graft] def loopSession(s: SparkSession): SparkSession =
-    loopSessions.computeIfAbsent(s.sparkContext, sc => {
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, Int), SparkSession]()
+  private[graft] def loopSession(s: SparkSession, partitions: Int = 8): SparkSession =
+    loopSessions.computeIfAbsent((s.sparkContext, partitions), { case (sc, p) =>
       // evict on context stop — without this, a JVM that creates and
       // stops multiple contexts (test suites) would pin every stopped
-      // context and its session state here forever
+      // context and its session state here forever. Keyed by the
+      // partition tier too (≤3 sessions per context): the tier is
+      // fixed at session creation, so concurrent loops on different
+      // tiers never mutate a shared conf under each other.
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          loopSessions.remove(sc)
+          loopSessions.remove((sc, p))
       })
       val loop = s.newSession()
       loop.conf.set("spark.sql.adaptive.enabled", "false")
-      loop.conf.set("spark.sql.shuffle.partitions", "8")
+      loop.conf.set("spark.sql.shuffle.partitions", p.toString)
       loop
     })
 

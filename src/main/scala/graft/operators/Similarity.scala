@@ -277,32 +277,55 @@ object Similarity {
           .when(col("cos") >= 0.25, lit("drop"))
           .otherwise(lit("keep")).as("action"))
 
-  /** Persisted community MEDOIDS (cluster_id, medoid_id, qm, nm) — the
-    * fifth index artifact: d95's mutual-kNN communities and d97's
-    * medoid election run over the POSTINGS (the indexed population —
-    * the corpus is never touched at build time) and stored next to the
-    * centroids. This is what a community-aware serving fleet loads to
-    * answer "which semantic group does this arrival join" without
-    * re-clustering. Broadcast by consumers: the medoid count is the
-    * community count (≪ n; a 100 TB deployment with millions of
-    * communities would shard medoids by their index cell and route
-    * arrivals through the d50 scatter first — same artifact, routed
-    * rather than broadcast). */
-  private[graft] def annIndexMedoids(s: SparkSession, dir: String): String =
-    graft.sources.Scratch.materialize(s, "ann_index_medoids", dir) {
+  /** Persisted directed 3-NN GRAPH (a_id, b_id) — the fifth index
+    * artifact: d50's probe run over the POSTINGS themselves (the
+    * indexed population — the corpus is never touched at build time)
+    * and stored next to the index. The ≤3n-row edge stream every
+    * graph-analytics consumer (d96 modularity, the community and
+    * medoid artifacts) reads instead of re-probing; at 100 TB the
+    * nightly index job materializes this once and a week of audits
+    * reads it. d95 stays the LIVE build (the d15 ↔ d50 split: the
+    * definition computes, the artifact serves). */
+  private[graft] def annKnnEdges(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_knn_edges", dir) {
       val post = denull(
         graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
       val cents = denull(
         graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
-      // the postings ARE the vector set: build the 3-NN graph from the
-      // index state alone (assignTop2 only needs vec_id/q/norm2)
-      val edges = ivfTopK(assignTop2(post.select("vec_id", "q", "norm2"), cents), post)
+      // the postings ARE the vector set: assignTop2 only needs
+      // vec_id/q/norm2
+      ivfTopK(assignTop2(post.select("vec_id", "q", "norm2"), cents), post)
         .select(col("a_id"), col("b_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = mutualLabels(s, edges)
+    }
+
+  /** Persisted mutual-kNN community LABELS (vec_id, cluster_id) — the
+    * sixth index artifact: d95's star-contraction clustering run once
+    * over the edges artifact and stored as index state. Nodes outside
+    * any mutual edge are absent (consumers coalesce to singleton
+    * labels where they need totality). */
+  private[graft] def annIndexCommunities(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_communities", dir) {
+      mutualLabels(s, graft.sources.IO.readParquet(s, annKnnEdges(s, dir)))
+        .toDF("vec_id", "cluster_id")
+    }
+
+  /** Persisted community MEDOIDS (cluster_id, medoid_id, qm, nm) — the
+    * seventh index artifact: d97's medoid election run over the
+    * postings + communities artifacts (the corpus is never touched at
+    * build time) and stored next to the centroids. This is what a
+    * community-aware serving fleet loads to answer "which semantic
+    * group does this arrival join" without re-clustering. Broadcast by
+    * consumers: the medoid count is the community count (≪ n; a
+    * 100 TB deployment with millions of communities would shard
+    * medoids by their index cell and route arrivals through the d50
+    * scatter first — same artifact, routed rather than broadcast). */
+  private[graft] def annIndexMedoids(s: SparkSession, dir: String): String =
+    graft.sources.Scratch.materialize(s, "ann_index_medoids", dir) {
+      val post = denull(
+        graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+      val labels = graft.sources.IO.readParquet(s, annIndexCommunities(s, dir))
       val mem = post
-        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
-          Seq("vec_id"))
+        .join(labels, Seq("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val longf = mem.select(col("cluster_id"), col("vec_id"), col("norm2"),
         posexplode(col("q")).as(Seq("pos", "v")))
@@ -735,21 +758,18 @@ object Similarity {
   private val duckSqDist =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
 
-  /** Directed 3-NN edge stream (`a_id`, `b_id`) over the PERSISTED
-    * index — d50's probe shape, materialized once because every
-    * graph-analytics consumer (d88 degrees, d95 communities, d96
-    * modularity, d97 medoids) reads it several times. ONE corpus scan;
-    * the ≤3n-row edge list is the working set from here on. */
-  private def knnGraph(s: SparkSession, dir: String,
-      q0: Option[DataFrame] = None): DataFrame = {
+  /** LIVE directed 3-NN edge stream (`a_id`, `b_id`) over the
+    * persisted index — d50's probe shape, materialized because d95's
+    * mutual filter reads it from both sides. ONE corpus scan; the
+    * ≤3n-row edge list is the working set from here on. The PERSISTED
+    * twin is [[annKnnEdges]] (the artifact d96 and the community/
+    * medoid builds consume). */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val cents = denull(
       graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
     val post = denull(
       graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
-    // q0: a caller-persisted qvecs frame when the caller ALSO reads the
-    // vectors downstream (d97) — the probe stream then fills the cache
-    // and the member fetch reads it, one physical corpus scan total
-    ivfTopK(assignTop2(q0.getOrElse(Corpus.qvecs(s, dir)), cents), post)
+    ivfTopK(assignTop2(Corpus.qvecs(s, dir), cents), post)
       .select(col("a_id"), col("b_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -1226,12 +1246,16 @@ object Similarity {
     // decimal(38,0); at any SF the per-community rows also localize
     // WHICH community leaks — the audit d95's consumer reads before
     // trusting the grouping). Nodes outside any mutual edge are
-    // singleton communities of themselves. Same ONE corpus scan as
-    // d95 (the persisted edge list feeds labels, degrees and intra
-    // counts); every aggregate after it runs on the ≤3n edge minority.
+    // singleton communities of themselves. ZERO live corpus scans:
+    // the audit reads the persisted edge + community artifacts (the
+    // nightly job built them once — d95 is the live definition, this
+    // is the d50-style consumer); every aggregate runs on the ≤3n
+    // edge minority.
     "d96_knn_modularity" -> { (s, dir) =>
-      val edges = knnGraph(s, dir)
-      val cc = mutualLabels(s, edges)
+      val edges = graft.sources.IO.readParquet(s, annKnnEdges(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = graft.sources.IO.readParquet(s, annIndexCommunities(s, dir))
+        .toDF("id", "lbl")
       val nodes = edges.select(col("a_id").as("id"))
         .union(edges.select(col("b_id").as("id"))).distinct()
       val lab = nodes.join(cc, Seq("id"), "left")
@@ -1270,16 +1294,15 @@ object Similarity {
     // the only exchange beyond the label join) and one dot per member
     // against its community sum. All integer on the quantized grid:
     // bit-identical cross-engine, no cosine floats anywhere. Ties
-    // break to the smaller vec_id via lexicographic struct min. Same
-    // ONE corpus scan as d95 (qvecs feeds both the probe stream and
-    // the member vectors through the cached scan).
+    // break to the smaller vec_id via lexicographic struct min. ZERO
+    // live corpus scans: members come from the postings artifact and
+    // labels from the communities artifact (the postings hold exactly
+    // the corpus vectors — the d50 ← d15 sharing rationale).
     "d97_community_medoid" -> { (s, dir) =>
-      val q = Corpus.qvecs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = mutualLabels(s, knnGraph(s, dir, Some(q)))
-      val mem = q
-        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
-          Seq("vec_id"))
+      val labels = graft.sources.IO.readParquet(s, annIndexCommunities(s, dir))
+      val mem = denull(
+          graft.sources.IO.readParquet(s, annIndexPostings(s, dir)), "q")
+        .join(labels, Seq("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val longf = mem.select(col("cluster_id"), col("vec_id"), col("norm2"),
         posexplode(col("q")).as(Seq("pos", "v")))
@@ -1309,20 +1332,17 @@ object Similarity {
     // count, distinct-label count, majority label (ties to the
     // smaller label, d75's convention) and its share — the external
     // validation a deployment runs on a labeled slice before trusting
-    // unsupervised communities on the unlabeled 100 TB. Labels ride
-    // the ONE quantization scan (qvecsAll persisted — the probe
-    // stream and the label lookup read the same cached corpus pass);
-    // everything after is bounded by the community minority. Purity
-    // divides identical integers in both engines → bit-identical
-    // doubles.
+    // unsupervised communities on the unlabeled 100 TB. ONE corpus
+    // scan, pruned to (vec_id, label) — the vectors themselves never
+    // load; community membership comes from the persisted labels
+    // artifact, and everything downstream is bounded by the community
+    // minority. Purity divides identical integers in both engines →
+    // bit-identical doubles.
     "d98_community_purity" -> { (s, dir) =>
-      val qAll = Corpus.qvecsAll(graft.sources.Tables.embeddings(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = mutualLabels(s,
-        knnGraph(s, dir, Some(qAll.select("vec_id", "q", "norm2"))))
-      val cl = qAll.select(col("vec_id"), col("label"))
-        .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")),
-          Seq("vec_id"))
+      val labels = graft.sources.IO.readParquet(s, annIndexCommunities(s, dir))
+      val cl = graft.sources.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+        .join(labels, Seq("vec_id"))
         .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
       cl.groupBy("cluster_id")
         .agg(sum(col("n")).as("n_members"),

@@ -263,15 +263,15 @@ class PlanAuditSpec extends SparkSpec {
       // d95: ONE embeddings pass (d88's probe side, counted with the
       // listener like d24 — the CC loop runs over the mutual minority)
       "d95_knn_communities" -> (0, 1),
-      // d96: same ONE probe pass as d95; modularity aggregates run on
-      // the persisted ≤3n edge list, never the corpus
-      "d96_knn_modularity" -> (0, 1),
-      // d97: ONE physical pass — the persisted qvecs frame feeds both
-      // the probe stream and the member-vector fetch (cache, not
-      // a second scan)
-      "d97_community_medoid" -> (0, 1),
-      // d98: ONE physical pass — labels ride the persisted qvecsAll
-      // frame that also feeds the probe stream
+      // d96: ZERO live scans — the audit reads the persisted edge +
+      // community artifacts (d95 is the live definition; this is the
+      // d50-style consumer)
+      "d96_knn_modularity" -> (0, 0),
+      // d97: ZERO live scans — members from the postings artifact,
+      // labels from the communities artifact
+      "d97_community_medoid" -> (0, 0),
+      // d98: ONE corpus pass pruned to (vec_id, label); membership is
+      // the communities artifact read-back
       "d98_community_purity" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
@@ -280,8 +280,7 @@ class PlanAuditSpec extends SparkSpec {
       Seq("documents", "embeddings"),
       name =>
         if (Set("d24_dup_clusters", "d67_cluster_keep_best",
-            "d95_knn_communities", "d96_knn_modularity",
-            "d97_community_medoid", "d98_community_purity")(name))
+            "d95_knn_communities")(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }
