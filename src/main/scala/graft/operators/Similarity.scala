@@ -374,6 +374,18 @@ object Similarity {
         col("w.mid").as("medoid_id"), col("w.d2").as("d2"))
   }
 
+  /** s39 — live COMMUNITY LOAD: per-community arrival count and total
+    * routed distance over the s38 gate's output. count/Σd2 are
+    * associative, so micro-batches merge exactly in complete mode and
+    * the state never exceeds the community count (s26/s29/s36's
+    * bounded-sketch argument at the community level) — the serving
+    * dashboard that spots a community absorbing disproportionate or
+    * far-off arrivals without any nightly recompute. */
+  private[graft] def communityLoad(meds: DataFrame)(vecs: DataFrame): DataFrame =
+    communityGate(meds)(vecs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_arrivals"), sum(col("d2")).as("sum_d2"))
+
   /** Persisted SQ8-COMPRESSED inverted lists (d53) — d32's max-abs
     * int8 quantization applied to the INDEX artifact, the FAISS
     * IVF-SQ8 layout: each posting stores 1-byte codes (`array<tinyint>`
@@ -1353,6 +1365,33 @@ object Similarity {
         .orderBy("cluster_id")
     },
 
+    // ROUTING FIDELITY — does s38's nearest-medoid serving shortcut
+    // reproduce the exact community membership it stands in for?
+    // (vector quantization's classic encoder-vs-partition gap: the
+    // medoid is IN the community, but a boundary member can sit closer
+    // to a NEIGHBORING community's medoid). Per community: members,
+    // how many route home, the agreement share, and the farthest
+    // member-to-routed-medoid distance — the number that decides
+    // whether one medoid per community is enough or a community needs
+    // sub-representatives before the gate serves at 100 TB. ONE corpus
+    // scan (the routed feed); membership is the communities-artifact
+    // read-back; agreement is an exact integer cross-count.
+    "d99_route_fidelity" -> { (s, dir) =>
+      val meds = graft.sources.IO.readParquet(s, annIndexMedoids(s, dir))
+      val labels = graft.sources.IO.readParquet(s, annIndexCommunities(s, dir))
+      val routes = communityGate(meds)(Corpus.qvecs(s, dir))
+      labels
+        .join(routes.select(col("vec_id"), col("cluster_id").as("routed_id"),
+          col("d2")), Seq("vec_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("routed_id") === col("cluster_id"), 1L).otherwise(0L))
+            .as("n_agree"),
+          max(col("d2")).as("max_d2"))
+        .withColumn("agree_frac", col("n_agree").cast("double") / col("n_members"))
+        .orderBy("cluster_id")
+    },
+
     // IVF probe against the PERSISTED index — the build-once/probe-many
     // split d15 demonstrates in one plan: the expensive clustering (the
     // nightly index job at 100 TB) ran ONCE through Scratch/IO and the
@@ -1966,25 +2005,42 @@ object Similarity {
         |  JOIN stats st ON st.cluster_id = m.cluster_id)
         |""".stripMargin
 
-  /** s38's DuckDB twin: communities + medoid election rebuilt in SQL
-    * (the persisted medoid artifact is exact state over exactly the
-    * indexed population — the d50 ← d15 sharing rationale), then every
-    * vector routed to its nearest medoid by exact integer distance,
-    * ties to the smaller cluster_id. */
-  private[graft] def communityGateSql: String =
+  /** Shared CTE chain extending [[medoidScoredCte]] with the medoid
+    * vectors and every vector's nearest-medoid route, ending in
+    * `routed(vec_id, cluster_id, medoid_id, d2)` — the s38/d99/s39
+    * serving family all consume this one chain (communities + medoids
+    * rebuilt in SQL: the persisted artifacts are exact state over
+    * exactly the indexed population, the d50 ← d15 sharing rationale). */
+  private def routedCte: String =
     medoidScoredCte +
       s""", meds AS MATERIALIZED (
          |  SELECT s.cluster_id, s.vec_id AS medoid_id, q.q AS qm
          |  FROM scored s JOIN qtab q ON q.vec_id = s.vec_id
-         |  WHERE s.rn = 1)
-         |SELECT vec_id, cluster_id, medoid_id, d2 FROM (
-         |  SELECT v.vec_id, m.cluster_id, m.medoid_id,
-         |    ${duckSqDist.format("v.q", "m.qm")} AS d2,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-         |      ${duckSqDist.format("v.q", "m.qm")} ASC,
-         |      m.cluster_id ASC) AS rn
-         |  FROM qtab v CROSS JOIN meds m) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |  WHERE s.rn = 1),
+         |routed AS MATERIALIZED (
+         |  SELECT vec_id, cluster_id, medoid_id, d2 FROM (
+         |    SELECT v.vec_id, m.cluster_id, m.medoid_id,
+         |      ${duckSqDist.format("v.q", "m.qm")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${duckSqDist.format("v.q", "m.qm")} ASC,
+         |        m.cluster_id ASC) AS rn
+         |    FROM qtab v CROSS JOIN meds m) t
+         |  WHERE rn = 1)
+         |""".stripMargin
+
+  /** s38's DuckDB twin: every vector's nearest-medoid route. */
+  private[graft] def communityGateSql: String =
+    routedCte +
+      """SELECT vec_id, cluster_id, medoid_id, d2 FROM routed
+        |ORDER BY vec_id""".stripMargin
+
+  /** s39's DuckDB twin: per-community arrival count + total routed
+    * distance over the same route chain. */
+  private[graft] def communityLoadSql: String =
+    routedCte +
+      """SELECT cluster_id, count(1) AS n_arrivals,
+        |  CAST(sum(d2) AS BIGINT) AS sum_d2
+        |FROM routed GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   private val oracle0: Map[String, String] = Map(
     "d95_knn_communities" -> (knnCommunityCte +
@@ -2026,6 +2082,16 @@ object Similarity {
     "d97_community_medoid" -> (medoidScoredCte +
       """SELECT cluster_id, vec_id AS medoid_id, n_nodes, ssd
         |FROM scored WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    "d99_route_fidelity" -> (routedCte +
+      """SELECT l.cluster_id, count(1) AS n_members,
+        |  CAST(sum(CASE WHEN r.cluster_id = l.cluster_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  max(r.d2) AS max_d2,
+        |  CAST(CAST(sum(CASE WHEN r.cluster_id = l.cluster_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / count(1) AS agree_frac
+        |FROM lbl l JOIN routed r ON r.vec_id = l.id
+        |GROUP BY 1 ORDER BY l.cluster_id""".stripMargin),
 
     "d98_community_purity" -> (knnCommunityCte +
       """, cl AS (

@@ -209,6 +209,20 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // Live community LOAD — the serving dashboard over the s38 gate:
+    // per-community arrival count + total routed distance, maintained
+    // as vectors ARRIVE. count/Σ are associative, so micro-batches
+    // merge exactly in complete mode and the state never exceeds the
+    // community count (the s26/s29/s36 bounded-sketch argument at the
+    // community level) — spots a community absorbing disproportionate
+    // or far-off arrivals with no nightly recompute. Stream ≡ batch
+    // EXACT (integer sums are order-invariant); proven in AnnIndexSpec.
+    "s39_stream_community_load" -> { (s, dir) =>
+      val meds = graft.sources.IO.readParquet(s, Similarity.annIndexMedoids(s, dir))
+      Similarity.communityLoad(meds)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("cluster_id")
+    },
+
     // Live per-dimension moment sketch — the bounded 64-row state
     // that FEEDS d89's spectrum, maintained as vectors ARRIVE:
     // count/Σx/Σx² per dimension are associative, so micro-batches
@@ -567,6 +581,9 @@ object Streaming {
     // election rebuilt in SQL (the persisted medoid artifact is exact
     // state over the indexed population), then nearest-medoid argmin
     "s38_stream_communities" -> Similarity.communityGateSql,
+
+    // the per-community arrival tally over the same rebuilt route chain
+    "s39_stream_community_load" -> Similarity.communityLoadSql,
 
     // the ingest-side semantic-dedup verdict — d35's rep scoring
     // against the refined index cells; the SQL rebuilds assignment +

@@ -154,6 +154,60 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming community load (s39) equals the batch tally; state stays community-bounded") {
+    val meds = IO.readParquet(spark, Similarity.annIndexMedoids(spark, sf))
+    val q = VecStream.runToMemory(spark, sf, "graft_s39_test",
+      df => Similarity.communityLoad(meds)(Corpus.qvecsOf(df)), mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s39_test").orderBy("cluster_id"))
+    val batch = rows(SparkEntry.queries("s39_stream_community_load")(spark, sf))
+    assert(streamed == batch, "streamed community load diverges from batch tally")
+    // state bound: at most one row per community, never stream-length
+    val nMeds = meds.count()
+    assert(batch.length <= nMeds, s"load state ${batch.length} exceeds $nMeds communities")
+    // conservation: every arrival lands in exactly one tally
+    val n = Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    val tallied = spark.table("graft_s39_test")
+      .agg(org.apache.spark.sql.functions.sum("n_arrivals")).first().getLong(0)
+    assert(tallied == n, s"tally counts $tallied of $n arrivals")
+  }
+
+  test("d99 route fidelity: exact recount from the gate's own routes + membership") {
+    val rows99 = SparkEntry.queries("d99_route_fidelity")(spark, sf).collect()
+    // independent inputs: s38's oracle-proven routes and d95's
+    // oracle-proven membership
+    val routes = SparkEntry.queries("s38_stream_communities")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val member = SparkEntry.queries("d95_knn_communities")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = member.groupBy(_._2).map { case (c, mmap) =>
+      val rs = mmap.keys.toSeq.map(routes)
+      c -> (mmap.size.toLong, rs.count(_._1 == c).toLong, rs.map(_._2).max)
+    }
+    assert(rows99.map(_.getLong(0)).toSeq == want.keys.toSeq.sorted,
+      "community id set diverges from the recount")
+    rows99.foreach { r =>
+      val c = r.getLong(0)
+      val (nm, na, mx) = want(c)
+      assert(r.getLong(1) == nm, s"n_members($c)")
+      assert(r.getLong(2) == na, s"n_agree($c)")
+      assert(r.getLong(3) == mx, s"max_d2($c)")
+      assert(r.getDouble(4) == na.toDouble / nm, s"agree_frac($c)")
+      assert(r.getLong(2) <= r.getLong(1), s"agreement exceeds membership($c)")
+    }
+    // the gap this eval exists to expose must be real on the fixture —
+    // and on signal-flat embeddings it is LARGE (measured ~28% home:
+    // the sprawling giant community's boundary members defect to tiny
+    // communities' medoids — the d81-style finding that makes a
+    // deployment measure the shortcut before serving it). Stable pins:
+    // every medoid routes home (its own distance is 0), agreement is
+    // never perfect, and the defection is visible
+    rows99.foreach(r => assert(r.getLong(2) >= 1,
+      s"community ${r.getLong(0)}: even its medoid defected"))
+    val (agreeSum, memberSum) = (rows99.map(_.getLong(2)).sum, rows99.map(_.getLong(1)).sum)
+    assert(agreeSum < memberSum, "routing perfect — the encoder/partition gap vanished")
+  }
+
   test("streaming moment sketch (s36) equals the batch moments and derives d89's spectrum") {
     val q = VecStream.runToMemory(spark, sf, "graft_s36_test",
       df => Similarity.dimMoments(Corpus.qvecsOf(df)), mode = "complete")

@@ -272,7 +272,10 @@ class PlanAuditSpec extends SparkSpec {
       "d97_community_medoid" -> (0, 0),
       // d98: ONE corpus pass pruned to (vec_id, label); membership is
       // the communities artifact read-back
-      "d98_community_purity" -> (0, 1))
+      "d98_community_purity" -> (0, 1),
+      // d99: ONE corpus pass (the routed feed); membership is the
+      // communities artifact read-back
+      "d99_route_fidelity" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -464,6 +467,8 @@ class PlanAuditSpec extends SparkSpec {
       // s38: ONE embeddings pass (the arriving feed) folded over the
       // broadcast medoid artifact read-back, as s17/s34/s35
       "s38_stream_communities" -> Map("embeddings" -> 1),
+      // s39: the s38 route pass into the bounded per-community tally
+      "s39_stream_community_load" -> Map("embeddings" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
