@@ -26,7 +26,7 @@ object TextAnalysis {
   private val bm25Terms: Seq[String] =
     Seq("customer", "filter", "join", "stream", "vector", "window")
 
-  private val langWords: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langWords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
@@ -34,6 +34,27 @@ object TextAnalysis {
 
   private[operators] val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private[operators] val enStopSqlList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** d08's per-row language scorer over a docs-shaped frame: one
+    * stop-word hit count per candidate language, `score` = the max,
+    * `pred_lang` = the first language (in [[langWords]] order)
+    * attaining it, 'und' when nothing matches — ONE definition shared
+    * by the d08 report and the d101 confusion eval. Pure per-row HOF
+    * work, no shuffle. */
+  private def langidScored(docs: DataFrame): DataFrame = {
+    val scored = langWords.foldLeft(docs) {
+      case (df, (lang, ws)) =>
+        val arr = array(ws.map(lit): _*)
+        df.withColumn(s"sc_$lang",
+          size(filter(col("ws"), w => array_contains(arr, w))).cast("long"))
+    }
+    val scoreCols = langWords.map { case (lang, _) => col(s"sc_$lang") }
+    val m = greatest(scoreCols: _*)
+    val pred = langWords.foldLeft(when(m === 0L, "und")) {
+      case (c, (lang, _)) => c.when(col(s"sc_$lang") === m, lang)
+    }
+    scored.withColumn("score", m).withColumn("pred_lang", pred)
+  }
 
   /** The d09 per-row quality columns over a docs-shaped frame (`text`
     * + `ws`) — ONE definition shared by the batch query and the
@@ -288,21 +309,29 @@ object TextAnalysis {
     // its constant lexicon, the argmax is a greatest + CASE cascade in
     // tie-break order. At 100 TB this is embarrassingly parallel.
     "d08_langid" -> { (s, dir) =>
-      val scored = langWords.foldLeft(Corpus.docs(s, dir)) {
-        case (df, (lang, ws)) =>
-          val arr = array(ws.map(lit): _*)
-          df.withColumn(s"sc_$lang",
-            size(filter(col("ws"), w => array_contains(arr, w))).cast("long"))
-      }
-      val scoreCols = langWords.map { case (lang, _) => col(s"sc_$lang") }
-      val m = greatest(scoreCols: _*)
-      val pred = langWords.foldLeft(when(m === 0L, "und")) {
-        case (c, (lang, _)) => c.when(col(s"sc_$lang") === m, lang)
-      }
-      scored
-        .withColumn("score", m)
-        .select(col("doc_id"), pred.as("pred_lang"), col("score"))
+      langidScored(Corpus.docs(s, dir))
+        .select(col("doc_id"), col("pred_lang"), col("score"))
         .orderBy("doc_id")
+    },
+
+    // LANGID CONFUSION — the eval that closes d08's loop: predicted
+    // vs DECLARED language as a confusion matrix (per cell the count,
+    // per declared lang its total and the cell's share — the d75/d98
+    // external-validation shape for the language identifier). The
+    // number a multilingual pipeline reads before trusting d08's
+    // routing: which language pairs the stop-word heuristic confuses,
+    // and how much mass falls to 'und'. ONE corpus scan into a
+    // lang²-bounded aggregate; the row totals ride a window over the
+    // 25-cell aggregate output (no second scan, no persist). Share
+    // divides identical integers both engines → bit-identical doubles.
+    "d101_langid_confusion" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      langidScored(Corpus.docs(s, dir))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_lang", sum(col("n")).over(w))
+        .withColumn("share", col("n").cast("double") / col("n_lang"))
+        .orderBy("lang", "pred_lang")
     },
 
     // Quality scoring from integer-count ratios. Digit/punct counts come
@@ -334,6 +363,32 @@ object TextAnalysis {
         .withColumn("bpe_est", ceil(length(col("text")) / 4.0).cast("long"))
         .select("doc_id", "ws_tokens", "re_tokens", "bpe_est")
         .orderBy("doc_id")
+    },
+
+    // TOKEN FERTILITY per language — the multilingual cost profile
+    // (how many tokenizer tokens each language pays per word, and how
+    // many characters per token — the fertility numbers XLM-R/mT5-
+    // style corpus planning reads next to d94's α-law: a
+    // high-fertility language consumes its token budget faster than
+    // its document share suggests). Exact integer sums of d10's three
+    // counters folded per language in ONE corpus scan into a
+    // lang-bounded aggregate; the ratios are one-shot divides of
+    // identical integers both engines → bit-identical doubles.
+    "d100_token_fertility" -> { (s, dir) =>
+      Corpus.docs(s, dir)
+        .select(col("lang"),
+          size(col("ws")).cast("long").as("nw"),
+          size(regexp_extract_all(lower(col("text")), lit(tokenRe), lit(0)))
+            .cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens"))
+        .orderBy("lang")
     },
 
     // Corpus vocabulary: top-20 words by document frequency — the
@@ -972,6 +1027,44 @@ object TextAnalysis {
          |  m AS score
          |FROM mx ORDER BY doc_id""".stripMargin
     }),
+
+    "d101_langid_confusion" -> (Corpus.docsCte + {
+      val scExprs = langWords.map { case (lang, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS BIGINT) AS sc_$lang"
+      }.mkString(",\n|    ")
+      val scNames = langWords.map { case (l, _) => s"sc_$l" }.mkString(", ")
+      val cases = langWords.map { case (l, _) => s"WHEN sc_$l = m THEN '$l'" }
+        .mkString("\n|       ")
+      s""", sc AS (
+         |  SELECT doc_id, lang,
+         |    $scExprs
+         |  FROM docs),
+         |mx AS (SELECT doc_id, lang, $scNames, greatest($scNames) AS m FROM sc),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN m = 0 THEN 'und'
+         |         $cases
+         |    END AS pred_lang
+         |  FROM mx)
+         |SELECT lang, pred_lang, count(1) AS n,
+         |  CAST(sum(count(1)) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |  CAST(count(1) AS DOUBLE)
+         |    / CAST(sum(count(1)) OVER (PARTITION BY lang) AS BIGINT) AS share
+         |FROM pred GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    }),
+
+    "d100_token_fertility" -> (Corpus.docsCte +
+      s"""SELECT lang, count(1) AS n_docs,
+         |  CAST(sum(len(ws)) AS BIGINT) AS n_words,
+         |  CAST(sum(len(regexp_extract_all(lower(text), '$tokenRe'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(CAST(sum(len(regexp_extract_all(lower(text), '$tokenRe'))) AS BIGINT) AS DOUBLE)
+         |    / CAST(sum(len(ws)) AS BIGINT) AS fertility,
+         |  CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE)
+         |    / CAST(sum(len(regexp_extract_all(lower(text), '$tokenRe'))) AS BIGINT) AS chars_per_token
+         |FROM docs GROUP BY lang ORDER BY lang""".stripMargin),
 
     "d09_quality" -> (Corpus.docsCte +
       s"""SELECT doc_id,

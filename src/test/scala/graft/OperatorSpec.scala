@@ -522,6 +522,70 @@ class OperatorSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() == docs)
   }
 
+  test("d100 fertility: sequential recount per language from the raw docs") {
+    val rows = SparkEntry.queries("d100_token_fertility")(spark, sf).collect()
+    val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val want = graft.model.Corpus.docs(spark, sf)
+      .select("lang", "text", "ws").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+      .groupBy(_._1).map { case (lang, ds) =>
+        lang -> (ds.length.toLong,
+          ds.map(_._3.size.toLong).sum,
+          ds.map(d => tokenRe.findAllIn(d._2.toLowerCase).size.toLong).sum,
+          ds.map(_._2.length.toLong).sum)
+      }
+    assert(rows.map(_.getString(0)).toSeq == want.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (nd, nw, nt, nc) = want(r.getString(0))
+      assert(r.getLong(1) == nd, s"n_docs(${r.getString(0)})")
+      assert(r.getLong(2) == nw, s"n_words(${r.getString(0)})")
+      assert(r.getLong(3) == nt, s"n_tokens(${r.getString(0)})")
+      assert(r.getLong(4) == nc, s"n_chars(${r.getString(0)})")
+      assert(r.getDouble(5) == nt.toDouble / nw, s"fertility(${r.getString(0)})")
+      assert(r.getDouble(6) == nc.toDouble / nt, s"chars_per_token(${r.getString(0)})")
+      // on the all-alpha synthetic corpus the regex tokenizer splits
+      // NOTHING beyond words — fertility exactly 1.0 is the fixture's
+      // conservation law (any punctuation/digit leak would break it)
+      assert(r.getDouble(5) == 1.0, s"fertility(${r.getString(0)}) ≠ 1 on all-alpha text")
+    }
+    // the profile must still discriminate: mean word length differs
+    // by language even here
+    assert(rows.map(_.getDouble(6)).distinct.length > 1, "chars_per_token constant")
+  }
+
+  test("d101 langid confusion: recount from d08's own verdicts; rows sum to totals") {
+    val rows = SparkEntry.queries("d101_langid_confusion")(spark, sf).collect()
+    val declared = graft.model.Corpus.docs(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = SparkEntry.queries("d08_langid")(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = declared.toSeq
+      .map { case (id, l) => (l, pred(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      want.keys.toSeq.sorted, "confusion cell set diverges")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == want(k), s"n$k")
+      assert(r.getDouble(4) == want(k).toDouble / r.getLong(3), s"share$k")
+    }
+    // per-lang totals partition the corpus
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3), s"n_lang($l)")
+    }
+    assert(rows.map(r => r.getLong(2)).sum == declared.size.toLong,
+      "confusion cells do not partition the corpus")
+    // the eval must discriminate: the heuristic is right more often
+    // than not on its home language, yet some off-diagonal mass exists
+    assert(rows.exists(r => r.getString(0) != r.getString(1)),
+      "no confusion at all — eval vacuous")
+    assert(rows.exists(r => r.getString(0) == r.getString(1)),
+      "no agreement at all — fixture degenerate")
+  }
+
   test("d09 quality ratios bounded in [0,1]") {
     val out = SparkEntry.queries("d09_quality")(spark, sf)
     assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1

@@ -275,7 +275,12 @@ class PlanAuditSpec extends SparkSpec {
       "d98_community_purity" -> (0, 1),
       // d99: ONE corpus pass (the routed feed); membership is the
       // communities artifact read-back
-      "d99_route_fidelity" -> (0, 1))
+      "d99_route_fidelity" -> (0, 1),
+      // d100: one corpus scan into the lang-bounded fertility agg
+      "d100_token_fertility" -> (1, 0),
+      // d101: one corpus scan into the lang²-bounded confusion agg
+      // (row totals ride a window over the 25-cell agg output)
+      "d101_langid_confusion" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
