@@ -235,6 +235,19 @@ object Streaming {
       Similarity.dimMoments(graft.model.Corpus.qvecs(s, dir)).orderBy("pos")
     },
 
+    // Live token-fertility profile — d100's multilingual cost table
+    // maintained as pages LAND: per-language doc/word/token/char sums
+    // are associative, so micro-batches merge exactly in complete mode
+    // and the state never exceeds the language domain (the s26/s29/s36
+    // bounded-sketch argument) — the mixing planner (d94/d51) always
+    // reads a current fertility table, no nightly recompute. Output
+    // contract ≡ d100 (shared transform + oracle); stream ≡ batch
+    // EXACT (integer sums are order-invariant); proven in
+    // EventStreamSpec.
+    "s40_stream_fertility" -> { (s, dir) =>
+      TextAnalysis.tokenFertility(graft.model.Corpus.docs(s, dir)).orderBy("lang")
+    },
+
     // Streaming Gopher gate — d92's rule panel asked as pages LAND:
     // every verdict is per-row HOF work over the doc's own words
     // (zero shuffles, no state, append mode), so the ingestion gate
@@ -597,6 +610,9 @@ object Streaming {
     // the streaming Gopher gate is the d92 panel verbatim (stateless
     // per-row rule verdicts) — shared oracle like s15 ← d47
     "s37_stream_gopher" -> TextAnalysis.oracle("d92_gopher_rules"),
+
+    // the live fertility table ≡ d100's batch profile
+    "s40_stream_fertility" -> TextAnalysis.oracle("d100_token_fertility"),
 
     // the streaming chunker is the d48 transform verbatim (stateless
     // bounded explode) — shared oracle like s15 ← d47

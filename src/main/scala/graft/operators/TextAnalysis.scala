@@ -56,6 +56,25 @@ object TextAnalysis {
     scored.withColumn("score", m).withColumn("pred_lang", pred)
   }
 
+  /** d100's per-language fertility profile over a docs-shaped frame —
+    * ONE definition shared by the batch report and the s40 live state
+    * (count/sums are associative: micro-batches merge exactly in
+    * complete mode, state bounded by the language domain). */
+  private[graft] def tokenFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(col("ws")).cast("long").as("nw"),
+        size(regexp_extract_all(lower(col("text")), lit(tokenRe), lit(0)))
+          .cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens"))
+
   /** The d09 per-row quality columns over a docs-shaped frame (`text`
     * + `ws`) — ONE definition shared by the batch query and the
     * streaming curation gate (s08), so stream and batch provably score
@@ -375,20 +394,7 @@ object TextAnalysis {
     // lang-bounded aggregate; the ratios are one-shot divides of
     // identical integers both engines → bit-identical doubles.
     "d100_token_fertility" -> { (s, dir) =>
-      Corpus.docs(s, dir)
-        .select(col("lang"),
-          size(col("ws")).cast("long").as("nw"),
-          size(regexp_extract_all(lower(col("text")), lit(tokenRe), lit(0)))
-            .cast("long").as("nt"),
-          length(col("text")).cast("long").as("nc"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
-          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
-        .withColumn("fertility",
-          col("n_tokens").cast("double") / col("n_words"))
-        .withColumn("chars_per_token",
-          col("n_chars").cast("double") / col("n_tokens"))
-        .orderBy("lang")
+      tokenFertility(Corpus.docs(s, dir)).orderBy("lang")
     },
 
     // Corpus vocabulary: top-20 words by document frequency — the
@@ -702,6 +708,29 @@ object TextAnalysis {
         .groupBy("qbin")
         .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup_docs"))
         .withColumn("dup_rate", col("n_dup_docs").cast("double") / col("n_docs"))
+        .orderBy("qbin")
+    },
+
+    // QUALITY ↔ GOPHER CALIBRATION — do the two quality axes agree?
+    // d09 scores a continuous scalar, d92 votes a hard rule panel;
+    // this is d77's correlation shape between THEM: per d77-style
+    // quality bin (floor(quality·20)) the doc count, how many the
+    // Gopher panel keeps, and the keep rate — the calibration curve
+    // that decides whether the cheap scalar can stand in for the rule
+    // panel at a given cutoff (and where the two disagree enough that
+    // a pipeline must run both). Two per-row passes joined on doc_id
+    // (d77's two-pass shape, pin documents=2); the bin aggregate is
+    // 20-row bounded; keep_rate divides identical integers both
+    // engines.
+    "d102_quality_calibration" -> { (s, dir) =>
+      val q = qualityCols(Corpus.docs(s, dir)).select(col("doc_id"), col("quality"))
+      val g = gopherPanel(Corpus.docs(s, dir)).select(col("doc_id"), col("keep"))
+      q.join(g, Seq("doc_id"))
+        .withColumn("qbin", floor(col("quality") * 20).cast("long"))
+        .groupBy("qbin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
         .orderBy("qbin")
     },
 
@@ -1345,6 +1374,42 @@ object TextAnalysis {
          |  CAST(sum(COALESCE(dup.is_dup, 0)) AS BIGINT) AS n_dup_docs,
          |  CAST(sum(COALESCE(dup.is_dup, 0)) AS DOUBLE) / count(1) AS dup_rate
          |FROM sc LEFT JOIN dup ON sc.doc_id = dup.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "d102_quality_calibration" -> (Corpus.docsCte +
+      s""", wtab AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+         |per AS (
+         |  SELECT doc_id, w, count(1) AS c, len(w) AS wl
+         |  FROM wtab GROUP BY doc_id, w),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(c * wl) AS BIGINT) AS wchars,
+         |    CAST(sum(CASE WHEN wl >= 3 THEN c ELSE 0 END) AS BIGINT) AS n_subst,
+         |    CAST(count(CASE WHEN list_contains($enStopSqlList, w) THEN 1 END) AS BIGINT) AS n_stop_kinds,
+         |    CAST(max(c) AS BIGINT) AS top_word_n
+         |  FROM per GROUP BY doc_id),
+         |gk AS (
+         |  SELECT doc_id,
+         |    ((n_words BETWEEN 50 AND 100000)
+         |     AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+         |     AND 5 * n_subst >= 4 * n_words
+         |     AND n_stop_kinds >= 2
+         |     AND 5 * top_word_n <= n_words) AS keep
+         |  FROM agg),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ws, w -> list_contains($enStopSqlList, w))) AS DOUBLE)
+         |      / greatest(len(ws), 1)
+         |    - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)
+         |    + CASE WHEN len(ws) BETWEEN 5 AND 200 THEN 0.1 ELSE 0.0 END AS quality
+         |  FROM docs)
+         |SELECT CAST(floor(sc.quality * 20) AS BIGINT) AS qbin,
+         |  count(1) AS n_docs,
+         |  CAST(sum(CASE WHEN gk.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN gk.keep THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS keep_rate
+         |FROM sc JOIN gk USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "d72_domain_reputation" -> (Corpus.docsCte + ", " + rawsCteSql + ",\n" +

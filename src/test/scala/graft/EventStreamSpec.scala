@@ -308,6 +308,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming fertility profile equals the batch table (complete mode, lang-bounded state)") {
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s40_test",
+      df => graft.operators.TextAnalysis.tokenFertility(
+        graft.model.Corpus.normalized(df)), mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s40_test").orderBy("lang").collect()
+    val batch = SparkEntry.queries("s40_stream_fertility")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // state bound: one row per language, never stream-length
+    val nLangs = graft.model.Corpus.docs(spark, sf)
+      .select("lang").distinct().count()
+    assert(batch.length.toLong == nLangs, "fertility state is not lang-bounded")
+    // conservation: every document is profiled exactly once
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(batch.map(_.getLong(1)).sum == nDocs, "doc mass lost in the profile")
+  }
+
   test("streaming Gopher gate equals the batch rule panel (stateless append)") {
     import graft.streaming.DocStream
     val q = DocStream.runToMemory(spark, sf, "graft_s37_test",

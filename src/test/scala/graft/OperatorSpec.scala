@@ -586,6 +586,36 @@ class OperatorSpec extends SparkSpec {
       "no agreement at all — fixture degenerate")
   }
 
+  test("d102 calibration: recount from d09's and d92's own verdicts") {
+    val rows = SparkEntry.queries("d102_quality_calibration")(spark, sf).collect()
+    val quality = SparkEntry.queries("d09_quality")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keep = SparkEntry.queries("d92_gopher_rules")(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = quality.toSeq
+      .map { case (id, qv) => (math.floor(qv * 20).toLong, keep(id)) }
+      .groupBy(_._1).map { case (b, ks) =>
+        b -> (ks.size.toLong, ks.count(_._2).toLong)
+      }
+    assert(rows.map(_.getLong(0)).toSeq == want.keys.toSeq.sorted,
+      "bin set diverges from the recount")
+    rows.foreach { r =>
+      val (nd, nk) = want(r.getLong(0))
+      assert(r.getLong(1) == nd, s"n_docs(${r.getLong(0)})")
+      assert(r.getLong(2) == nk, s"n_keep(${r.getLong(0)})")
+      assert(r.getDouble(3) == nk.toDouble / nd, s"keep_rate(${r.getLong(0)})")
+    }
+    // partition: every doc lands in exactly one bin
+    assert(rows.map(_.getLong(1)).sum == quality.size.toLong,
+      "bins do not partition the corpus")
+    // the calibration must have content: both verdicts occur and the
+    // keep rate varies across bins (a constant curve teaches nothing)
+    assert(rows.map(_.getDouble(3)).distinct.length > 1,
+      "keep_rate constant across quality bins")
+  }
+
   test("d09 quality ratios bounded in [0,1]") {
     val out = SparkEntry.queries("d09_quality")(spark, sf)
     assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1

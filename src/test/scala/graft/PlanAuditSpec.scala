@@ -280,7 +280,10 @@ class PlanAuditSpec extends SparkSpec {
       "d100_token_fertility" -> (1, 0),
       // d101: one corpus scan into the lang²-bounded confusion agg
       // (row totals ride a window over the 25-cell agg output)
-      "d101_langid_confusion" -> (1, 0))
+      "d101_langid_confusion" -> (1, 0),
+      // d102: two per-row passes joined on doc_id (d77's two-pass
+      // shape: quality scalar + gopher panel), 20-bin bounded agg
+      "d102_quality_calibration" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -476,6 +479,9 @@ class PlanAuditSpec extends SparkSpec {
       "s39_stream_community_load" -> Map("embeddings" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
+      // s40: the d100 profile verbatim — one corpus pass into the
+      // lang-bounded fertility aggregate
+      "s40_stream_fertility" -> Map("documents" -> 1),
       // s19: the d48 chunker verbatim — one corpus pass, bounded explode
       "s19_stream_chunk" -> Map("documents" -> 1),
       // s20: the d55 gate verbatim — one corpus pass through the bloom
