@@ -371,6 +371,32 @@ object Dedup {
     // intersection; the denominators come from the unpruned per-doc
     // sizes), so the quadratic join again runs only over the shareable
     // gram minority.
+    // DUPLICATION PROVENANCE — which sources copy from which: d02's
+    // exact near-dup pairs rolled up to the (source, source) matrix
+    // (pair sources canonicalized least/greatest so the matrix is
+    // upper-triangular), with the cross-source flag a release report
+    // leads with — intra-source duplication is a crawler artifact,
+    // CROSS-source duplication is syndication/mirroring and decides
+    // which source a dedup pass should prefer to keep. The pair
+    // stream is the near-dup MINORITY, so both rollup joins and the
+    // matrix aggregate are bounded by it; the (doc_id, source) lookup
+    // is ONE pruned corpus scan persisted for its two join sides
+    // (pin documents=4: d02's three-pass gram pipeline + this one).
+    "d103_dup_provenance" -> { (s, dir) =>
+      val pairs = jaccardPairs(s, dir).select("a_id", "b_id")
+      val src = Corpus.docs(s, dir).select(col("doc_id"), col("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs
+        .join(src.toDF("a_id", "src_a"), Seq("a_id"))
+        .join(src.toDF("b_id", "src_b"), Seq("b_id"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy("source_a", "source_b")
+    },
+
     "d30_containment" -> { (s, dir) =>
       val g = Corpus.grams(s, dir)
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -609,6 +635,17 @@ object Dedup {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING CAST(count(1) AS DOUBLE) / least(any_value(sa.n), any_value(sb.n)) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin),
+
+    "d103_dup_provenance" -> (Corpus.docsCte + ", " + exactPairsCte +
+      """SELECT source_a, source_b, count(1) AS n_pairs,
+        |  source_a <> source_b AS cross_source
+        |FROM (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM exact e
+        |  JOIN docs da ON da.doc_id = e.a_id
+        |  JOIN docs db ON db.doc_id = e.b_id) t
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
 
     "d34_lsh_recall" -> (lshPairsCte + ", " + exactPairsCte +
       """SELECT

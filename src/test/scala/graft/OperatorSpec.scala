@@ -616,6 +616,36 @@ class OperatorSpec extends SparkSpec {
       "keep_rate constant across quality bins")
   }
 
+  test("d103 dup provenance: recount from d02's own pairs + the source column") {
+    val rows = SparkEntry.queries("d103_dup_provenance")(spark, sf).collect()
+    val pairs = SparkEntry.queries("d02_dedup_ngram")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.model.Corpus.docs(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      want.keys.toSeq.sorted, "matrix cell set diverges")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == want(k), s"n_pairs$k")
+      assert(r.getBoolean(3) == (k._1 != k._2), s"cross_source$k")
+    }
+    // every near-dup pair lands in exactly one matrix cell
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
+      "matrix does not partition the pair set")
+    // the report must have content: both intra- and cross-source
+    // duplication occur on this fixture
+    assert(rows.exists(_.getBoolean(3)), "no cross-source duplication")
+    assert(rows.exists(!_.getBoolean(3)), "no intra-source duplication")
+  }
+
   test("d09 quality ratios bounded in [0,1]") {
     val out = SparkEntry.queries("d09_quality")(spark, sf)
     assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1

@@ -283,7 +283,10 @@ class PlanAuditSpec extends SparkSpec {
       "d101_langid_confusion" -> (1, 0),
       // d102: two per-row passes joined on doc_id (d77's two-pass
       // shape: quality scalar + gopher panel), 20-bin bounded agg
-      "d102_quality_calibration" -> (2, 0))
+      "d102_quality_calibration" -> (2, 0),
+      // d103: d02's three-pass gram pipeline + ONE pruned
+      // (doc_id, source) scan persisted for its two join sides
+      "d103_dup_provenance" -> (4, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
