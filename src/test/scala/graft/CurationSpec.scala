@@ -89,6 +89,16 @@ class CurationSpec extends SparkSpec {
       val mn = m.keys.min; m.keys.map(_ -> mn)
     }
     assert(cc(edges) == wantMin)
+    // diameter-independence regression: a 400-node PATH is the shape
+    // that breaks O(diameter) label propagation (d95's giant component
+    // measured diameter 85 — propagation needed 37 rounds there and
+    // has NO bound here); star contraction must close it inside the
+    // loop's 50-round backstop (it throws loudly otherwise), with
+    // exact labels
+    val path = (0L until 399L).map(i => (i, i + 1))
+    val pathLbl = cc(path)
+    assert(pathLbl.size == 400 && pathLbl.values.forall(_ == 0L),
+      "long-path labels wrong — contraction broke")
   }
 
   test("d24 loop tuning never touches the caller's session conf (isolated session)") {
@@ -113,6 +123,12 @@ class CurationSpec extends SparkSpec {
     assert(loop.conf.get("spark.sql.shuffle.partitions") == "8")
     // and the loop session is REUSED, not re-created per invocation
     assert(graft.operators.Curation.loopSession(spark) eq loop)
+    // partition tiers are SEPARATE cached sessions (a tier is fixed at
+    // creation — concurrent loops on different tiers never mutate a
+    // shared conf under each other)
+    val tiny = graft.operators.Curation.loopSession(spark, 1)
+    assert((tiny ne loop) && tiny.conf.get("spark.sql.shuffle.partitions") == "1")
+    assert(graft.operators.Curation.loopSession(spark, 1) eq tiny)
   }
 
   test("d24 cluster sizes are consistent with the labeling") {
