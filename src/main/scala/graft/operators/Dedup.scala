@@ -371,6 +371,54 @@ object Dedup {
     // intersection; the denominators come from the unpruned per-doc
     // sizes), so the quadratic join again runs only over the shareable
     // gram minority.
+    // CONTAINMENT ESTIMATION quality — d34's measure-don't-guess gate
+    // for d30's asymmetric metric: can the MinHash sketch STAND IN for
+    // the exact containment a quote/excerpt dedup pass needs? Per LSH
+    // candidate pair: the signature agreement (n_match/16 estimates
+    // Jaccard — n_match ≥ 4 by construction, the matching band's
+    // seeds), the containment ESTIMATE derived from it via the exact
+    // identity |∩| = J(na+nb)/(1+J) ⟹ Ĉ = Ĵ(na+nb)/((1+Ĵ)·min(na,nb))
+    // (sizes are exact per-doc gram counts — only J is sketched), and
+    // the exact containment to judge it against. The exact |∩| is
+    // computed ONLY for the candidate minority (semi-join restriction
+    // BEFORE the pair aggregate — at 100 TB the quadratic gram join
+    // never runs outside the sketch's shortlist, which is the whole
+    // point being evaluated). n_match/16 is a power-of-two divide —
+    // exact in binary, so every float here is bit-identical
+    // cross-engine.
+    "d104_containment_est" -> { (s, dir) =>
+      val cand = lshPairs(s, dir).select("a_id", "b_id")
+      val aw = minhashWide(s, dir)
+      val a = aw.toDF(("a_id" +: (0 until 16).map(i => s"ma$i")): _*)
+      val b = aw.toDF(("b_id" +: (0 until 16).map(i => s"mb$i")): _*)
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"ma$i") === col(s"mb$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val g = Corpus.grams(s, dir)
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = g.select(col("gram"), col("doc_id").as("a_id"))
+        .join(g.select(col("gram"), col("doc_id").as("b_id")), Seq("gram"))
+        .filter(col("a_id") < col("b_id"))
+        .join(cand, Seq("a_id", "b_id"), "left_semi")
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      cand
+        .join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .withColumn("n_match", nMatch)
+        .select("a_id", "b_id", "n_match")
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+        .withColumn("j_est", col("n_match").cast("double") / lit(16.0))
+        .withColumn("c_est",
+          col("j_est") * (col("na") + col("nb")).cast("double")
+            / ((lit(1.0) + col("j_est")) * least(col("na"), col("nb")).cast("double")))
+        .withColumn("c_exact",
+          col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+        .select("a_id", "b_id", "n_match", "j_est", "c_est", "inter", "c_exact")
+        .orderBy("a_id", "b_id")
+    },
+
     // DUPLICATION PROVENANCE — which sources copy from which: d02's
     // exact near-dup pairs rolled up to the (source, source) matrix
     // (pair sources canonicalized least/greatest so the matrix is
@@ -635,6 +683,33 @@ object Dedup {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING CAST(count(1) AS DOUBLE) / least(any_value(sa.n), any_value(sb.n)) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin),
+
+    "d104_containment_est" -> (lshPairsCte +
+      """, cand AS (SELECT a_id, b_id FROM pairs),
+        |mm AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(count(CASE WHEN ma.minh = mb.minh THEN 1 END) AS BIGINT) AS n_match
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.a_id
+        |  JOIN mh mb ON mb.doc_id = c.b_id AND mb.seed = ma.seed
+        |  GROUP BY 1, 2),
+        |sizes2 AS (SELECT doc_id, count(1) AS n FROM grams GROUP BY 1),
+        |ints AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(1) AS BIGINT) AS inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT m.a_id, m.b_id, m.n_match,
+        |  CAST(m.n_match AS DOUBLE) / 16.0 AS j_est,
+        |  (CAST(m.n_match AS DOUBLE) / 16.0) * CAST(sa.n + sb.n AS DOUBLE)
+        |    / ((1.0 + CAST(m.n_match AS DOUBLE) / 16.0) * CAST(least(sa.n, sb.n) AS DOUBLE)) AS c_est,
+        |  COALESCE(i.inter, 0) AS inter,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS c_exact
+        |FROM mm m
+        |LEFT JOIN ints i ON i.a_id = m.a_id AND i.b_id = m.b_id
+        |JOIN sizes2 sa ON sa.doc_id = m.a_id
+        |JOIN sizes2 sb ON sb.doc_id = m.b_id
+        |ORDER BY m.a_id, m.b_id""".stripMargin),
 
     "d103_dup_provenance" -> (Corpus.docsCte + ", " + exactPairsCte +
       """SELECT source_a, source_b, count(1) AS n_pairs,

@@ -616,6 +616,45 @@ class OperatorSpec extends SparkSpec {
       "keep_rate constant across quality bins")
   }
 
+  test("d104 containment estimate: recount from d03's sketches + the gram sets") {
+    val rows = SparkEntry.queries("d104_containment_est")(spark, sf).collect()
+    val mh = SparkEntry.queries("d03_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cand = SparkEntry.queries("d04_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gsets = graft.model.Corpus.grams(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == cand,
+      "pair set diverges from d04's candidates")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val nm = (0 until 16).count(i => mh((a, i)) == mh((b, i))).toLong
+      assert(r.getLong(2) == nm, s"n_match($a,$b)")
+      // a full matching band forces its 4 seeds to agree
+      assert(nm >= 4L, s"candidate ($a,$b) with n_match < 4")
+      val (sa, sb) = (gsets(a), gsets(b))
+      val inter = (sa & sb).size.toLong
+      assert(r.getLong(5) == inter, s"inter($a,$b)")
+      val jEst = nm.toDouble / 16.0
+      assert(r.getDouble(3) == jEst, s"j_est($a,$b)")
+      assert(r.getDouble(4) ==
+        jEst * (sa.size + sb.size).toDouble
+          / ((1.0 + jEst) * math.min(sa.size, sb.size).toDouble),
+        s"c_est($a,$b)")
+      assert(r.getDouble(6) ==
+        inter.toDouble / math.min(sa.size, sb.size).toDouble, s"c_exact($a,$b)")
+    }
+    // the eval must have content: the sketch errs in BOTH directions
+    // yet stays tight on average (measured ~0.014 mean |Ĉ−C|)
+    val errs = rows.map(r => r.getDouble(4) - r.getDouble(6))
+    assert(errs.exists(_ > 0) && errs.exists(_ < 0),
+      "estimator never errs in one direction — fixture degenerate")
+    assert(errs.map(math.abs).sum / errs.length < 0.1,
+      "mean containment error above 0.1 — the sketch cannot stand in")
+  }
+
   test("d103 dup provenance: recount from d02's own pairs + the source column") {
     val rows = SparkEntry.queries("d103_dup_provenance")(spark, sf).collect()
     val pairs = SparkEntry.queries("d02_dedup_ngram")(spark, sf)

@@ -286,7 +286,13 @@ class PlanAuditSpec extends SparkSpec {
       "d102_quality_calibration" -> (2, 0),
       // d103: d02's three-pass gram pipeline + ONE pruned
       // (doc_id, source) scan persisted for its two join sides
-      "d103_dup_provenance" -> (4, 0))
+      "d103_dup_provenance" -> (4, 0),
+      // d104: the cached signature pass + minhashWide's gram scan +
+      // three gram passes (sizes + both sides of the candidate-
+      // restricted exact-intersection join) = 5; the exact join's
+      // passes only feed the EVALUATION — the production path being
+      // judged is the 2-scan sketch side
+      "d104_containment_est" -> (5, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
