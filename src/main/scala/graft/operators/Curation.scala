@@ -36,6 +36,15 @@ import graft.model.Corpus
   */
 object Curation {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Round count of the most recent [[connectedComponents]] fixpoint
+    * on this thread — observability hook for the convergence-pin spec
+    * (star contraction promises O(log² n) rounds regardless of
+    * diameter; a change that silently re-couples rounds to diameter
+    * should fail a ratchet, not surface as a bench regression). */
+  private[graft] val lastCcRounds = new ThreadLocal[Integer]
+
   /** Benchmark membership for the d22 FIXTURE: every 10th doc below
     * [[benchIdCap]] — AT MOST 100 docs at any corpus size. The held-out
     * suite is an EXTERNAL INPUT to [[decontaminate]]; a real run passes
@@ -416,10 +425,14 @@ object Curation {
       prev = cur
       rounds += 1
     }
-    // convergence telemetry (stderr only): the loop's cost model is
-    // rounds × fixed scheduling overhead — keep the round count
-    // observable so growth at a new SF is attributable
-    System.err.println(s"[cc] converged=$converged rounds=$rounds edges=$m0")
+    // convergence telemetry: the loop's cost model is rounds × fixed
+    // scheduling overhead — keep the round count observable (logger,
+    // not stderr: d24/d95 run this on every query, and unconditional
+    // console writes would pollute bench/test output) and queryable
+    // ([[lastCcRounds]]) so growth at a new SF is attributable and
+    // the O(log² n) diameter-independence claim can be spec-pinned
+    log.info(s"[cc] converged=$converged rounds=$rounds edges=$m0")
+    lastCcRounds.set(rounds)
     require(converged,
       s"connected-components failed to converge in $rounds rounds")
     // the fixpoint edge set is EXACTLY one star per component rooted

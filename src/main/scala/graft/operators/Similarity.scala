@@ -219,13 +219,25 @@ object Similarity {
     * and its center distance tested against the cell's persisted
     * stats — d87's audit question asked at INGESTION, before a
     * corrupt vector ever enters the index. Stateless per-row, no
-    * state store; the stats side is √n rows, broadcast. */
+    * state store; the stats side is √n rows, broadcast.
+    *
+    * LEFT join on the stats artifact: a cell CAN lack a stats row
+    * (refined centroids may own zero postings, and a genuinely novel
+    * arrival routes to whatever centroid is nearest), and an ingest
+    * gate must emit a verdict for EVERY arrival — an inner join would
+    * silently eat the vector. Stats-absent arrivals surface with
+    * known_cell=false and a NULL is_outlier (the z-test has no
+    * population to test against; the caller decides the policy,
+    * typically quarantine-and-index). */
   private[graft] def outlierGate(cents: DataFrame, stats: DataFrame)(
       vecs: DataFrame): DataFrame =
     assignTop2(vecs, denull(cents, "cv"))
       .select(col("vec_id"), col("cell1").as("cell"), col("dist1").as("d2"))
-      .join(broadcast(stats), Seq("cell"))
-      .select(col("vec_id"), col("cell"), col("d2"), outlierFlag.as("is_outlier"))
+      .join(broadcast(stats), Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("d2"),
+        col("n_cell").isNotNull.as("known_cell"),
+        when(col("n_cell").isNull, lit(null).cast("boolean"))
+          .otherwise(outlierFlag).as("is_outlier"))
 
   /** Persisted per-cell REPRESENTATIVES (cell, rep_id, qr, nr) — the
     * fourth index artifact: the min-id member of each cell with its
@@ -263,15 +275,26 @@ object Similarity {
     * per arrival instead of a nightly sweep. Same action law as d35
     * (rep / drop at cos ≥ 0.25 / keep); stateless per-row, no state
     * store, no shuffle — centroids and reps are both √n-row artifact
-    * read-backs. */
+    * read-backs.
+    *
+    * LEFT join on the reps artifact: a cell CAN lack a representative
+    * (refined centroids may own zero postings), and an ingest gate
+    * must decide for EVERY arrival — an inner join would silently
+    * drop a genuinely novel vector. A rep-less arrival ELECTS ITSELF:
+    * action='rep', rep_id = its own vec_id, cos = 1.0 (a vector's
+    * cosine with itself, stated as a literal so batch, stream and
+    * oracle agree bit-for-bit) — exactly what d35's min-id election
+    * would do once the cell has one member. */
   private[graft] def semdedupGate(cents: DataFrame, reps: DataFrame)(
       vecs: DataFrame): DataFrame =
     assignTop2(vecs, denull(cents, "cv"))
       .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
-      .join(broadcast(denull(reps, "qr")), Seq("cell"))
+      .join(broadcast(denull(reps, "qr")), Seq("cell"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("vec_id")))
       .withColumn("cos",
-        DotLong(col("q"), col("qr")).cast("double")
-          / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double"))))
+        when(col("qr").isNull, lit(1.0)).otherwise(
+          DotLong(col("q"), col("qr")).cast("double")
+            / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double")))))
       .select(col("vec_id"), col("cell"), col("rep_id"), col("cos"),
         when(col("vec_id") === col("rep_id"), lit("rep"))
           .when(col("cos") >= 0.25, lit("drop"))
@@ -370,6 +393,12 @@ object Similarity {
            |  named_struct('d2', CAST(${Long.MaxValue} AS LONG),
            |               'cid', CAST(-1 AS LONG), 'mid', CAST(-1 AS LONG)),
            |  (acc, e) -> CASE WHEN e.d2 < acc.d2 THEN e ELSE acc END)""".stripMargin))
+      // the fold's seed (cid = -1) survives ONLY when the medoid
+      // artifact is empty (no mutual-kNN communities exist yet) — a
+      // route to "no community" is not a route, so drop it: the gate
+      // then emits zero rows, exactly the batch/oracle semantics of
+      // routing against an empty medoid set (AnnIndexSpec pins this)
+      .filter(col("w.cid") =!= lit(-1L))
       .select(col("vec_id"), col("w.cid").as("cluster_id"),
         col("w.mid").as("medoid_id"), col("w.d2").as("d2"))
   }
@@ -1853,10 +1882,12 @@ object Similarity {
   /** s34's DuckDB twin: d87's outlier audit asked per arriving vector —
     * the SAME assignment + per-cell stats CTEs, but instead of
     * FILTERING to flagged rows it emits every vector with its boolean
-    * verdict (an ingest gate decides for every arrival). The stats are
-    * rebuilt from the full assignment because the persisted cell-stats
-    * artifact is exact state over exactly that population (the
-    * d50 ← d15 sharing rationale). */
+    * verdict (an ingest gate decides for every arrival — hence the
+    * LEFT join + known_cell flag mirroring the gate: a stats-absent
+    * cell yields known_cell=false / NULL is_outlier, never a dropped
+    * row). The stats are rebuilt from the full assignment because the
+    * persisted cell-stats artifact is exact state over exactly that
+    * population (the d50 ← d15 sharing rationale). */
   private[graft] def outlierGateSql: String =
     ivfCents1Cte +
       s""", ass AS (
@@ -1873,17 +1904,22 @@ object Similarity {
          |    sum(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS s2
          |  FROM ass GROUP BY cell)
          |SELECT a.vec_id, a.cell, a.d2,
+         |  st.n_cell IS NOT NULL AS known_cell,
+         |  CASE WHEN st.n_cell IS NULL THEN NULL ELSE
          |  (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) > st.s1
          |   AND (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
          |       * (CAST(st.n_cell AS HUGEINT) * CAST(a.d2 AS HUGEINT) - st.s1)
-         |       > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)) AS is_outlier
-         |FROM ass a JOIN st USING (cell)
+         |       > 4 * (CAST(st.n_cell AS HUGEINT) * st.s2 - st.s1 * st.s1)) END AS is_outlier
+         |FROM ass a LEFT JOIN st USING (cell)
          |ORDER BY a.vec_id""".stripMargin
 
   /** s35's DuckDB twin: d35's representative scoring against the
     * REFINED index cells — assignment + min-id rep election rebuilt
     * from cents1 (the persisted reps artifact is exact state over
-    * exactly that assignment, the d50 ← d15 sharing rationale). */
+    * exactly that assignment, the d50 ← d15 sharing rationale).
+    * LEFT join + self-election mirroring the gate: a rep-less cell's
+    * arrival becomes its own representative (rep_id = vec_id,
+    * cos = 1.0, action 'rep'), never a dropped row. */
   private[graft] def semdedupGateSql: String =
     ivfCents1Cte +
       s""", asg AS (
@@ -1902,10 +1938,11 @@ object Similarity {
          |       WHEN cos >= 0.25 THEN 'drop'
          |       ELSE 'keep' END AS action
          |FROM (
-         |  SELECT a.vec_id, a.cell, r.rep_id,
+         |  SELECT a.vec_id, a.cell, COALESCE(r.rep_id, a.vec_id) AS rep_id,
+         |    CASE WHEN r.rep_id IS NULL THEN CAST(1.0 AS DOUBLE) ELSE
          |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
-         |  FROM asg a JOIN repv r ON a.cell = r.cell) t
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) END AS cos
+         |  FROM asg a LEFT JOIN repv r ON a.cell = r.cell) t
          |ORDER BY vec_id""".stripMargin
 
   /** s36's DuckDB twin: the per-dimension moment sketch over the

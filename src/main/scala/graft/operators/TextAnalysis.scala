@@ -268,23 +268,51 @@ object TextAnalysis {
   /** The d72 domain-reputation index (domain, n_docs, avg_quality,
     * q_rank, tier) — shared with s28's streaming ingest gate. Quality
     * sums are exact DECIMALs (one cast per row, associative-exact
-    * aggregation, one final divide), and the quartile tiering is a
-    * rank window over the BOUNDED domain table (rank 1 = worst):
-    * bottom quartile = "low", top quartile = "high". */
+    * aggregation, one final divide), and the quartile tiering is an
+    * EXACT global rank (rank 1 = worst): bottom quartile = "low",
+    * top quartile = "high".
+    *
+    * The rank is computed with the two-stage BANDED pattern (q31's
+    * decile law, d33's prefix law) rather than one unpartitioned
+    * row_number: the domain table is corpus-proportional (a 100 TB
+    * web corpus has ~10⁸ domains — a global window would funnel all
+    * of them through ONE task), but the quality METRIC's range is
+    * fixed (stop_ratio − punct_ratio + bonus ∈ [−1, 1.1]), so
+    * floor(avg_quality·1024) yields ≤ ~2.2k monotone bands no matter
+    * the corpus size. Stage 1 ranks WITHIN each band (partitioned,
+    * parallel); stage 2 prefix-sums band counts over the bounded band
+    * aggregate (the only unpartitioned window — ≤2.2k rows by the
+    * metric's range, never by n) and broadcasts the offsets back.
+    * offset + band-local rank ≡ the global row_number exactly,
+    * because the band function is monotone in the sort key. */
   private[graft] def domainReputation(s: SparkSession, dir: String): DataFrame = {
-    val byQ = Window.orderBy(col("avg_quality").asc, col("domain").asc)
-    domainLinks(s, dir)
+    val agg = domainLinks(s, dir)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
           .as("q_sum"))
       .withColumn("avg_quality", col("q_sum").cast("double") / col("n_docs"))
-      .withColumn("q_rank", row_number().over(byQ))
-      .withColumn("nd",
-        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("qband", floor(col("avg_quality") * 1024.0).cast("long"))
+    val wBand = Window.partitionBy("qband")
+      .orderBy(col("avg_quality").asc, col("domain").asc)
+    val wPrefix = Window.orderBy("qband")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = agg.groupBy("qband").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wPrefix), lit(0L)))
+      .withColumn("nd", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("qband", "offset", "nd")
+    agg
+      .withColumn("band_rn", row_number().over(wBand).cast("long"))
+      .join(broadcast(offsets), Seq("qband"))
+      // tier math on LONGs (rank·4 would wrap an int past 5·10⁸ rows);
+      // q_rank exits as int to keep row_number's output schema
+      .withColumn("rank_l", col("offset") + col("band_rn"))
+      .withColumn("q_rank", col("rank_l").cast("int"))
       .withColumn("tier",
-        when(col("q_rank") * 4 <= col("nd"), "low")
-          .when(col("q_rank") * 4 > col("nd") * 3, "high")
+        when(col("rank_l") * 4 <= col("nd"), "low")
+          .when(col("rank_l") * 4 > col("nd") * 3, "high")
           .otherwise("mid"))
       .select("domain", "n_docs", "avg_quality", "q_rank", "tier")
   }

@@ -629,4 +629,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(agree.toDouble / total >= 0.95,
       s"SQ8 top-1 agreement degraded: $agree/$total")
   }
+
+  test("s34 gate decides for EVERY arrival: a stats-absent cell surfaces, never drops") {
+    // force the production edge the sf fixture can't reach (stats and
+    // arrivals derive from the same assignment there): withhold one
+    // cell's stats row and assert its arrivals still get a verdict
+    val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val stats = IO.readParquet(spark, Similarity.annIndexCellStats(spark, sf))
+    val vecs = Corpus.qvecs(spark, sf)
+    val full = Similarity.outlierGate(cents, stats)(vecs)
+    val holdCell = full.select("cell").orderBy("cell").first().getInt(0)
+    val gated = Similarity.outlierGate(
+      cents, stats.filter(s"cell <> $holdCell"))(vecs)
+    assert(gated.count() == vecs.count(),
+      "gate must emit exactly one verdict per arrival")
+    val blind = gated.filter(s"cell = $holdCell")
+    assert(blind.count() > 0, "fixture must route arrivals to the held cell")
+    assert(blind.filter("known_cell OR is_outlier IS NOT NULL").count() == 0,
+      "stats-absent arrivals must surface as known_cell=false / NULL verdict")
+    // verdicts elsewhere are untouched by the withholding
+    assert(rows(gated.filter(s"cell <> $holdCell").orderBy("vec_id"))
+      == rows(full.filter(s"cell <> $holdCell").orderBy("vec_id")))
+  }
+
+  test("s35 gate decides for EVERY arrival: a rep-less cell's arrival elects itself") {
+    val cents = IO.readParquet(spark, Similarity.annIndexCents(spark, sf))
+    val reps = IO.readParquet(spark, Similarity.annIndexReps(spark, sf))
+    val vecs = Corpus.qvecs(spark, sf)
+    val full = Similarity.semdedupGate(cents, reps)(vecs)
+    val holdCell = full.select("cell").orderBy("cell").first().getInt(0)
+    val gated = Similarity.semdedupGate(
+      cents, reps.filter(s"cell <> $holdCell"))(vecs)
+    assert(gated.count() == vecs.count(),
+      "gate must emit exactly one decision per arrival")
+    val orphans = gated.filter(s"cell = $holdCell").collect()
+    assert(orphans.nonEmpty, "fixture must route arrivals to the held cell")
+    orphans.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) && r.getDouble(3) == 1.0
+        && r.getString(4) == "rep",
+        s"rep-less arrival must self-elect, got $r")
+    }
+    assert(rows(gated.filter(s"cell <> $holdCell").orderBy("vec_id"))
+      == rows(full.filter(s"cell <> $holdCell").orderBy("vec_id")))
+  }
+
+  test("s38 gate over an EMPTY medoid artifact emits zero rows (matches the oracle), not sentinels") {
+    val meds = IO.readParquet(spark, Similarity.annIndexMedoids(spark, sf))
+    val gated = Similarity.communityGate(meds.limit(0))(Corpus.qvecs(spark, sf))
+    assert(gated.count() == 0,
+      "no communities ⇒ no routes — sentinel cluster_id=-1 rows must not leak")
+    // and with a NON-empty artifact the sentinel can never win the
+    // fold, so the filter drops nothing: routing stays total
+    assert(Similarity.communityGate(meds)(Corpus.qvecs(spark, sf)).count()
+      == Corpus.qvecs(spark, sf).count())
+  }
 }

@@ -584,4 +584,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus shuffled for the plan join:\n$p")
   }
+
+  test("unpartitioned windows appear ONLY in the declared bounded-input set") {
+    // An unpartitioned Window funnels its whole input through ONE task
+    // — fine when the input is provably bounded (a ≤64-bin histogram,
+    // a 100-row head curve), fatal on anything corpus-proportional.
+    // The bench tail is full of WindowExec "No Partition Defined"
+    // warnings from the bounded set, so a NEW corpus-sized one added
+    // by mistake would be invisible in logs — this ratchet makes the
+    // set exact: every query whose optimized plan (subqueries
+    // included) contains an empty-partitionSpec Window must be
+    // declared here with its boundedness argument, and a declared one
+    // that stops planning a global window must be removed.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val withGlobalWindow = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        .collectWithSubqueries { case w: Window if w.partitionSpec.isEmpty => w }
+        .nonEmpty
+    }
+    // every entry's unpartitioned-window INPUT is bounded by a fixture
+    // constant or a metric's range — never by corpus size:
+    //   b30  — token-ring prefix over the (nodes × vnodes) topology
+    //   d54  — share totals over the (lang × 6 len-bucket) strata
+    //   d65  — shard prefix over the 32-row hash-bucket aggregate
+    //   d72/s28 — rank offsets over ≤ ~2.2k quality bands (the metric's
+    //          range / 2⁻¹⁰ grid, domainReputation's banded-rank law)
+    //   d86  — cumulative share over the top-100 Zipf head
+    //   d89  — spectrum over the 64-dimension moment table
+    //   q31  — decile offsets over ≤ ~35 price bins (price range / 16384)
+    //   q33  — bin densification over ≤ 64 histogram bins
+    //   s31  — watermark prefix over the per-DAY bucket aggregate
+    val declared = Seq("b30_topology_remap", "d54_corpus_drift",
+      "d65_shard_plan", "d72_domain_reputation", "d86_zipf_curve",
+      "d89_embed_spectrum", "q31_ntile", "q33_histogram",
+      "s28_stream_reputation", "s31_stream_lateness")
+    assert(withGlobalWindow == declared,
+      s"global-window set drifted — new entries need a boundedness argument:\n" +
+        s"  got      ${withGlobalWindow.mkString(", ")}\n" +
+        s"  declared ${declared.mkString(", ")}")
+  }
 }

@@ -148,6 +148,14 @@ def main():
             faster.append((k, qo[k], qn[k], r,
                            " (old value clamped: true speedup is larger)", ""))
             continue
+        if k in clamped_old and r > thr:
+            # symmetric to the faster branch: a clamped OLD time means
+            # the true old value is >= the clamp, so the computed ratio
+            # only UPPER-bounds the regression — annotate rather than
+            # report it as an exact slowdown
+            slower.append((k, qo[k], qn[k], r,
+                           " (old value clamped: ratio is an upper bound)", ""))
+            continue
         if r > thr:
             covered, (tag, note) = dispersion_note(new, k, r - 1, "new")
             (noisy if covered else slower).append((k, qo[k], qn[k], r, tag, note))
