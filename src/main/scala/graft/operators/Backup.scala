@@ -59,6 +59,26 @@ object Backup {
       |           ELSE date_diff('day', DATE '2020-01-01', snapshot_day) // 7
       |      END AS VARCHAR))), 1, 6))""".stripMargin
 
+  /** Per-(node, snapshot_day) gossip state — the fleet-liveness
+    * FIXTURE behind b44/b34: esop gates every operation on cluster
+    * health (`impl/interaction/ClusterState.java:19-29` — no
+    * joining/leaving/moving/unreachable nodes — and
+    * `FailureDetector.java:18-25` — down endpoint count must be 0);
+    * the ledger has no gossip feed, so the state is an md5-derived
+    * 20-sided die per node-day: faces 0–3 = JOINING/LEAVING/MOVING/
+    * DOWN, the other 16 NORMAL (~80% up — both fleet verdicts occur
+    * at any fixture size). Same expression in both engines. */
+  private val gossipNumSpark: String =
+    "CAST(conv(substr(md5(concat('gossip', CAST(node_id AS STRING), '_', CAST(snapshot_day AS STRING))), 1, 8), 16, 10) AS LONG) % 20"
+  private val gossipStateSpark: String =
+    s"CASE ($gossipNumSpark) WHEN 0 THEN 'JOINING' WHEN 1 THEN 'LEAVING' " +
+      "WHEN 2 THEN 'MOVING' WHEN 3 THEN 'DOWN' ELSE 'NORMAL' END"
+  private val gossipNumDuck: String =
+    "CAST(concat('0x', substr(md5(concat('gossip', CAST(node_id AS VARCHAR), '_', CAST(snapshot_day AS VARCHAR))), 1, 8)) AS BIGINT) % 20"
+  private val gossipStateDuck: String =
+    s"CASE ($gossipNumDuck) WHEN 0 THEN 'JOINING' WHEN 1 THEN 'LEAVING' " +
+      "WHEN 2 THEN 'MOVING' WHEN 3 THEN 'DOWN' ELSE 'NORMAL' END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // esop `AllManifestsReport.report` (Manifest.java:595-700):
@@ -230,6 +250,38 @@ object Backup {
           count(when(col("ftype") === "COMMIT_LOG", 1)).as("n_commitlog"))
         .withColumn("complete", col("n_manifest") > 0 && col("n_schema") > 0)
         .orderBy("node_id", "snapshot_day")
+    },
+
+    // Fleet-liveness gate — the pre-operation health check esop runs
+    // before touching data: ClusterState.act()
+    // (impl/interaction/ClusterState.java:19-29) demands no
+    // joining/leaving/moving/unreachable node anywhere in the fleet,
+    // and the FailureDetector (FailureDetector.java:18-25) reports
+    // the down-endpoint count. Per (day, node): the gossip state and
+    // up flag; per day: the four transition counts, the down count
+    // and the all-clear fleet verdict — every aggregate a window over
+    // the bounded (day × node) snapshot table (one 2-column ledger
+    // distinct, no second scan). b34 composes the same state
+    // per-node; this is the fleet-wide dashboard form.
+    "b44_fleet_liveness" -> { (s, dir) =>
+      val wDay = Window.partitionBy("snapshot_day")
+      snapshots(s, dir)
+        .withColumn("state", expr(gossipStateSpark))
+        .withColumn("node_up", col("state") === "NORMAL")
+        .withColumn("n_joining",
+          count(when(col("state") === "JOINING", 1)).over(wDay))
+        .withColumn("n_leaving",
+          count(when(col("state") === "LEAVING", 1)).over(wDay))
+        .withColumn("n_moving",
+          count(when(col("state") === "MOVING", 1)).over(wDay))
+        .withColumn("n_down",
+          count(when(col("state") === "DOWN", 1)).over(wDay))
+        .withColumn("fleet_ready",
+          col("n_joining") === 0 && col("n_leaving") === 0
+            && col("n_moving") === 0 && col("n_down") === 0)
+        .select("snapshot_day", "node_id", "state", "node_up",
+          "n_joining", "n_leaving", "n_moving", "n_down", "fleet_ready")
+        .orderBy("snapshot_day", "node_id")
     },
 
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
@@ -545,8 +597,15 @@ object Backup {
       // max(struct(count, sv)) ≡ ORDER BY count DESC, sv DESC.
       val wDay = Window.partitionBy("snapshot_day")
       val wDaySv = Window.partitionBy("snapshot_day", "sv")
+      // liveness gate (ClusterState/FailureDetector, the b44 state)
+      // follows the schema-laggard convention: a non-NORMAL node
+      // excludes exactly ITSELF from the plan — esop's in-place
+      // restore is per-node, so a down node is skipped, not
+      // fleet-blocking. Rides the same bounded snapshots pass as the
+      // token/schema gates (no extra scan).
       val gates = snap.select(col("node_id"), col("snapshot_day"),
-          (col("bh") === col("th")).as("tokens_match"), col("sv"))
+          (col("bh") === col("th")).as("tokens_match"), col("sv"),
+          (expr(gossipStateSpark) === "NORMAL").as("node_up"))
         .withColumn("sv_cnt", count(lit(1)).over(wDaySv))
         .withColumn("n_versions",
           size(collect_set(col("sv")).over(wDay)).cast("long"))
@@ -557,10 +616,10 @@ object Backup {
         .join(gates, Seq("node_id", "snapshot_day"))
         .withColumn("ready",
           col("n_hash_mismatch") === 0 && col("tokens_match")
-            && col("schema_ok"))
+            && col("schema_ok") && col("node_up"))
         .select(col("node_id"), col("snapshot_day"), col("n_files"),
           col("bytes"), col("n_hash_mismatch"), col("tokens_match"),
-          col("n_versions"), col("schema_ok"), col("ready"),
+          col("n_versions"), col("schema_ok"), col("node_up"), col("ready"),
           when(col("ready"), col("makespan_sec")).as("makespan_sec"))
         .orderBy("node_id")
     },
@@ -1297,6 +1356,24 @@ object Backup {
         |    AND count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) > 0 AS complete
         |FROM manifest GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    "b44_fleet_liveness" -> (cte +
+      s""", st AS (
+         |  SELECT snapshot_day, node_id, $gossipStateDuck AS state
+         |  FROM snapshots)
+         |SELECT snapshot_day, node_id, state,
+         |  state = 'NORMAL' AS node_up,
+         |  count(CASE WHEN state = 'JOINING' THEN 1 END)
+         |    OVER (PARTITION BY snapshot_day) AS n_joining,
+         |  count(CASE WHEN state = 'LEAVING' THEN 1 END)
+         |    OVER (PARTITION BY snapshot_day) AS n_leaving,
+         |  count(CASE WHEN state = 'MOVING' THEN 1 END)
+         |    OVER (PARTITION BY snapshot_day) AS n_moving,
+         |  count(CASE WHEN state = 'DOWN' THEN 1 END)
+         |    OVER (PARTITION BY snapshot_day) AS n_down,
+         |  count(CASE WHEN state <> 'NORMAL' THEN 1 END)
+         |    OVER (PARTITION BY snapshot_day) = 0 AS fleet_ready
+         |FROM st ORDER BY snapshot_day, node_id""".stripMargin),
+
     "b42_storage_tiering" -> (cte +
       """, obj AS (
         |  SELECT object_key, keyspace, max(snapshot_day) AS last_day,
@@ -1448,7 +1525,8 @@ object Backup {
          |tg AS (
          |  SELECT node_id, snapshot_day,
          |    ${tokenHashDuck(target = false)} = ${tokenHashDuck(target = true)} AS tokens_match,
-         |    $schemaVerDuck AS sv
+         |    $schemaVerDuck AS sv,
+         |    ($gossipStateDuck) = 'NORMAL' AS node_up
          |  FROM snapshots),
          |vg AS (
          |  SELECT snapshot_day, COUNT(DISTINCT sv) AS n_versions
@@ -1462,9 +1540,11 @@ object Backup {
          |  WHERE rn = 1)
          |SELECT h.node_id, h.snapshot_day, h.n_files, h.bytes,
          |  h.n_hash_mismatch, t.tokens_match, v.n_versions,
-         |  t.sv = m.maj_sv AS schema_ok,
-         |  (h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv) AS ready,
+         |  t.sv = m.maj_sv AS schema_ok, t.node_up,
+         |  (h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv
+         |   AND t.node_up) AS ready,
          |  CASE WHEN h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv
+         |            AND t.node_up
          |       THEN h.makespan0 END AS makespan_sec
          |FROM hg h
          |JOIN tg t ON h.node_id = t.node_id AND h.snapshot_day = t.snapshot_day

@@ -382,19 +382,64 @@ class OperatorSpec extends SparkSpec {
       "plan must cover exactly the resolvable nodes")
     plan.foreach { r =>
       assert(r.getDate(1) == expected(r.getLong(0)), "wrong resolved snapshot")
-      // stage 2: ready is exactly the gate conjunction; a schedule only
-      // exists for ready nodes
-      val ready = r.getBoolean(8)
-      assert(ready == (r.getLong(4) == 0 && r.getBoolean(5) && r.getBoolean(7)))
+      // stage 2: ready is exactly the four-gate conjunction (hashes,
+      // tokens, schema majority, liveness); a schedule only exists for
+      // ready nodes
+      val ready = r.getBoolean(9)
+      assert(ready == (r.getLong(4) == 0 && r.getBoolean(5)
+        && r.getBoolean(7) && r.getBoolean(8)))
       if (ready) {
-        assert(!r.isNullAt(9), "ready node missing its schedule")
+        assert(!r.isNullAt(10), "ready node missing its schedule")
         // stage 3: the 4-stream makespan can never beat the perfect
         // split lower bound
-        assert(r.getLong(9) >= math.ceil(r.getDouble(3) / 25.0 / 4).toLong)
-      } else assert(r.isNullAt(9), "not-ready node must not be scheduled")
+        assert(r.getLong(10) >= math.ceil(r.getDouble(3) / 25.0 / 4).toLong)
+      } else assert(r.isNullAt(10), "not-ready node must not be scheduled")
     }
     // the fixture must exercise both outcomes
-    assert(plan.exists(_.getBoolean(8)) && plan.exists(!_.getBoolean(8)))
+    assert(plan.exists(_.getBoolean(9)) && plan.exists(!_.getBoolean(9)))
+  }
+
+  test("b34 liveness gate composes b44's state: a down node excludes exactly itself") {
+    // the ClusterState/FailureDetector input (reference
+    // impl/interaction/ClusterState.java:19-29): b34's per-node go/
+    // no-go must carry b44's per-(day, node) verdict verbatim — a
+    // non-NORMAL node is skipped (the schema-laggard convention),
+    // and NO OTHER node's verdict moves because of it
+    val live = SparkEntry.queries("b44_fleet_liveness")(spark, sf)
+      .select(col("snapshot_day"), col("node_id"), col("node_up").as("b44_up"))
+    val plan = SparkEntry.queries("b34_restore_plan")(spark, sf)
+      .select(col("snapshot_day"), col("node_id"), col("node_up"))
+    val j = plan.join(live, Seq("snapshot_day", "node_id"), "left").collect()
+    assert(j.nonEmpty && j.forall(!_.isNullAt(3)),
+      "every planned (day, node) must exist in the liveness table")
+    j.foreach { r =>
+      assert(r.getBoolean(2) == r.getBoolean(3),
+        s"b34 liveness disagrees with b44 at ${r.get(0)}/${r.get(1)}")
+    }
+    // the fixture must exercise the exclusion (some resolved node is
+    // down/transitioning) without blocking the whole fleet
+    assert(j.exists(!_.getBoolean(2)), "no down node in the resolved slice")
+    assert(j.exists(_.getBoolean(2)), "liveness gate blocked the fleet")
+  }
+
+  test("b44 per-day counts recount from the row states; fleet verdict is their conjunction") {
+    val out = SparkEntry.queries("b44_fleet_liveness")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getDate(0)).foreach { case (_, rows) =>
+      val st = rows.map(_.getString(2))
+      val (nj, nl, nm, nd) = (st.count(_ == "JOINING"), st.count(_ == "LEAVING"),
+        st.count(_ == "MOVING"), st.count(_ == "DOWN"))
+      rows.foreach { r =>
+        assert(r.getBoolean(3) == (r.getString(2) == "NORMAL"))
+        assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+          == ((nj.toLong, nl.toLong, nm.toLong, nd.toLong)),
+          s"per-day counts drifted on ${r.get(0)}")
+        assert(r.getBoolean(8) == (nj + nl + nm + nd == 0),
+          "fleet_ready is not the ClusterState conjunction")
+      }
+    }
+    // the die must roll both fleet outcomes at fixture size
+    assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
   }
 
   test("b12 asof matches are strictly before the request day") {

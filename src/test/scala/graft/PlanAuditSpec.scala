@@ -426,6 +426,9 @@ class PlanAuditSpec extends SparkSpec {
       "b42_storage_tiering" -> Map("events" -> 2),
       // b43: one manifest pass into the bounded (node, day) aggregate
       "b43_snapshot_completeness" -> Map("events" -> 1),
+      // b44: one 2-column snapshots distinct; every liveness count is
+      // a window over the bounded (day × node) aggregate
+      "b44_fleet_liveness" -> Map("events" -> 1),
       // q36: base + the synthesized CDC delta (ONE extra scan — both
       // delta branches ride a single bounded explode)
       "q36_merge_upsert" -> Map("orders" -> 2),
