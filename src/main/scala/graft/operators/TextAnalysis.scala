@@ -286,6 +286,10 @@ object TextAnalysis {
     * offset + band-local rank ≡ the global row_number exactly,
     * because the band function is monotone in the sort key. */
   private[graft] def domainReputation(s: SparkSession, dir: String): DataFrame = {
+    // persist the domain aggregate: both the band-offset side and the
+    // final ranked frame consume it (the d15/d35 multi-consumer
+    // persist convention — caller-owned lifecycle via clearCache);
+    // without it each side would re-scan the corpus (pin documents=1)
     val agg = domainLinks(s, dir)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
@@ -293,6 +297,7 @@ object TextAnalysis {
           .as("q_sum"))
       .withColumn("avg_quality", col("q_sum").cast("double") / col("n_docs"))
       .withColumn("qband", floor(col("avg_quality") * 1024.0).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wBand = Window.partitionBy("qband")
       .orderBy(col("avg_quality").asc, col("domain").asc)
     val wPrefix = Window.orderBy("qband")
