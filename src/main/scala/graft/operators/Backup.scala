@@ -284,6 +284,50 @@ object Backup {
         .orderBy("snapshot_day", "node_id")
     },
 
+    // Backup-cadence plan — the forward-looking twin of b38's streak
+    // report, modeling esop's fixed-rate snapshot daemon
+    // (scheduling/DaemonScheduler.java:52-66: scheduleAtFixedRate +
+    // "Operation will be next executed at <last + rate>"): at the
+    // daemon's daily rate, each node OWES one backup per day of its
+    // active window. Per node: observed first/last day, actual vs
+    // expected run counts, missed days, adherence, the daemon's
+    // next-due day (last + rate) and the overdue verdict. "Now" is
+    // the AUDIT day = fleet's latest observed day + 1 (the dashboard
+    // runs the morning after the newest backup anywhere in the store
+    // — a ledger has no wall clock): a node current through the head
+    // day is due-today, not overdue; every node behind the head owes
+    // exactly (head − last) days. One 2-column snapshots distinct
+    // into a per-node aggregate; the fleet head rides a single-row
+    // broadcast fold (the assignTop2 convention), never a corpus
+    // window.
+    "b45_backup_cadence" -> { (s, dir) =>
+      val perNode = snapshots(s, dir)
+        .groupBy("node_id")
+        .agg(min("snapshot_day").as("first_day"),
+          max("snapshot_day").as("last_day"),
+          count(lit(1)).as("n_runs"))
+      val fleetHead = perNode.agg(max("last_day").as("fleet_latest"))
+      perNode
+        .crossJoin(broadcast(fleetHead))
+        .withColumn("audit_day", date_add(col("fleet_latest"), 1))
+        .withColumn("n_expected",
+          (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+        .withColumn("n_missed", col("n_expected") - col("n_runs"))
+        .withColumn("adherence",
+          col("n_runs").cast("double") / col("n_expected").cast("double"))
+        .withColumn("next_due", date_add(col("last_day"), 1))
+        // days PAST the due day as of the audit morning ("due today"
+        // is not overdue): last = head ⇒ 0; last = head-2 ⇒ 2 over
+        .withColumn("overdue_days",
+          greatest(datediff(col("audit_day"), col("next_due")), lit(0))
+            .cast("long"))
+        .withColumn("overdue", col("overdue_days") > 0)
+        .select("node_id", "first_day", "last_day", "n_runs", "n_expected",
+          "n_missed", "adherence", "next_due", "audit_day",
+          "overdue_days", "overdue")
+        .orderBy("node_id")
+    },
+
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
     "b06_retention" -> { (s, dir) =>
       manifest(s, dir)
@@ -1355,6 +1399,25 @@ object Backup {
         |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) > 0
         |    AND count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) > 0 AS complete
         |FROM manifest GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "b45_backup_cadence" -> (cte +
+      """, pn AS (
+        |  SELECT node_id, min(snapshot_day) AS first_day,
+        |         max(snapshot_day) AS last_day,
+        |         count(1) AS n_runs
+        |  FROM snapshots GROUP BY 1),
+        |hd AS (SELECT max(last_day) AS fleet_latest FROM pn)
+        |SELECT node_id, first_day, last_day, n_runs,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS n_expected,
+        |  CAST(date_diff('day', first_day, last_day) + 1 - n_runs AS BIGINT) AS n_missed,
+        |  CAST(n_runs AS DOUBLE)
+        |    / CAST(date_diff('day', first_day, last_day) + 1 AS DOUBLE) AS adherence,
+        |  last_day + 1 AS next_due,
+        |  fleet_latest + 1 AS audit_day,
+        |  CAST(greatest(date_diff('day', last_day + 1, fleet_latest + 1), 0) AS BIGINT)
+        |    AS overdue_days,
+        |  greatest(date_diff('day', last_day + 1, fleet_latest + 1), 0) > 0 AS overdue
+        |FROM pn, hd ORDER BY node_id""".stripMargin),
 
     "b44_fleet_liveness" -> (cte +
       s""", st AS (

@@ -442,6 +442,37 @@ class OperatorSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
   }
 
+  test("b45 cadence plan recounts from the snapshot history; overdue law holds") {
+    import graft.model.BackupLedger
+    val out = SparkEntry.queries("b45_backup_cadence")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hist = BackupLedger.snapshots(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDate(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2.toLocalDate)).toMap
+    val fleetLatest = hist.values.flatten.max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    assert(out.map(_.getLong(0)).toSet == hist.keySet, "plan must cover every node")
+    out.foreach { r =>
+      val days = hist(r.getLong(0))
+      val (first, last) = (days.minBy(_.toEpochDay), days.maxBy(_.toEpochDay))
+      val expected = last.toEpochDay - first.toEpochDay + 1
+      assert(r.getDate(1).toLocalDate == first && r.getDate(2).toLocalDate == last)
+      assert(r.getLong(3) == days.distinct.size, "n_runs must count distinct days")
+      assert(r.getLong(4) == expected && r.getLong(5) == expected - days.distinct.size)
+      // the daemon law: next_due = last + rate (1 day); the audit
+      // runs the morning after the fleet head day
+      assert(r.getDate(7).toLocalDate == last.plusDays(1), "next_due != last + rate")
+      assert(r.getDate(8).toLocalDate == fleetLatest.plusDays(1),
+        "audit_day != fleet head + 1")
+      val over = math.max(fleetLatest.toEpochDay - last.toEpochDay, 0L)
+      assert(r.getLong(9) == over && r.getBoolean(10) == (over > 0),
+        s"overdue law broken for node ${r.getLong(0)}")
+    }
+    // fixture must exercise missed runs and both overdue outcomes
+    assert(out.exists(_.getLong(5) > 0), "no node ever missed a run")
+    assert(out.exists(_.getBoolean(10)) && out.exists(!_.getBoolean(10)),
+      "fixture must exercise both overdue outcomes")
+  }
+
   test("b12 asof matches are strictly before the request day") {
     val bad = SparkEntry.queries("b12_asof_join")(spark, sf)
       .filter(col("matched_day").isNotNull && col("matched_day") >= col("request_day"))

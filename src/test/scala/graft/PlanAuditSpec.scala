@@ -429,6 +429,9 @@ class PlanAuditSpec extends SparkSpec {
       // b44: one 2-column snapshots distinct; every liveness count is
       // a window over the bounded (day × node) aggregate
       "b44_fleet_liveness" -> Map("events" -> 1),
+      // b45: per-node cadence agg + the single-row fleet-head fold
+      // (the head derives from the same snapshots distinct — 2nd pass)
+      "b45_backup_cadence" -> Map("events" -> 2),
       // q36: base + the synthesized CDC delta (ONE extra scan — both
       // delta branches ride a single bounded explode)
       "q36_merge_upsert" -> Map("orders" -> 2),
