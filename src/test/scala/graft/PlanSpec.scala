@@ -585,6 +585,60 @@ class PlanSpec extends SparkSpec {
       s"the corpus shuffled for the plan join:\n$p")
   }
 
+  test("every equality-free join in the suite keeps a provably single-row side") {
+    // The cartesian audit, suite-wide: a join with no equality
+    // conjunct is either the documented single-row broadcast FOLD
+    // (an ungrouped aggregate — collected centroids/medoids/params —
+    // cross-joined so a per-row lambda can fold over it: maxRows = 1,
+    // cost linear in the big side) or a genuine pairs blow-up. q24/
+    // q28's no-BNLJ pins catch two known shapes; this closes the rest
+    // of the suite structurally. Whitelist = the declared exact
+    // brute-force baselines whose QUADRATIC pairing is the contract
+    // (PlanSpec's embeddings-pairing audit pins that exact set) plus
+    // d42, whose bench side is a ≤100-row fixture slice (bounded by
+    // the benchmark suite's size, not the corpus).
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // equality ANYWHERE in the condition tree keys a hash join path:
+    // plain conjunct EqualTo, setops' <=> (EqualNullSafe), and the
+    // null-aware NOT IN shape Or(EqualTo, IsNull(EqualTo)) all count
+    def hasEquality(j: Join): Boolean = j.condition.exists(c =>
+      c.collectFirst { case e @ (_: EqualTo | _: EqualNullSafe) => e }.isDefined)
+    // exempt sets, each with its boundedness contract:
+    //  - declared exact brute-force baselines whose quadratic pairing
+    //    IS the contract (pinned by the embeddings-pairing audit);
+    //    d42's bench side is additionally a ≤100-row fixture slice
+    //  - d73: the source-overlap MATRIX pairs per-source KMV sketch
+    //    rows — both sides are the per-source aggregate (≤ |sources|
+    //    rows, a domain bound independent of corpus size)
+    //  - q38: the fuzzy probe scans the dirty feed once against the
+    //    BROADCAST distinct name catalog (names ≪ rows — the bounded-
+    //    dictionary shape; its own spec pins the broadcast)
+    val exempt = Set("d06_cosine_topk", "d74_knn_eval",
+      "d82_mrl_truncation", "d42_semantic_decon",
+      "d73_source_overlap", "q38_fuzzy_match")
+    // a side is a broadcastable PARAMETER TABLE when the planner can
+    // PROVE its row bound: 1 for the collected-artifact folds
+    // (centroids/medoids/fleet head), 15 for the LSH plane table
+    // (LshTables × bbits rows — bbits grows O(log n), still ≤64 at
+    // any real corpus). Anything without a provable bound is treated
+    // as corpus-sized.
+    def paramSide(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.maxRows.exists(_ <= 64L)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .filter { name =>
+        SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+          .collectWithSubqueries {
+            case j: Join
+              if !hasEquality(j) && !paramSide(j.left) && !paramSide(j.right) => j
+          }.nonEmpty
+      }
+    assert(offenders.isEmpty,
+      s"equality-free join without a provably bounded side (new fold must " +
+        s"prove maxRows<=64, new baseline/bounded shape must be declared): $offenders")
+  }
+
   test("unpartitioned windows appear ONLY in the declared bounded-input set") {
     // An unpartitioned Window funnels its whole input through ONE task
     // — fine when the input is provably bounded (a ≤64-bin histogram,
