@@ -488,6 +488,47 @@ object Dedup {
         .select("n_exact", "n_candidates", "n_hit", "recall")
     },
 
+    // LSH BAND-BUDGET curve — d68's nprobe law applied to the banding
+    // knob: how much recall does each of d04's 4 bands BUY, at what
+    // candidate-volume COST? The whole curve prices the b=1..4 sweep
+    // from ONE pair aggregate: a pair's fate under a b-band budget is
+    // fully determined by its FIRST shared band (candidate ⟺
+    // first_band < b), so one (a_id, b_id) → min(band) rollup feeds
+    // all four budgets as conditional counts — no per-budget re-join,
+    // no 4× candidate generation (d68 must re-rank per nprobe because
+    // probe order changes scores; a band budget only GATES, so the
+    // sweep collapses). Exact truth = the d34 gram-Jaccard baseline.
+    // Output: per budget the candidate count, hits, recall — the
+    // "which b do I need at my recall target" table that sizes the
+    // production d04 config. persist on the pair rollup: the hits
+    // join and the cost aggregate both consume it (d72's convention).
+    "d105_lsh_band_curve" -> { (s, dir) =>
+      val sig = bandSigsPersisted(s, dir)
+      val a = sig.toDF("a_id", "band", "sig")
+      val b = sig.toDF("b_id", "band", "sig")
+      val firstBand = a.join(b, Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(min(col("band")).as("first_band"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = jaccardPairs(s, dir).select("a_id", "b_id")
+      val hits = exact.join(firstBand, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (1 to 4).map(nb =>
+            count(when(col("first_band") < nb, 1)).as(s"h$nb")): _*)
+      val cands = firstBand.agg(
+        count(when(col("first_band") < 1, 1)).as("c1"),
+        (2 to 4).map(nb =>
+          count(when(col("first_band") < nb, 1)).as(s"c$nb")): _*)
+      hits.crossJoin(broadcast(cands))
+        .selectExpr("n_exact",
+          "stack(4, 1, c1, h1, 2, c2, h2, 3, c3, h3, 4, c4, h4) AS (n_bands, n_candidates, n_hit)")
+        .withColumn("recall",
+          col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)))
+        .select("n_bands", "n_exact", "n_candidates", "n_hit", "recall")
+        .orderBy("n_bands")
+    },
+
     // Duplicated-SPAN detection (the tile analogue of suffix-array
     // substring dedup, Lee et al. 2022 "Deduplicating Training Data
     // Makes Language Models Better"): non-overlapping 8-word tiles per
@@ -731,6 +772,25 @@ object Dedup {
         |  CAST((SELECT count(1) FROM exact e JOIN pairs p
         |     ON e.a_id = p.a_id AND e.b_id = p.b_id) AS DOUBLE)
         |    / greatest((SELECT count(1) FROM exact), 1) AS recall""".stripMargin),
+
+    "d105_lsh_band_curve" -> (bandSigsCte + ", " + exactPairsCte +
+      """, fb AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, min(x.band) AS first_band
+        |  FROM sig x JOIN sig y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(nb AS INTEGER) AS n_bands,
+        |  (SELECT count(1) FROM exact) AS n_exact,
+        |  (SELECT count(1) FROM fb WHERE first_band < nb) AS n_candidates,
+        |  (SELECT count(1) FROM exact e JOIN fb f
+        |     ON e.a_id = f.a_id AND e.b_id = f.b_id
+        |   WHERE f.first_band < nb) AS n_hit,
+        |  CAST((SELECT count(1) FROM exact e JOIN fb f
+        |     ON e.a_id = f.a_id AND e.b_id = f.b_id
+        |   WHERE f.first_band < nb) AS DOUBLE)
+        |    / greatest((SELECT count(1) FROM exact), 1) AS recall
+        |FROM (SELECT unnest(range(1, 5)) AS nb) t
+        |ORDER BY n_bands""".stripMargin),
 
     "d36_tile_dedup" -> (Corpus.docsCte + Corpus.tilesCte +
       """, dfreq AS (SELECT tile, count(1) AS df FROM tiles GROUP BY tile)

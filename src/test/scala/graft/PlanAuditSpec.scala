@@ -292,7 +292,11 @@ class PlanAuditSpec extends SparkSpec {
       // restricted exact-intersection join) = 5; the exact join's
       // passes only feed the EVALUATION — the production path being
       // judged is the 2-scan sketch side
-      "d104_containment_est" -> (5, 0))
+      "d104_containment_est" -> (5, 0),
+      // d105: the d34 shape (exact gram baseline 3 + the cached band
+      // signatures 1); the b=1..4 sweep adds ZERO passes — one
+      // first-band pair rollup feeds all four budgets
+      "d105_lsh_band_curve" -> (4, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
