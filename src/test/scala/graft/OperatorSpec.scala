@@ -1523,6 +1523,38 @@ class OperatorSpec extends SparkSpec {
       "all thresholds equal — fixture does not exercise the curve")
   }
 
+  test("d105 band-budget curve: monotone in the budget, b=4 row ≡ d34 exactly") {
+    val rows = SparkEntry.queries("d105_lsh_band_curve")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // one exact baseline prices the whole sweep — n_exact is
+    // budget-independent by construction
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "n_exact varies across band budgets")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"hits exceed candidates: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"hits exceed the exact truth: $r")
+      assert(r.getDouble(4) ==
+        r.getLong(3).toDouble / math.max(r.getLong(1), 1L), s"recall law: $r")
+    }
+    // widening the budget can only ADD candidates and hits (a pair's
+    // fate is its first shared band; first_band < b is monotone in b)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(2) <= hi.getLong(2) && lo.getLong(3) <= hi.getLong(3),
+        s"curve not monotone: $lo -> $hi")
+    }
+    // the full budget IS d04's banding, so the b=4 row must reproduce
+    // d34's measured numbers exactly — same exact truth, same candidate
+    // set, same hits, same recall
+    val d34 = SparkEntry.queries("d34_lsh_recall")(spark, sf).collect().head
+    val b4 = rows.last
+    assert(b4.getLong(1) == d34.getLong(0) && b4.getLong(2) == d34.getLong(1)
+      && b4.getLong(3) == d34.getLong(2) && b4.getDouble(4) == d34.getDouble(3),
+      s"b=4 drifted from d34: $b4 vs $d34")
+    // the sweep must actually discriminate at this SF
+    assert(rows.head.getLong(2) < rows.last.getLong(2),
+      "all budgets yield the same candidates — fixture does not exercise the curve")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()
