@@ -328,6 +328,50 @@ object Backup {
         .orderBy("node_id")
     },
 
+    // Retry-budget plan — the operational twin of b21's bandwidth
+    // plan, pricing esop's retry machinery (impl/retry/Retrier.java:
+    // 87-121 — LinearSleeper sleeps a fixed interval per attempt,
+    // ExponentialSleeper doubles it; impl/retry/RetrySpec.java:18-33 —
+    // defaults interval=10s, maxAttempts=3): per (node, snapshot_day),
+    // how much WALL TIME does upload flakiness add to the day's backup
+    // in the worst case? Each hash-mismatched upload (b08's failure
+    // set) is one retry loop of up to maxAttempts attempts: sleep
+    // budget 10·3=30s linear / 10·(2³−1)=70s exponential, plus the
+    // retransfer seconds for re-uploading the failed bytes maxAttempts
+    // times at b21's 25-units/s rate — all against the day's NOMINAL
+    // transfer time, so overhead is comparable across days. ONE
+    // manifest pass (conditional aggs carry the failed minority —
+    // no second scan, no join; pin events=1); bounded (node × day)
+    // output; exact integer/decimal arithmetic throughout.
+    "b46_retry_budget" -> { (s, dir) =>
+      val interval = 10L; val maxAttempts = 3L
+      manifest(s, dir)
+        .groupBy("node_id", "snapshot_day")
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("upload_hash") =!= col("download_hash"), 1))
+            .as("n_failed"),
+          sum(col("size")).as("sz"),
+          coalesce(sum(when(col("upload_hash") =!= col("download_hash"),
+            col("size"))), lit(0).cast("decimal(18,2)")).as("fsz"))
+        .withColumn("nominal_sec", ceil(asDouble(col("sz")) / 25.0).cast("long"))
+        .withColumn("sleep_linear_sec",
+          col("n_failed") * lit(interval * maxAttempts))
+        .withColumn("sleep_exp_sec",
+          col("n_failed") * lit(interval * ((1L << maxAttempts.toInt) - 1)))
+        .withColumn("retransfer_sec",
+          ceil(asDouble(col("fsz")) * maxAttempts / 25.0).cast("long"))
+        .withColumn("worst_total_sec",
+          col("nominal_sec") + col("sleep_exp_sec") + col("retransfer_sec"))
+        .withColumn("overhead_pct",
+          (col("sleep_exp_sec") + col("retransfer_sec")).cast("double") * 100.0
+            / col("nominal_sec").cast("double"))
+        .select(col("node_id"), col("snapshot_day"), col("n_files"),
+          col("n_failed"), asDouble(col("fsz")).as("failed_bytes"),
+          col("nominal_sec"), col("sleep_linear_sec"), col("sleep_exp_sec"),
+          col("retransfer_sec"), col("worst_total_sec"), col("overhead_pct"))
+        .orderBy("node_id", "snapshot_day")
+    },
+
     // esop `RemoveBackupOperation` olderThan (RemoveBackupOperation.java:184-186).
     "b06_retention" -> { (s, dir) =>
       manifest(s, dir)
@@ -1418,6 +1462,27 @@ object Backup {
         |    AS overdue_days,
         |  greatest(date_diff('day', last_day + 1, fleet_latest + 1), 0) > 0 AS overdue
         |FROM pn, hd ORDER BY node_id""".stripMargin),
+
+    "b46_retry_budget" -> (cte +
+      """, agg AS (
+        |  SELECT node_id, snapshot_day, count(1) AS n_files,
+        |    count(CASE WHEN upload_hash <> download_hash THEN 1 END) AS n_failed,
+        |    sum(size) AS sz,
+        |    coalesce(sum(CASE WHEN upload_hash <> download_hash THEN size END),
+        |             CAST(0 AS DECIMAL(18,2))) AS fsz
+        |  FROM manifest GROUP BY 1, 2)
+        |SELECT node_id, snapshot_day, n_files, n_failed,
+        |  CAST(fsz AS DOUBLE) AS failed_bytes,
+        |  CAST(ceil(CAST(sz AS DOUBLE) / 25.0) AS BIGINT) AS nominal_sec,
+        |  n_failed * 30 AS sleep_linear_sec,
+        |  n_failed * 70 AS sleep_exp_sec,
+        |  CAST(ceil(CAST(fsz AS DOUBLE) * 3 / 25.0) AS BIGINT) AS retransfer_sec,
+        |  CAST(ceil(CAST(sz AS DOUBLE) / 25.0) AS BIGINT) + n_failed * 70
+        |    + CAST(ceil(CAST(fsz AS DOUBLE) * 3 / 25.0) AS BIGINT) AS worst_total_sec,
+        |  CAST(n_failed * 70 + CAST(ceil(CAST(fsz AS DOUBLE) * 3 / 25.0) AS BIGINT)
+        |       AS DOUBLE) * 100.0
+        |    / CAST(ceil(CAST(sz AS DOUBLE) / 25.0) AS DOUBLE) AS overhead_pct
+        |FROM agg ORDER BY node_id, snapshot_day""".stripMargin),
 
     "b44_fleet_liveness" -> (cte +
       s""", st AS (

@@ -1523,6 +1523,35 @@ class OperatorSpec extends SparkSpec {
       "all thresholds equal — fixture does not exercise the curve")
   }
 
+  test("b46 retry budget: backoff laws exact, failure counts tie to b08, composition holds") {
+    val rows = SparkEntry.queries("b46_retry_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // b08 is the failure set b46 prices — per-(node, day) counts must agree
+    val b08 = SparkEntry.queries("b08_hash_verify")(spark, sf).collect()
+      .groupBy(r => (r.getLong(2), r.getDate(0))).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val (node, day) = (r.getLong(0), r.getDate(1))
+      val nFailed = r.getLong(3)
+      assert(nFailed == b08.getOrElse((node, day), 0).toLong,
+        s"n_failed drifted from b08 for ($node, $day)")
+      assert(nFailed <= r.getLong(2), s"more failures than files: $r")
+      // RetrySpec defaults (interval=10, maxAttempts=3): linear sleeps
+      // 10·3 per failed upload, exponential 10·(2³−1)
+      assert(r.getLong(6) == 30 * nFailed && r.getLong(7) == 70 * nFailed,
+        s"backoff law drift: $r")
+      assert(r.getLong(9) == r.getLong(5) + r.getLong(7) + r.getLong(8),
+        s"worst_total composition: $r")
+      // failed bytes ⊆ day bytes ⇒ retransfer ≤ 3× nominal
+      assert(r.getLong(8) <= 3 * r.getLong(5), s"retransfer exceeds 3x nominal: $r")
+      if (nFailed == 0)
+        assert(r.getDouble(4) == 0.0 && r.getLong(8) == 0 && r.getLong(9) == r.getLong(5),
+          s"zero-failure day carries a budget: $r")
+    }
+    // the fixture must exercise both verdicts
+    assert(rows.exists(_.getLong(3) > 0), "no failed uploads in the fixture")
+    assert(rows.exists(_.getLong(3) == 0), "every day failed — fixture degenerate")
+  }
+
   test("d105 band-budget curve: monotone in the budget, b=4 row ≡ d34 exactly") {
     val rows = SparkEntry.queries("d105_lsh_band_curve")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))

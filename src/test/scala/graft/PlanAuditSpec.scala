@@ -433,6 +433,9 @@ class PlanAuditSpec extends SparkSpec {
       // b44: one 2-column snapshots distinct; every liveness count is
       // a window over the bounded (day × node) aggregate
       "b44_fleet_liveness" -> Map("events" -> 1),
+      // b46: ONE manifest pass — the failed minority rides conditional
+      // aggs inside the same (node, day) groupBy, never a second scan
+      "b46_retry_budget" -> Map("events" -> 1),
       // b45: per-node cadence agg + the single-row fleet-head fold
       // (the head derives from the same snapshots distinct — 2nd pass)
       "b45_backup_cadence" -> Map("events" -> 2),
