@@ -403,6 +403,71 @@ object Similarity {
         col("w.mid").as("medoid_id"), col("w.d2").as("d2"))
   }
 
+  /** s41 — the SHARDED form of the s38 community gate, the written
+    * 100 TB path made code: [[communityGate]]'s single-row medoid fold
+    * grows with the community count (millions of communities would not
+    * broadcast), so this variant shards the SAME medoid artifact by
+    * each medoid's index cell (the cell the postings already assigned
+    * it — one row per medoid-bearing cell) and routes arrivals through
+    * the scatter: each arrival fans out to every medoid shard, the
+    * per-(arrival, shard) fold scores only that shard's residents, and
+    * a keyed gather reduces the partial argmins to the global one.
+    * EXACT by construction — every medoid lives in exactly one shard
+    * and every arrival visits every shard, so the gather's min over
+    * partials is the broadcast fold's argmin (same (d2, cid, mid)
+    * tie-break; AnnIndexSpec pins row-for-row equality and the shared
+    * oracle hash-gates it) — which is what lets it stand BEHIND THE
+    * SAME ORACLE as s38 (the d15 ↔ d50 precedent: a scale variant must
+    * recompute the same answer, not an approximation of it). What
+    * changes is the memory shape, not the math: per-executor state is
+    * ONE shard's medoids (bounded by the densest cell, not the
+    * community count — PlanSpec pins that no empty-grouping fold sits
+    * over the medoids artifact), the fan-out is the bounded
+    * medoid-bearing-cell list (≤ ⌈√n⌉ cells — the same single-row
+    * centroid-scale broadcast every d50-family probe already rides),
+    * and total comparisons stay exactly |arrivals| × |medoids|. */
+  private[graft] def communityGateRouted(s: SparkSession, dir: String)(
+      vecs: DataFrame): DataFrame = {
+    val meds = denull(
+      graft.sources.IO.readParquet(s, annIndexMedoids(s, dir)), "qm")
+    val post = graft.sources.IO.readParquet(s, annIndexPostings(s, dir))
+      .select(col("vec_id").as("medoid_id"), col("cell"))
+    // medoids sharded by their index cell: one row per medoid-bearing
+    // cell, each holding only its RESIDENT medoids (no broadcast hint —
+    // the medoid⨝posting equi-join is stats-driven; the artifact build
+    // already paid the postings scan)
+    val shards = meds.join(post, Seq("medoid_id"))
+      .groupBy("cell")
+      .agg(expr("array_sort(collect_list(struct(cluster_id, medoid_id, qm)))")
+        .as("meds"))
+    // the scatter: every arrival visits every medoid-bearing cell (the
+    // shard LIST is the only single-row fold — cell-count-sized, the
+    // d50 centroid-scatter shape — the medoid PAYLOAD stays sharded)
+    val cellList = shards.select("cell")
+      .agg(expr("array_sort(collect_list(cell))").as("cells"))
+    val fan = vecs.crossJoin(broadcast(cellList))
+      .select(col("vec_id"), col("q"), explode(col("cells")).as("cell"))
+    // per-(arrival, shard) partial argmin over the shard's residents —
+    // the equi-join on cell co-partitions arrivals with their shards
+    val partial = fan.join(shards, Seq("cell"))
+      .withColumn("w", expr(
+        s"""aggregate(
+           |  transform(meds, m -> named_struct(
+           |    'd2', graft_sqdist_long(q, m.qm),
+           |    'cid', m.cluster_id, 'mid', m.medoid_id)),
+           |  named_struct('d2', CAST(${Long.MaxValue} AS LONG),
+           |               'cid', CAST(-1 AS LONG), 'mid', CAST(-1 AS LONG)),
+           |  (acc, e) -> CASE WHEN e.d2 < acc.d2 THEN e ELSE acc END)""".stripMargin))
+    // the gather: reduce partials to the global argmin — min over
+    // (d2, cid, mid) structs is exactly the broadcast fold's tie-break
+    // (strictly-smaller d2 wins; ties keep the smallest (cid, mid))
+    partial.groupBy("vec_id")
+      .agg(min(col("w")).as("w"))
+      .filter(col("w.cid") =!= lit(-1L))
+      .select(col("vec_id"), col("w.cid").as("cluster_id"),
+        col("w.mid").as("medoid_id"), col("w.d2").as("d2"))
+  }
+
   /** s39 — live COMMUNITY LOAD: per-community arrival count and total
     * routed distance over the s38 gate's output. count/Σd2 are
     * associative, so micro-batches merge exactly in complete mode and

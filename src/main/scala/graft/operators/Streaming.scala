@@ -209,6 +209,20 @@ object Streaming {
         .orderBy("vec_id")
     },
 
+    // The s38 gate's declared 100 TB form — same medoid artifact,
+    // SHARDED by index cell and served scatter/gather instead of
+    // broadcast: per-executor state is one shard's residents (bounded
+    // by the densest cell, not the community count), the single-row
+    // fold that grows with communities is gone (PlanSpec pins it), and
+    // the answer is EXACTLY s38's (same oracle — the d15 ↔ d50
+    // precedent; AnnIndexSpec pins row-for-row equality). This is the
+    // variant a fleet with millions of communities runs; s38 remains
+    // the broadcast fast path while the medoid table fits.
+    "s41_stream_communities_sharded" -> { (s, dir) =>
+      Similarity.communityGateRouted(s, dir)(graft.model.Corpus.qvecs(s, dir))
+        .orderBy("vec_id")
+    },
+
     // Live community LOAD — the serving dashboard over the s38 gate:
     // per-community arrival count + total routed distance, maintained
     // as vectors ARRIVE. count/Σ are associative, so micro-batches
@@ -594,6 +608,11 @@ object Streaming {
     // election rebuilt in SQL (the persisted medoid artifact is exact
     // state over the indexed population), then nearest-medoid argmin
     "s38_stream_communities" -> Similarity.communityGateSql,
+
+    // the sharded scatter/gather gate recomputes s38's answer exactly
+    // (same artifact, same argmin, same tie-break — only the memory
+    // shape changes), so it stands behind the SAME oracle
+    "s41_stream_communities_sharded" -> Similarity.communityGateSql,
 
     // the per-community arrival tally over the same rebuilt route chain
     "s39_stream_community_load" -> Similarity.communityLoadSql,

@@ -154,6 +154,33 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("sharded community gate (s41) recomputes the broadcast gate exactly; shards partition the medoids") {
+    // routed ≡ broadcast, row for row: the scale variant must
+    // RECOMPUTE s38's answer, not approximate it — that is what lets
+    // it stand behind the same oracle (the d15 ↔ d50 contract)
+    val batch41 = rows(SparkEntry.queries("s41_stream_communities_sharded")(spark, sf))
+    val batch38 = rows(SparkEntry.queries("s38_stream_communities")(spark, sf))
+    assert(batch41 == batch38, "sharded gate diverges from the broadcast gate")
+    // the shards PARTITION the artifact: every medoid is resident in
+    // exactly one cell (the medoid⨝postings join neither drops a
+    // medoid nor fans one out — postings are unique per vec_id)
+    val meds = IO.readParquet(spark, Similarity.annIndexMedoids(spark, sf))
+    val post = IO.readParquet(spark, Similarity.annIndexPostings(spark, sf))
+      .withColumnRenamed("vec_id", "medoid_id").select("medoid_id", "cell")
+    val nMeds = meds.count()
+    assert(meds.join(post, Seq("medoid_id")).count() == nMeds,
+      "medoid⨝postings residency join is not 1:1 — shards do not partition the medoids")
+    // streaming form: the gather is a keyed aggregation, so the gate
+    // runs in complete mode — stream ≡ batch exactly (min over structs
+    // is order-invariant, micro-batches merge exactly)
+    val q = VecStream.runToMemory(spark, sf, "graft_s41_test",
+      df => Similarity.communityGateRouted(spark, sf)(Corpus.qvecsOf(df)),
+      mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = rows(spark.table("graft_s41_test").orderBy("vec_id"))
+    assert(streamed == batch38, "streamed sharded gate diverges from the batch gate")
+  }
+
   test("streaming community load (s39) equals the batch tally; state stays community-bounded") {
     val meds = IO.readParquet(spark, Similarity.annIndexMedoids(spark, sf))
     val q = VecStream.runToMemory(spark, sf, "graft_s39_test",

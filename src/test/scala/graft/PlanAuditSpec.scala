@@ -499,6 +499,10 @@ class PlanAuditSpec extends SparkSpec {
       "s38_stream_communities" -> Map("embeddings" -> 1),
       // s39: the s38 route pass into the bounded per-community tally
       "s39_stream_community_load" -> Map("embeddings" -> 1),
+      // s41: the sharded s38 — still ONE embeddings pass (the arriving
+      // feed fanned over the bounded cell list); medoid + posting sides
+      // are artifact read-backs, never corpus scans
+      "s41_stream_communities_sharded" -> Map("embeddings" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
       // s40: the d100 profile verbatim — one corpus pass into the

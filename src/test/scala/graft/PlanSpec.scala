@@ -358,6 +358,39 @@ class PlanSpec extends SparkSpec {
       s"quadratic embeddings pairing in: $offenders")
   }
 
+  test("s41 sharded gate: no single-row fold over the medoid artifact (no-broadcast-growth pin)") {
+    // THE structural claim of the s41 scale variant: s38 collapses the
+    // whole medoid artifact — vectors included — into one broadcast row
+    // (a fold whose payload grows with community count); s41 must NOT.
+    // Its only empty-grouping aggregate is the cell LIST (bounded by
+    // ⌈√n⌉ cells, the d50 centroid-scatter shape — an array<int>, no
+    // vector payload), and the medoid vectors reach arrivals through a
+    // keyed equi-join on cell. The pin: no single-row fold in s41's
+    // plan may carry the medoid vector payload (a nested field named
+    // `qm`) in its output — a future edit that re-collapses the medoid
+    // table re-introduces the broadcast-growth problem and fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types._
+    def carriesQm(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f => f.name == "qm" || carriesQm(f.dataType))
+      case a: ArrayType => carriesQm(a.elementType)
+      case m: MapType => carriesQm(m.keyType) || carriesQm(m.valueType)
+      case _ => false
+    }
+    def singleRowPayloadFolds(name: String): Seq[Aggregate] =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.groupingExpressions.isEmpty
+          && a.output.exists(o => carriesQm(o.dataType)) => a
+      }
+    assert(singleRowPayloadFolds("s41_stream_communities_sharded").isEmpty,
+      "s41 collapses the medoid vector payload into a single-row fold — the broadcast-growth shape it exists to avoid")
+    // the contrast that keeps this pin honest: the broadcast fast path
+    // really does carry that fold (if s38 ever stops, the two variants
+    // have converged and one of them is dead code)
+    assert(singleRowPayloadFolds("s38_stream_communities").nonEmpty,
+      "s38 no longer folds the medoid payload to one row — variants converged?")
+  }
+
   test("q20 pivot with explicit values plans without a distinct-collect pre-job") {
     // a value-less pivot runs an eager distinct job at BUILD time; the
     // explicit-list form must stay fully lazy
