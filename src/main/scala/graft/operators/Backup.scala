@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,94 @@ object Backup {
   private val gossipStateDuck: String =
     s"CASE ($gossipNumDuck) WHEN 0 THEN 'JOINING' WHEN 1 THEN 'LEAVING' " +
       "WHEN 2 THEN 'MOVING' WHEN 3 THEN 'DOWN' ELSE 'NORMAL' END"
+
+  /** b34's plan body, parameterized on the liveness signal so the
+    * "every node non-NORMAL" fleet shape is testable (the fixture's
+    * md5 die never rolls an all-down day): `nodeUp` defaults to the
+    * gossip state the ledger derives (b44's per-node view). Kept
+    * `private[graft]` for OperatorSpec's forced-liveness edge case. */
+  private[graft] def restorePlan(s: SparkSession, dir: String): DataFrame =
+    restorePlan(s, dir, expr(gossipStateSpark) === "NORMAL")
+
+  private[graft] def restorePlan(s: SparkSession, dir: String,
+      nodeUp: Column): DataFrame = {
+    val cut = lit("2024-01-12").cast("date")
+    val m = manifest(s, dir)
+    val resolved = m.filter(col("snapshot_day") <= cut)
+      .groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
+    val slice = m.join(broadcast(resolved), Seq("node_id", "snapshot_day"))
+    // b33's dealing over the resolved slice → per-node makespan
+    val wRank = Window.partitionBy("node_id")
+      .orderBy(col("size").desc, col("object_key"))
+    // the hash gate RIDES the dealing pass (mismatches counted per
+    // worker group, summed in the rollup) — a separate gate agg
+    // would be a second full slice evaluation (measured: 5 events
+    // scans instead of 3)
+    val sched = slice
+      .withColumn("worker", ((row_number().over(wRank) - 1) % 4).cast("int"))
+      .groupBy("node_id", "snapshot_day", "worker")
+      .agg(count(lit(1)).as("nf"), sum(col("size")).as("b"),
+        count(when(col("upload_hash") =!= col("download_hash"), 1)).as("nm"))
+      .withColumn("w_sec", ceil(asDouble(col("b")) / 25.0).cast("long"))
+      .groupBy("node_id", "snapshot_day")
+      .agg(sum(col("nf")).as("n_files"),
+        asDouble(sum(col("b"))).as("bytes"),
+        max(col("w_sec")).as("makespan_sec"),
+        sum(col("nm")).as("n_hash_mismatch"))
+    // token + schema gates from ONE bounded snapshots pass
+    val snap = snapshots(s, dir)
+      .withColumn("toks", expr(tokenArraySpark))
+      .withColumn("bh", expr(sortedListHash("toks")))
+      .withColumn("th", expr(sortedListHash(targetTokensSpark)))
+      .withColumn("sv", expr(schemaVerSpark))
+    // schema gate, PER-NODE actionable form: where b20 reports the
+    // strict cluster-wide agreement (which the laggard fixture
+    // fails on every day — a plan that never schedules anything),
+    // the restore plan proceeds on nodes matching the day's
+    // MAJORITY version and excludes the laggards — esop's in-place
+    // restore is per-node; schema stragglers are skipped, not
+    // fleet-blocking. Majority + version count both ride day
+    // windows over the SAME bounded pass (a separate countDistinct
+    // agg + join-back would evaluate the snapshots derivation
+    // twice — measured: 4 events scans, not 3). Majority tie-break:
+    // max(struct(count, sv)) ≡ ORDER BY count DESC, sv DESC.
+    val wDay = Window.partitionBy("snapshot_day")
+    val wDaySv = Window.partitionBy("snapshot_day", "sv")
+    // liveness gate (ClusterState/FailureDetector, the b44 state)
+    // follows the schema-laggard convention: a non-NORMAL node
+    // excludes exactly ITSELF from the plan — esop's in-place
+    // restore is per-node, so a down node is skipped, not
+    // fleet-blocking. Rides the same bounded snapshots pass as the
+    // token/schema gates (no extra scan). The reference's STRICTER
+    // fleet-wide all-clear (ClusterState.java:21-26 — any non-NORMAL
+    // node anywhere aborts the whole operation) is carried alongside
+    // as the INFORMATIONAL fleet_ready column (b44's conjunction over
+    // the resolved day): the plan tells the operator both "which nodes
+    // can proceed" and "would esop have operated at all today" —
+    // the deviation is visible in every row, not a silent relaxation.
+    val gates = snap.select(col("node_id"), col("snapshot_day"),
+        (col("bh") === col("th")).as("tokens_match"), col("sv"),
+        nodeUp.as("node_up"))
+      .withColumn("sv_cnt", count(lit(1)).over(wDaySv))
+      .withColumn("n_versions",
+        size(collect_set(col("sv")).over(wDay)).cast("long"))
+      .withColumn("maj_sv",
+        max(struct(col("sv_cnt"), col("sv"))).over(wDay).getField("sv"))
+      .withColumn("schema_ok", col("sv") === col("maj_sv"))
+      .withColumn("fleet_ready",
+        count(when(!col("node_up"), 1)).over(wDay) === 0)
+    sched
+      .join(gates, Seq("node_id", "snapshot_day"))
+      .withColumn("ready",
+        col("n_hash_mismatch") === 0 && col("tokens_match")
+          && col("schema_ok") && col("node_up"))
+      .select(col("node_id"), col("snapshot_day"), col("n_files"),
+        col("bytes"), col("n_hash_mismatch"), col("tokens_match"),
+        col("n_versions"), col("schema_ok"), col("node_up"),
+        col("fleet_ready"), col("ready"),
+        when(col("ready"), col("makespan_sec")).as("makespan_sec"))
+      .orderBy("node_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -642,75 +730,7 @@ object Backup {
     // derivation feeds resolution, slice and dealing; tokens+schema
     // come from ONE bounded snapshots pass; every join after the
     // slice is against node- or day-sized aggregates (broadcast).
-    "b34_restore_plan" -> { (s, dir) =>
-      val cut = lit("2024-01-12").cast("date")
-      val m = manifest(s, dir)
-      val resolved = m.filter(col("snapshot_day") <= cut)
-        .groupBy("node_id").agg(max("snapshot_day").as("snapshot_day"))
-      val slice = m.join(broadcast(resolved), Seq("node_id", "snapshot_day"))
-      // b33's dealing over the resolved slice → per-node makespan
-      val wRank = Window.partitionBy("node_id")
-        .orderBy(col("size").desc, col("object_key"))
-      // the hash gate RIDES the dealing pass (mismatches counted per
-      // worker group, summed in the rollup) — a separate gate agg
-      // would be a second full slice evaluation (measured: 5 events
-      // scans instead of 3)
-      val sched = slice
-        .withColumn("worker", ((row_number().over(wRank) - 1) % 4).cast("int"))
-        .groupBy("node_id", "snapshot_day", "worker")
-        .agg(count(lit(1)).as("nf"), sum(col("size")).as("b"),
-          count(when(col("upload_hash") =!= col("download_hash"), 1)).as("nm"))
-        .withColumn("w_sec", ceil(asDouble(col("b")) / 25.0).cast("long"))
-        .groupBy("node_id", "snapshot_day")
-        .agg(sum(col("nf")).as("n_files"),
-          asDouble(sum(col("b"))).as("bytes"),
-          max(col("w_sec")).as("makespan_sec"),
-          sum(col("nm")).as("n_hash_mismatch"))
-      // token + schema gates from ONE bounded snapshots pass
-      val snap = snapshots(s, dir)
-        .withColumn("toks", expr(tokenArraySpark))
-        .withColumn("bh", expr(sortedListHash("toks")))
-        .withColumn("th", expr(sortedListHash(targetTokensSpark)))
-        .withColumn("sv", expr(schemaVerSpark))
-      // schema gate, PER-NODE actionable form: where b20 reports the
-      // strict cluster-wide agreement (which the laggard fixture
-      // fails on every day — a plan that never schedules anything),
-      // the restore plan proceeds on nodes matching the day's
-      // MAJORITY version and excludes the laggards — esop's in-place
-      // restore is per-node; schema stragglers are skipped, not
-      // fleet-blocking. Majority + version count both ride day
-      // windows over the SAME bounded pass (a separate countDistinct
-      // agg + join-back would evaluate the snapshots derivation
-      // twice — measured: 4 events scans, not 3). Majority tie-break:
-      // max(struct(count, sv)) ≡ ORDER BY count DESC, sv DESC.
-      val wDay = Window.partitionBy("snapshot_day")
-      val wDaySv = Window.partitionBy("snapshot_day", "sv")
-      // liveness gate (ClusterState/FailureDetector, the b44 state)
-      // follows the schema-laggard convention: a non-NORMAL node
-      // excludes exactly ITSELF from the plan — esop's in-place
-      // restore is per-node, so a down node is skipped, not
-      // fleet-blocking. Rides the same bounded snapshots pass as the
-      // token/schema gates (no extra scan).
-      val gates = snap.select(col("node_id"), col("snapshot_day"),
-          (col("bh") === col("th")).as("tokens_match"), col("sv"),
-          (expr(gossipStateSpark) === "NORMAL").as("node_up"))
-        .withColumn("sv_cnt", count(lit(1)).over(wDaySv))
-        .withColumn("n_versions",
-          size(collect_set(col("sv")).over(wDay)).cast("long"))
-        .withColumn("maj_sv",
-          max(struct(col("sv_cnt"), col("sv"))).over(wDay).getField("sv"))
-        .withColumn("schema_ok", col("sv") === col("maj_sv"))
-      sched
-        .join(gates, Seq("node_id", "snapshot_day"))
-        .withColumn("ready",
-          col("n_hash_mismatch") === 0 && col("tokens_match")
-            && col("schema_ok") && col("node_up"))
-        .select(col("node_id"), col("snapshot_day"), col("n_files"),
-          col("bytes"), col("n_hash_mismatch"), col("tokens_match"),
-          col("n_versions"), col("schema_ok"), col("node_up"), col("ready"),
-          when(col("ready"), col("makespan_sec")).as("makespan_sec"))
-        .orderBy("node_id")
-    },
+    "b34_restore_plan" -> { (s, dir) => restorePlan(s, dir) },
 
     // Parallel-stream restore scheduling — esop restores with a
     // per-node download executor pool; this plans WHICH of the W=4
@@ -1665,10 +1685,14 @@ object Backup {
          |      ROW_NUMBER() OVER (PARTITION BY snapshot_day
          |        ORDER BY count(1) DESC, sv DESC) AS rn
          |    FROM tg GROUP BY snapshot_day, sv) x
-         |  WHERE rn = 1)
+         |  WHERE rn = 1),
+         |fg AS (
+         |  SELECT snapshot_day,
+         |    count(CASE WHEN NOT node_up THEN 1 END) = 0 AS fleet_ready
+         |  FROM tg GROUP BY 1)
          |SELECT h.node_id, h.snapshot_day, h.n_files, h.bytes,
          |  h.n_hash_mismatch, t.tokens_match, v.n_versions,
-         |  t.sv = m.maj_sv AS schema_ok, t.node_up,
+         |  t.sv = m.maj_sv AS schema_ok, t.node_up, f.fleet_ready,
          |  (h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv
          |   AND t.node_up) AS ready,
          |  CASE WHEN h.n_hash_mismatch = 0 AND t.tokens_match AND t.sv = m.maj_sv
@@ -1678,6 +1702,7 @@ object Backup {
          |JOIN tg t ON h.node_id = t.node_id AND h.snapshot_day = t.snapshot_day
          |JOIN vg v ON h.snapshot_day = v.snapshot_day
          |JOIN mj m ON h.snapshot_day = m.snapshot_day
+         |JOIN fg f ON h.snapshot_day = f.snapshot_day
          |ORDER BY h.node_id""".stripMargin),
 
     "b33_restore_workers" -> (cte +

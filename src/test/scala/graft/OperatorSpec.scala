@@ -385,18 +385,22 @@ class OperatorSpec extends SparkSpec {
       // stage 2: ready is exactly the four-gate conjunction (hashes,
       // tokens, schema majority, liveness); a schedule only exists for
       // ready nodes
-      val ready = r.getBoolean(9)
+      val ready = r.getBoolean(10)
       assert(ready == (r.getLong(4) == 0 && r.getBoolean(5)
         && r.getBoolean(7) && r.getBoolean(8)))
       if (ready) {
-        assert(!r.isNullAt(10), "ready node missing its schedule")
+        assert(!r.isNullAt(11), "ready node missing its schedule")
         // stage 3: the 4-stream makespan can never beat the perfect
         // split lower bound
-        assert(r.getLong(10) >= math.ceil(r.getDouble(3) / 25.0 / 4).toLong)
-      } else assert(r.isNullAt(10), "not-ready node must not be scheduled")
+        assert(r.getLong(11) >= math.ceil(r.getDouble(3) / 25.0 / 4).toLong)
+      } else assert(r.isNullAt(11), "not-ready node must not be scheduled")
+      // the informational fleet gate: a down node anywhere on the
+      // resolved day flips fleet_ready for EVERY node on that day
+      if (!r.getBoolean(8)) assert(!r.getBoolean(9),
+        "fleet_ready true on a day with this very node down")
     }
     // the fixture must exercise both outcomes
-    assert(plan.exists(_.getBoolean(9)) && plan.exists(!_.getBoolean(9)))
+    assert(plan.exists(_.getBoolean(10)) && plan.exists(!_.getBoolean(10)))
   }
 
   test("b34 liveness gate composes b44's state: a down node excludes exactly itself") {
@@ -406,20 +410,47 @@ class OperatorSpec extends SparkSpec {
     // non-NORMAL node is skipped (the schema-laggard convention),
     // and NO OTHER node's verdict moves because of it
     val live = SparkEntry.queries("b44_fleet_liveness")(spark, sf)
-      .select(col("snapshot_day"), col("node_id"), col("node_up").as("b44_up"))
+      .select(col("snapshot_day"), col("node_id"), col("node_up").as("b44_up"),
+        col("fleet_ready").as("b44_fleet"))
     val plan = SparkEntry.queries("b34_restore_plan")(spark, sf)
-      .select(col("snapshot_day"), col("node_id"), col("node_up"))
+      .select(col("snapshot_day"), col("node_id"), col("node_up"),
+        col("fleet_ready"))
     val j = plan.join(live, Seq("snapshot_day", "node_id"), "left").collect()
-    assert(j.nonEmpty && j.forall(!_.isNullAt(3)),
+    assert(j.nonEmpty && j.forall(!_.isNullAt(4)),
       "every planned (day, node) must exist in the liveness table")
     j.foreach { r =>
-      assert(r.getBoolean(2) == r.getBoolean(3),
+      assert(r.getBoolean(2) == r.getBoolean(4),
         s"b34 liveness disagrees with b44 at ${r.get(0)}/${r.get(1)}")
+      // the informational column IS b44's fleet-wide all-clear (the
+      // reference ClusterState conjunction), carried verbatim
+      assert(r.getBoolean(3) == r.getBoolean(5),
+        s"b34 fleet_ready disagrees with b44 at ${r.get(0)}/${r.get(1)}")
     }
     // the fixture must exercise the exclusion (some resolved node is
     // down/transitioning) without blocking the whole fleet
     assert(j.exists(!_.getBoolean(2)), "no down node in the resolved slice")
     assert(j.exists(_.getBoolean(2)), "liveness gate blocked the fleet")
+  }
+
+  test("b34 all-nodes-down day: the liveness gate excludes the whole fleet, loudly") {
+    // the b44→b34 composition edge the fixture's md5 die never rolls
+    // (an ALL-non-NORMAL day): forcing the liveness signal down for
+    // every (node, day) must yield the all-excluded shape — esop would
+    // refuse to operate (ClusterState.java:21-26), and the per-node
+    // plan must show that refusal on EVERY row rather than silently
+    // scheduling nobody: fleet_ready=false everywhere, every node
+    // excluded (node_up=false ⇒ ready=false), every makespan null.
+    val forced = graft.operators.Backup.restorePlan(spark, sf, lit(false)).collect()
+    assert(forced.nonEmpty, "forced-down plan lost its rows — exclusion must be visible, not silent")
+    // same coverage as the live plan: exclusion drops no node
+    val normal = SparkEntry.queries("b34_restore_plan")(spark, sf).collect()
+    assert(forced.map(_.getLong(0)).toSet == normal.map(_.getLong(0)).toSet,
+      "forced-down plan covers a different node set")
+    forced.foreach { r =>
+      assert(!r.getBoolean(8) && !r.getBoolean(9) && !r.getBoolean(10),
+        s"node_up/fleet_ready/ready not all false on the all-down day: $r")
+      assert(r.isNullAt(11), s"all-down day scheduled a transfer: $r")
+    }
   }
 
   test("b44 per-day counts recount from the row states; fleet verdict is their conjunction") {
