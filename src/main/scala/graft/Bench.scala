@@ -97,11 +97,33 @@ object Bench {
     // spike survives the min; spreading a query's passes ~minutes apart
     // makes a spike land in the spread instead.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val calib = scala.collection.mutable.ArrayBuffer[Double]()
-    val passMatrix: Seq[Seq[Double]] = (1 to 3).map { _ =>
-      calib += calibrate()
-      named.map { case (name, fn) => timeOnce(name, fn) }
+    def runPass(): (Double, Seq[Double]) =
+      (calibrate(), named.map { case (name, fn) => timeOnce(name, fn) })
+    // Contaminated-pass retry: the calibration probe's work never
+    // changes, so a pass whose probe lands >3× the run's median probe
+    // ran under co-tenant load — its per-query times are inflated
+    // floors that cost a cross-round adjudication every time (r14/r15/
+    // r16 all paid it). Re-run such a pass (up to twice) and REPLACE
+    // it, keeping the replaced probes in "calib_dropped" so the
+    // artifact still shows the load was seen and excluded rather than
+    // never measured. If two retries can't find a quiet window, accept
+    // and say so ("calib_note") — an annotated noisy artifact beats an
+    // unbounded bench.
+    val passes = scala.collection.mutable.ArrayBuffer[(Double, Seq[Double])]()
+    (1 to 3).foreach(_ => passes += runPass())
+    def calibMed = passes.map(_._1).sorted.apply(passes.size / 2)
+    val droppedCalib = scala.collection.mutable.ArrayBuffer[Double]()
+    var calibRetries = 0
+    while (calibRetries < 2 && passes.map(_._1).max > 3 * calibMed) {
+      val worst = passes.indexOf(passes.maxBy(_._1))
+      droppedCalib += passes(worst)._1
+      passes.remove(worst)
+      calibRetries += 1
+      passes += runPass()
     }
+    val stillUneven = passes.map(_._1).max > 3 * calibMed
+    val calib = passes.map(_._1)
+    val passMatrix: Seq[Seq[Double]] = passes.toSeq.map(_._2)
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val passes = passMatrix.map(_(i))
       if (passes.exists(_ < 0)) name -> (-1.0, -1.0)
@@ -184,13 +206,21 @@ object Bench {
     val bySpread = shortIds.zip(results.map(_._2._2))
       .filter(_._2 >= 0).sortBy(-_._2)
     val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // retry bookkeeping: only present when a contaminated pass was
+    // actually replaced (keeps the steady-state line minimal)
+    val calibExtra =
+      (if (calibRetries > 0)
+        s""","calib_dropped":${droppedCalib.map(v => f"$v%.3f").mkString("[", ",", "]")}"""
+      else "") +
+      (if (stillUneven)
+        s""","calib_note":"passes uneven after $calibRetries retries"""" else "")
     val sfShort = new java.io.File(sfDir).getName
     def render(k: Int): String = {
       val hi = bySpread.take(k)
         .map { case (n, v) => "\"" + n + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val floor = if (k < bySpread.size) bySpread(k)._2 else 0.0
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","qspec":$qspec,"qv36":$qv36,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson,"sf":"$sfShort"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","qspec":$qspec,"qv36":$qv36,"spread_med":$spreadMed%.3f,"spread_hi":$hi,"spread_floor":$floor%.2f,"calib":$calibJson$calibExtra,"sf":"$sfShort"}"""
     }
     // Largest spread set that still fits the ~2000-char tail capture;
     // worst case k=0 keeps the floor (= the max spread) as the bound.

@@ -152,9 +152,13 @@ def main():
             # symmetric to the faster branch: a clamped OLD time means
             # the true old value is >= the clamp, so the computed ratio
             # only UPPER-bounds the regression — annotate rather than
-            # report it as an exact slowdown
-            slower.append((k, qo[k], qn[k], r,
-                           " (old value clamped: ratio is an upper bound)", ""))
+            # report it as an exact slowdown. Dispersion still gets
+            # first say (same as the unclamped r > thr path below): a
+            # move the new run's own spread covers is noise whether or
+            # not the old value was clamped.
+            covered, (tag, note) = dispersion_note(new, k, r - 1, "new")
+            tag += " (old value clamped: ratio is an upper bound)"
+            (noisy if covered else slower).append((k, qo[k], qn[k], r, tag, note))
             continue
         if r > thr:
             covered, (tag, note) = dispersion_note(new, k, r - 1, "new")
