@@ -63,7 +63,15 @@ object BackupLedger {
       .otherwise("FILE")
 
   def ledger(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    ledgerOf(Tables.events(s, dir))
+
+  /** The same ledger projection over ANY frame with the events schema —
+    * stateless per-row, so the STREAMING monitors (s42's live retry
+    * budget) apply the one definition to the arriving feed and a
+    * mapping change can never silently diverge batch ledger from live
+    * monitor (the [[ftypeCol]] convention extended to the whole row). */
+  def ledgerOf(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
       col("user_id").as("node_id"),
       date_trunc("day", col("ts")).cast("date").as("snapshot_day"),

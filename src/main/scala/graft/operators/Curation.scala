@@ -583,6 +583,43 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Dup-cluster SIZE histogram — the release-report rollup of d24
+    // ("how big do duplicate families get, and how much corpus mass
+    // sits in them"): per cluster size, the cluster count, doc count
+    // and corpus fraction, INCLUDING the size-1 row (docs in no LSH
+    // pair) so the histogram partitions the whole corpus — the number
+    // a dedup pass quotes ("k% of docs live in dup families of ≥2")
+    // and the skew check for d67's keep-best (one giant family =
+    // boilerplate, not mirroring). The singleton row derives from the
+    // HISTOGRAM itself (corpus count − Σ size·n_clusters over the
+    // bounded size domain), never from a second labels pass; the
+    // corpus count is one column-pruned scan folded in as a broadcast
+    // singleton. Same CC loop as d24 (star contraction, pinned
+    // rounds), so the scan pin rides countsDuring like d24's.
+    "d106_cluster_size_hist" -> { (s, dir) =>
+      val labels =
+        connectedComponents(s, Dedup.lshPairs(s, dir).select("a_id", "b_id"))
+      val hist = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+      val corpus = graft.sources.Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_corpus"))
+      val clustered = hist
+        .agg(coalesce(sum(col("cluster_size") * col("n_clusters")), lit(0L))
+          .as("n_in_clusters"))
+      val singleton = corpus.crossJoin(broadcast(clustered))
+        .select(lit(1L).as("cluster_size"),
+          (col("n_corpus") - col("n_in_clusters")).as("n_clusters"))
+      hist.unionByName(singleton)
+        .crossJoin(broadcast(corpus))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") * col("n_clusters")).cast("double")
+            / col("n_corpus").cast("double")).as("doc_frac"))
+        .orderBy("cluster_size")
+    },
+
     // PII scrub: count each pattern class, then redact in one
     // email → IP → phone cascade (emails first — they are the only
     // class containing other classes' alphabets). Output carries the
@@ -1087,6 +1124,33 @@ object Curation {
         |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1)
         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
         |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin),
+
+    "d106_cluster_size_hist" -> (Dedup.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(1) AS cluster_size FROM lbl GROUP BY 1),
+        |hist AS (SELECT cluster_size, count(1) AS n_clusters FROM sz GROUP BY 1),
+        |tot AS (SELECT count(1) AS n_corpus FROM documents),
+        |clustered AS (
+        |  SELECT CAST(coalesce(sum(cluster_size * n_clusters), 0) AS BIGINT) AS n_in
+        |  FROM hist),
+        |allrows AS (
+        |  SELECT cluster_size, n_clusters FROM hist
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT),
+        |         (SELECT n_corpus FROM tot) - (SELECT n_in FROM clustered))
+        |SELECT cluster_size, n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        |  CAST(cluster_size * n_clusters AS DOUBLE)
+        |    / CAST((SELECT n_corpus FROM tot) AS DOUBLE) AS doc_frac
+        |FROM allrows ORDER BY cluster_size""".stripMargin),
 
     "d25_pii_scrub" -> {
       s"""WITH raws AS (

@@ -354,6 +354,19 @@ object Streaming {
         .orderBy("node_id", "snapshot_day")
     },
 
+    // Live retry-budget monitor — b46's backoff pricing as uploads
+    // LAND (day windows per node, the ONE ledger projection shared
+    // with the batch side, bounded (node × day) state). Verdict over
+    // raw arrivals: a superseded failed upload still burned its retry
+    // wall-clock, so the live budget can exceed b46's manifest-deduped
+    // worst case — spec pins that containment against b46 per
+    // (node, day). Batch twin of the exact transform the streaming
+    // job runs.
+    "s42_stream_retry" -> { (s, dir) =>
+      EventStream.retryMonitor(Tables.events(s, dir))
+        .orderBy("snapshot_day", "node_id")
+    },
+
     // Streaming per-source KMV sketch — d26's grouped distinct
     // estimator with the x06 TypedImperativeAggregate AS the streaming
     // state (≤k longs per source forever; micro-batches merge through
@@ -673,6 +686,21 @@ object Streaming {
         |  count(CASE WHEN ftype = 'MANIFEST_FILE' THEN 1 END) > 0
         |    AND count(CASE WHEN ftype = 'CQL_SCHEMA' THEN 1 END) > 0 AS complete
         |FROM ledger GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "s42_stream_retry" -> (graft.model.BackupLedger.oracleCte +
+      """, agg AS (
+        |  SELECT snapshot_day, node_id, count(1) AS n_uploads,
+        |    count(CASE WHEN upload_hash <> download_hash THEN 1 END) AS n_failed,
+        |    coalesce(sum(CASE WHEN upload_hash <> download_hash THEN size END),
+        |             CAST(0 AS DECIMAL(18,2))) AS fsz
+        |  FROM ledger GROUP BY 1, 2)
+        |SELECT snapshot_day, node_id, n_uploads, n_failed,
+        |  CAST(fsz AS DOUBLE) AS failed_bytes,
+        |  n_failed * 70 AS sleep_exp_sec,
+        |  CAST(ceil(CAST(fsz AS DOUBLE) * 3 / 25.0) AS BIGINT) AS retransfer_sec,
+        |  n_failed * 70
+        |    + CAST(ceil(CAST(fsz AS DOUBLE) * 3 / 25.0) AS BIGINT) AS added_sec
+        |FROM agg ORDER BY snapshot_day, node_id""".stripMargin),
 
     "s28_stream_reputation" -> (graft.model.Corpus.docsCte + ", " +
       TextAnalysis.rawsCteSql + ",\n" + TextAnalysis.domainRepCteSql +

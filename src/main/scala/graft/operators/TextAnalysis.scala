@@ -577,6 +577,57 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // LEXICAL-DIVERSITY panel — the vocabulary-concentration quality
+    // signals (type-token ratio, hapax fraction, Simpson repeat
+    // probability) that separate written prose from keyword-stuffed /
+    // template junk, per doc: TTR = |types|/|tokens|, hapax_frac =
+    // once-words/|types|, simpson = Σc²/n² (the probability two
+    // sampled tokens are the SAME word — the full-distribution dual
+    // of d29's top-bigram fraction). ZERO shuffles: the per-doc word
+    // histogram never materializes — each row sorts its own word
+    // array and folds one O(n) run-length scan (aggregate HOF) that
+    // carries (types, hapax, Σc²) directly, so at 100 TB the whole
+    // panel is a map-only pass inside codegen (d29 pays a doc×word
+    // shuffle for the same histogram; this is the row-local form).
+    // All ratios are rational arithmetic over exact integers — IEEE-
+    // identical cross-engine (§4: no transcendental in a compared
+    // column; Simpson replaces entropy for exactly this reason). The
+    // oracle recomputes the panel through the RELATIONAL histogram
+    // (explode → GROUP BY), so the hash compare also proves the
+    // sorted-run fold ≡ the group-by histogram. Pin documents=1.
+    "d107_lexical_diversity" -> { (s, dir) =>
+      val runFold =
+        """aggregate(
+          |  array_sort(ws),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+          |               'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT),
+          |               'sumsq', CAST(0 AS BIGINT)),
+          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
+          |    named_struct('prev', w, 'run', acc.run + CAST(1 AS BIGINT),
+          |                 'types', acc.types, 'hapax', acc.hapax, 'sumsq', acc.sumsq),
+          |    named_struct('prev', w, 'run', CAST(1 AS BIGINT),
+          |                 'types', acc.types + CAST(1 AS BIGINT),
+          |                 'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          |                 'sumsq', acc.sumsq + acc.run * acc.run)),
+          |  acc -> named_struct(
+          |    'types', acc.types,
+          |    'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          |    'sumsq', acc.sumsq + acc.run * acc.run))""".stripMargin
+      Corpus.docs(s, dir)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          expr(runFold).as("d"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("d.types").as("n_types"), col("d.hapax").as("n_hapax"),
+          (col("d.types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          (col("d.hapax").cast("double") / col("d.types").cast("double"))
+            .as("hapax_frac"),
+          (col("d.sumsq").cast("double") / col("n_tokens").cast("double")
+            / col("n_tokens").cast("double")).as("simpson"))
+        .withColumn("low_diversity", col("ttr") < 0.35)
+        .orderBy("doc_id")
+    },
+
     // Corpus length statistics — the quality-dashboard numbers every
     // ingestion pipeline tracks per stratum. Spark's EXACT percentile
     // aggregate buffers a value→count map per group: for a bounded
@@ -1255,6 +1306,26 @@ object TextAnalysis {
         |  CAST(r.c AS DOUBLE) / n.n_bigrams >= 0.2 AS repetitive
         |FROM ranked r JOIN nb n USING (doc_id)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    "d107_lexical_diversity" -> (Corpus.docsCte +
+      """, words AS (
+        |  SELECT doc_id, ws[i] AS w
+        |  FROM docs, UNNEST(range(1, len(ws) + 1)) t(i)),
+        |wc AS (SELECT doc_id, w, count(1) AS c FROM words GROUP BY 1, 2),
+        |div AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(1) AS n_types,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM wc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac,
+        |  CAST(sumsq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS simpson,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.35
+        |    AS low_diversity
+        |FROM div ORDER BY doc_id""".stripMargin),
 
     "d70_profile" ->
       """WITH a AS (

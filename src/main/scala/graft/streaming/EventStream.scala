@@ -263,6 +263,38 @@ object EventStream {
         ((col("n_units") - col("n_failed") - col("n_ignored")).cast("double")
           / col("n_units")).as("ok_ratio"))
 
+  /** s42 — LIVE retry-budget monitor: b46's backoff pricing
+    * (`impl/retry/Retrier.java:87-121`, `RetrySpec.java:18-33` —
+    * interval=10s, maxAttempts=3) asked as uploads LAND instead of in
+    * a post-hoc manifest sweep: each arriving upload whose download
+    * hash disagrees with its manifest hash is one retry loop of ≤3
+    * attempts — 70s exponential sleep budget plus retransfer seconds
+    * for re-uploading the failed bytes 3× at b21's 25-units/s rate.
+    * The whole row rides [[graft.model.BackupLedger.ledgerOf]] (ONE
+    * projection shared with the batch ledger, the ftypeCol convention)
+    * so the live verdicts can never drift from the batch ledger's;
+    * state is one bounded (node × day) aggregate row per window — the
+    * live monitor prices ARRIVALS (the raw feed), so a day's budget
+    * can exceed b46's manifest-deduped worst case: a superseded failed
+    * upload still burned real wall-clock, which is exactly what a live
+    * dashboard must show. Batch twin is the oracle
+    * (`s42_stream_retry`). */
+  def retryMonitor(events: DataFrame): DataFrame =
+    graft.model.BackupLedger.ledgerOf(events)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("node_id"))
+      .agg(count(lit(1)).as("n_uploads"),
+        count(when(col("upload_hash") =!= col("download_hash"), 1))
+          .as("n_failed"),
+        coalesce(sum(when(col("upload_hash") =!= col("download_hash"),
+          col("size"))), lit(0).cast("decimal(18,2)")).as("fsz"))
+      .select(col("window.start").cast("date").as("snapshot_day"),
+        col("node_id"), col("n_uploads"), col("n_failed"),
+        asDouble(col("fsz")).as("failed_bytes"),
+        (col("n_failed") * lit(70L)).as("sleep_exp_sec"),
+        ceil(asDouble(col("fsz")) * 3 / 25.0).cast("long").as("retransfer_sec"))
+      .withColumn("added_sec", col("sleep_exp_sec") + col("retransfer_sec"))
+
   /** Per-day verification gate — b35's "did this (node, keyspace)
     * fully verify today" question answered AS DAYS CLOSE: every upload
     * event is hash-checked when it lands (the md5 compare is computed,

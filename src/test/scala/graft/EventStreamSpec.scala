@@ -136,6 +136,35 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_.getBoolean(6)) && batch.exists(!_.getBoolean(6)))
   }
 
+  test("streaming retry monitor equals the batch budget and contains b46's") {
+    val q = EventStream.runToMemory(spark, sf, "graft_s42_test",
+      EventStream.retryMonitor, mode = "complete")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s42_test")
+      .orderBy("snapshot_day", "node_id").collect()
+    val batch = SparkEntry.queries("s42_stream_retry")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // backoff law, composition, zero-failure rows clean, both verdicts
+    batch.foreach { r =>
+      assert(r.getLong(5) == 70 * r.getLong(3), s"backoff law drift: $r")
+      assert(r.getLong(7) == r.getLong(5) + r.getLong(6), s"added_sec composition: $r")
+      if (r.getLong(3) == 0)
+        assert(r.getDouble(4) == 0.0 && r.getLong(7) == 0,
+          s"zero-failure window carries a budget: $r")
+    }
+    assert(batch.exists(_.getLong(3) > 0) && batch.exists(_.getLong(3) == 0))
+    // the live monitor prices ARRIVALS; b46 prices the deduped manifest —
+    // dedupe can only DROP failed uploads, so live >= b46 per (node, day)
+    val b46 = SparkEntry.queries("b46_retry_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1)) -> r.getLong(3)).toMap
+    batch.foreach { r =>
+      val k = (r.getLong(1), r.getDate(0))
+      assert(r.getLong(3) >= b46.getOrElse(k, 0L),
+        s"live monitor saw fewer failures than the manifest at $k")
+    }
+  }
+
   test("streaming day-verification gate equals the batch verdicts") {
     val q = EventStream.runToMemory(spark, sf, "graft_s22_test",
       EventStream.verifyDayGate, mode = "complete")

@@ -1615,6 +1615,61 @@ class OperatorSpec extends SparkSpec {
       "all budgets yield the same candidates — fixture does not exercise the curve")
   }
 
+  test("d106 cluster-size histogram: partitions the corpus, ties to d24's rollup") {
+    val rows = SparkEntry.queries("d106_cluster_size_hist")(spark, sf).collect()
+    val nCorpus = graft.sources.Tables.documents(spark, sf).count()
+    val sizes = rows.map(_.getLong(0))
+    assert(sizes.distinct.length == sizes.length, "duplicate size rows")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"n_docs law: $r")
+      assert(r.getDouble(3) == r.getLong(2).toDouble / nCorpus, s"doc_frac law: $r")
+    }
+    // the histogram PARTITIONS the corpus: every doc in exactly one row
+    assert(rows.map(_.getLong(2)).sum == nCorpus,
+      "histogram does not partition the corpus")
+    // size>=2 rows must be EXACTLY d24's per-size cluster counts
+    val fromD24 = SparkEntry.queries("d24_dup_clusters")(spark, sf).collect()
+      .groupBy(_.getLong(2)).view
+      .mapValues(g => g.map(_.getLong(1)).distinct.length.toLong).toMap
+    val multi = rows.filter(_.getLong(0) >= 2L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == fromD24, s"histogram drifted from d24: $multi vs $fromD24")
+    // the fixture must exercise both mass classes
+    assert(rows.find(_.getLong(0) == 1L).exists(_.getLong(1) > 0),
+      "no singleton docs — fixture degenerate")
+    assert(multi.nonEmpty, "no dup clusters — fixture degenerate")
+  }
+
+  test("d107 lexical diversity: sorted-run fold ≡ independent recount, ratio laws, both verdicts") {
+    val rows = SparkEntry.queries("d107_lexical_diversity")(spark, sf).collect()
+    // third implementation: a driver-side histogram recount (the Spark
+    // side folds sorted runs, the oracle GROUPs BY — this closes the
+    // triangle)
+    val docs = graft.model.Corpus.docs(spark, sf).select("doc_id", "ws").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.length == docs.size, "one panel row per doc")
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0))
+      val hist = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = ws.size.toLong
+      val types = hist.size.toLong
+      val hapax = hist.values.count(_ == 1L).toLong
+      val sumsq = hist.values.map(c => c * c).sum
+      assert(r.getLong(1) == n && r.getLong(2) == types && r.getLong(3) == hapax,
+        s"recount drift: $r")
+      assert(r.getDouble(4) == types.toDouble / n, s"ttr law: $r")
+      assert(r.getDouble(5) == hapax.toDouble / types, s"hapax law: $r")
+      assert(r.getDouble(6) == sumsq.toDouble / n / n, s"simpson law: $r")
+      // Simpson repeat probability is bounded by [1/n, 1]; the all-
+      // distinct doc sits exactly at both extremes' intersection
+      assert(r.getDouble(6) >= 1.0 / n && r.getDouble(6) <= 1.0, s"simpson bounds: $r")
+      if (r.getDouble(4) == 1.0) assert(r.getDouble(6) == 1.0 / n)
+      assert(r.getBoolean(7) == (r.getDouble(4) < 0.35), s"flag law: $r")
+    }
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)),
+      "flag does not discriminate at this SF")
+  }
+
   test("d66 quota selection: greedy admit by score, budget never exceeded") {
     val quota = 600L
     val rows = SparkEntry.queries("d66_quota_select")(spark, sf).collect()

@@ -296,7 +296,15 @@ class PlanAuditSpec extends SparkSpec {
       // d105: the d34 shape (exact gram baseline 3 + the cached band
       // signatures 1); the b=1..4 sweep adds ZERO passes — one
       // first-band pair rollup feeds all four budgets
-      "d105_lsh_band_curve" -> (4, 0))
+      "d105_lsh_band_curve" -> (4, 0),
+      // d106: d24's ONE clustering pass (cached signatures, counted
+      // with the listener like d24) + the column-pruned corpus count;
+      // the singleton row derives from the histogram, never a second
+      // labels pass
+      "d106_cluster_size_hist" -> (2, 0),
+      // d107: pure per-row sorted-run fold — one corpus pass, zero
+      // shuffles (the histogram never materializes)
+      "d107_lexical_diversity" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -304,7 +312,7 @@ class PlanAuditSpec extends SparkSpec {
       Seq("documents", "embeddings"),
       name =>
         if (Set("d24_dup_clusters", "d67_cluster_keep_best",
-            "d95_knn_communities")(name))
+            "d95_knn_communities", "d106_cluster_size_hist")(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }
@@ -503,6 +511,10 @@ class PlanAuditSpec extends SparkSpec {
       // feed fanned over the bounded cell list); medoid + posting sides
       // are artifact read-backs, never corpus scans
       "s41_stream_communities_sharded" -> Map("embeddings" -> 1),
+      // s42: ONE events pass — the failed minority rides conditional
+      // aggs inside the same (node, day) groupBy, b46's shape over the
+      // raw arrivals
+      "s42_stream_retry" -> Map("events" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
       // s40: the d100 profile verbatim — one corpus pass into the
