@@ -106,6 +106,38 @@ object Similarity {
       .drop("top2", "cents")
   }
 
+  /** SemDeDup scored frame (vec_id, cell, rep_id, cos) — each member's
+    * cosine to its IVF cell's elected representative (min vec_id),
+    * shared by d35 (the production ε=0.25 decision) and d108 (the ε
+    * sweep that SIZES that decision) so the two can never diverge.
+    * The assignment frame is persisted because it feeds BOTH the
+    * representative election aggregate and the probe side of the
+    * broadcast rep join — the probe side has no exchange, so nothing
+    * reuses and without this the corpus is scanned + folded TWICE
+    * (the same reasoning as d15's cents1 persist). Cache lifecycle is
+    * CALLER-owned: Bench and Verify call spark.catalog.clearCache()
+    * between queries; any long-lived session embedding this operator
+    * must do the same after consuming the result. */
+  private def semdedupScored(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, ivfCells(n)))
+      .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // struct min: lexicographic on (vec_id, …) elects the min-id
+    // member carrying its vector — one bounded-key aggregate, no
+    // window, no join back to find the representative's payload
+    val reps = ass
+      .groupBy("cell")
+      .agg(min(struct(col("vec_id"), col("q"), col("norm2"))).as("r"))
+      .select(col("cell"), col("r.vec_id").as("rep_id"),
+        col("r.q").as("qr"), col("r.norm2").as("nr"))
+    ass.join(broadcast(reps), Seq("cell"))
+      .withColumn("cos",
+        DotLong(col("q"), col("qr")).cast("double")
+          / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double"))))
+      .select(col("vec_id"), col("cell"), col("rep_id"), col("cos"))
+  }
+
   /** One deterministic k-means refinement of the ⌈√n⌉ seed centroids:
     * per-dim floor(mean) over each cell's assigned members — exact
     * integer math in both engines (the d15 refinement, extracted so the
@@ -863,6 +895,31 @@ object Similarity {
 
   private val duckSqDist =
     "CAST(list_sum(list_transform(list_zip(%s, %s), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+
+  /** DuckDB CTE chain ending in `scored(vec_id, cell, rep_id, cos)` —
+    * the oracle twin of [[semdedupScored]], shared by d35 and d108. */
+  private lazy val semdedupScoredSql: String =
+    Corpus.qtabCte + ", " +
+      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
+      s""", asg AS (
+         |  SELECT vec_id, c AS cell, q, norm2 FROM (
+         |    SELECT q.vec_id, ce.c, q.q, q.norm2,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
+         |    FROM qtab q CROSS JOIN cents ce) t
+         |  WHERE rn = 1
+         |),
+         |repv AS (
+         |  SELECT a.cell, a.vec_id AS rep_id, a.q AS qr, a.norm2 AS nr
+         |  FROM asg a JOIN (SELECT cell, min(vec_id) AS rep_id FROM asg GROUP BY cell) r
+         |    ON a.vec_id = r.rep_id
+         |),
+         |scored AS (
+         |  SELECT a.vec_id, a.cell, r.rep_id,
+         |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
+         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
+         |  FROM asg a JOIN repv r ON a.cell = r.cell)
+         |""".stripMargin
 
   /** LIVE directed 3-NN edge stream (`a_id`, `b_id`) over the
     * persisted index — d50's probe shape, materialized because d95's
@@ -1677,36 +1734,39 @@ object Similarity {
     // n/k members and the rep comparison would stop being semantic.
     // The representative table stays broadcastable (√n rows).
     "d35_semdedup" -> { (s, dir) =>
-      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val ass = assignTop2(Corpus.qvecs(s, dir), centroids(s, ivfCells(n)))
-        .select(col("vec_id"), col("cell1").as("cell"), col("q"), col("norm2"))
-        // materialize-once: `ass` feeds BOTH the representative
-        // election aggregate and the probe side of the broadcast rep
-        // join — the probe side has no exchange, so nothing reuses and
-        // without this the corpus is scanned + folded TWICE (the same
-        // reasoning as d15's cents1 persist). Cache lifecycle is
-        // CALLER-owned: Bench and Verify call spark.catalog.clearCache()
-        // between queries (and between timing passes); any long-lived
-        // session embedding this operator must do the same after
-        // consuming the result, or the corpus-sized blocks accumulate.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // struct min: lexicographic on (vec_id, …) elects the min-id
-      // member carrying its vector — one bounded-key aggregate, no
-      // window, no join back to find the representative's payload
-      val reps = ass
-        .groupBy("cell")
-        .agg(min(struct(col("vec_id"), col("q"), col("norm2"))).as("r"))
-        .select(col("cell"), col("r.vec_id").as("rep_id"),
-          col("r.q").as("qr"), col("r.norm2").as("nr"))
-      ass.join(broadcast(reps), Seq("cell"))
-        .withColumn("cos",
-          DotLong(col("q"), col("qr")).cast("double")
-            / (sqrt(col("norm2").cast("double")) * sqrt(col("nr").cast("double"))))
+      semdedupScored(s, dir)
         .select(col("vec_id"), col("cell"), col("rep_id"), col("cos"),
           when(col("vec_id") === col("rep_id"), lit("rep"))
             .when(col("cos") >= 0.25, lit("drop"))
             .otherwise(lit("keep")).as("action"))
         .orderBy("vec_id")
+    },
+
+    // SemDeDup THRESHOLD curve — d105's band-budget law applied to
+    // d35's ε knob (Abbas et al. 2023 pick ε by exactly this sweep):
+    // how many members does each cosine threshold drop, at what kept-
+    // corpus cost? A member's fate under threshold t is fully
+    // determined by its ONE cos-to-representative score (the gate is
+    // monotone in t, like d105's first_band), so ONE member aggregate
+    // prices the whole sweep as conditional counts — no per-threshold
+    // re-join, no re-scoring; the t=0.25 row must reproduce d35's
+    // production drop count exactly (the b=4 ≡ d34 pattern). Rides
+    // the SAME scored frame as d35 ([[semdedupScored]]) so curve and
+    // production decision can never diverge.
+    "d108_semdedup_curve" -> { (s, dir) =>
+      val m = semdedupScored(s, dir).filter(col("vec_id") =!= col("rep_id"))
+      m.agg(count(lit(1)).as("n_members"),
+          count(when(col("cos") >= 0.10, 1)).as("x10"),
+          count(when(col("cos") >= 0.20, 1)).as("x20"),
+          count(when(col("cos") >= 0.25, 1)).as("x25"),
+          count(when(col("cos") >= 0.30, 1)).as("x30"))
+        .selectExpr("n_members",
+          "stack(4, 0.10D, x10, 0.20D, x20, 0.25D, x25, 0.30D, x30) AS (threshold, n_dropped)")
+        .withColumn("n_kept", col("n_members") - col("n_dropped"))
+        .withColumn("drop_frac",
+          col("n_dropped").cast("double") / col("n_members").cast("double"))
+        .select("threshold", "n_members", "n_dropped", "n_kept", "drop_frac")
+        .orderBy("threshold")
     },
 
     // Semantic DECONTAMINATION — d22's eval-leak guard in embedding
@@ -2524,31 +2584,31 @@ object Similarity {
          |  FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin),
 
-    "d35_semdedup" -> (Corpus.qtabCte + ", " +
-      centsSqlFrom("(SELECT CAST(ceil(sqrt(count(1))) AS BIGINT) FROM qtab)") +
-      s""", asg AS (
-         |  SELECT vec_id, c AS cell, q, norm2 FROM (
-         |    SELECT q.vec_id, ce.c, q.q, q.norm2,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${duckSqDist.format("q.q", "ce.cv")} ASC, ce.c ASC) AS rn
-         |    FROM qtab q CROSS JOIN cents ce) t
-         |  WHERE rn = 1
-         |),
-         |repv AS (
-         |  SELECT a.cell, a.vec_id AS rep_id, a.q AS qr, a.norm2 AS nr
-         |  FROM asg a JOIN (SELECT cell, min(vec_id) AS rep_id FROM asg GROUP BY cell) r
-         |    ON a.vec_id = r.rep_id
-         |)
-         |SELECT vec_id, cell, rep_id, cos,
-         |  CASE WHEN vec_id = rep_id THEN 'rep'
-         |       WHEN cos >= 0.25 THEN 'drop'
-         |       ELSE 'keep' END AS action
-         |FROM (
-         |  SELECT a.vec_id, a.cell, r.rep_id,
-         |    CAST(${duckDot.format("a.q", "r.qr")} AS DOUBLE)
-         |      / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(r.nr AS DOUBLE))) AS cos
-         |  FROM asg a JOIN repv r ON a.cell = r.cell) t
-         |ORDER BY vec_id""".stripMargin),
+    "d35_semdedup" -> (semdedupScoredSql +
+      """SELECT vec_id, cell, rep_id, cos,
+        |  CASE WHEN vec_id = rep_id THEN 'rep'
+        |       WHEN cos >= 0.25 THEN 'drop'
+        |       ELSE 'keep' END AS action
+        |FROM scored ORDER BY vec_id""".stripMargin),
+
+    "d108_semdedup_curve" -> (semdedupScoredSql +
+      """, agg AS (
+        |  SELECT count(1) AS n_members,
+        |    count(CASE WHEN cos >= CAST(0.10 AS DOUBLE) THEN 1 END) AS x10,
+        |    count(CASE WHEN cos >= CAST(0.20 AS DOUBLE) THEN 1 END) AS x20,
+        |    count(CASE WHEN cos >= CAST(0.25 AS DOUBLE) THEN 1 END) AS x25,
+        |    count(CASE WHEN cos >= CAST(0.30 AS DOUBLE) THEN 1 END) AS x30
+        |  FROM scored WHERE vec_id <> rep_id)
+        |SELECT CAST(0.10 AS DOUBLE) AS threshold, n_members, x10 AS n_dropped,
+        |  n_members - x10 AS n_kept,
+        |  CAST(x10 AS DOUBLE) / CAST(n_members AS DOUBLE) AS drop_frac FROM agg
+        |UNION ALL SELECT CAST(0.20 AS DOUBLE), n_members, x20, n_members - x20,
+        |  CAST(x20 AS DOUBLE) / CAST(n_members AS DOUBLE) FROM agg
+        |UNION ALL SELECT CAST(0.25 AS DOUBLE), n_members, x25, n_members - x25,
+        |  CAST(x25 AS DOUBLE) / CAST(n_members AS DOUBLE) FROM agg
+        |UNION ALL SELECT CAST(0.30 AS DOUBLE), n_members, x30, n_members - x30,
+        |  CAST(x30 AS DOUBLE) / CAST(n_members AS DOUBLE) FROM agg
+        |ORDER BY threshold""".stripMargin),
 
     "d42_semantic_decon" -> (Corpus.qtabCte +
       s""", bench AS (SELECT vec_id AS c, q AS cv, norm2 AS n2 FROM qtab

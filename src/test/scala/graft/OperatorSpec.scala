@@ -1615,6 +1615,35 @@ class OperatorSpec extends SparkSpec {
       "all budgets yield the same candidates — fixture does not exercise the curve")
   }
 
+  test("d108 semdedup threshold curve: monotone in ε, members partitioned, 0.25 row ≡ d35 exactly") {
+    val rows = SparkEntry.queries("d108_semdedup_curve")(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.10, 0.20, 0.25, 0.30))
+    // one scored frame prices the whole sweep — the member count is
+    // threshold-independent by construction
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "n_members varies across thresholds")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), s"partition law: $r")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1),
+        s"drop_frac law: $r")
+    }
+    // raising ε can only drop FEWER members (the gate is monotone in t)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(2) >= hi.getLong(2), s"curve not monotone: $lo -> $hi")
+    }
+    // the production point: the ε=0.25 row must reproduce d35's measured
+    // member/drop counts exactly (same scored frame, same gate)
+    val d35 = SparkEntry.queries("d35_semdedup")(spark, sf).collect()
+    val members = d35.count(r => r.getLong(0) != r.getLong(2)).toLong
+    val drops = d35.count(_.getString(4) == "drop").toLong
+    val r25 = rows.find(_.getDouble(0) == 0.25).get
+    assert(r25.getLong(1) == members && r25.getLong(2) == drops,
+      s"0.25 row drifted from d35: $r25 vs ($members, $drops)")
+    // the sweep must discriminate at this SF
+    assert(rows.head.getLong(2) > rows.last.getLong(2),
+      "flat curve — fixture does not exercise the sweep")
+  }
+
   test("d106 cluster-size histogram: partitions the corpus, ties to d24's rollup") {
     val rows = SparkEntry.queries("d106_cluster_size_hist")(spark, sf).collect()
     val nCorpus = graft.sources.Tables.documents(spark, sf).count()

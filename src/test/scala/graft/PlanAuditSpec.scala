@@ -304,7 +304,11 @@ class PlanAuditSpec extends SparkSpec {
       "d106_cluster_size_hist" -> (2, 0),
       // d107: pure per-row sorted-run fold — one corpus pass, zero
       // shuffles (the histogram never materializes)
-      "d107_lexical_diversity" -> (1, 0))
+      "d107_lexical_diversity" -> (1, 0),
+      // d108: d35's one-persisted-assignment shape — the 4-threshold
+      // sweep is conditional counts over the same scored frame, ZERO
+      // extra passes
+      "d108_semdedup_curve" -> (0, 1))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
