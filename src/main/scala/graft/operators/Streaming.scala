@@ -354,6 +354,17 @@ object Streaming {
         .orderBy("node_id", "snapshot_day")
     },
 
+    // Live lexical-diversity gate — d107's quality panel scored as
+    // documents LAND: the panel is per-row by construction (each row
+    // sorts + run-folds its OWN word array; the word histogram never
+    // materializes), so the stream is stateless append mode with no
+    // watermark and no state at all — the same shape as s21/s37.
+    // Shared transform (TextAnalysis.diversityPanel) + shared oracle;
+    // stream ≡ batch proven in EventStreamSpec.
+    "s43_stream_diversity" -> { (s, dir) =>
+      TextAnalysis.diversityPanel(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Live retry-budget monitor — b46's backoff pricing as uploads
     // LAND (day windows per node, the ONE ledger projection shared
     // with the batch side, bounded (node × day) state). Verdict over
@@ -642,6 +653,9 @@ object Streaming {
     // the streaming Gopher gate is the d92 panel verbatim (stateless
     // per-row rule verdicts) — shared oracle like s15 ← d47
     "s37_stream_gopher" -> TextAnalysis.oracle("d92_gopher_rules"),
+
+    // the live diversity gate ≡ d107's batch panel
+    "s43_stream_diversity" -> TextAnalysis.oracle("d107_lexical_diversity"),
 
     // the live fertility table ≡ d100's batch profile
     "s40_stream_fertility" -> TextAnalysis.oracle("d100_token_fertility"),

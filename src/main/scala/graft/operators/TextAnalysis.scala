@@ -322,6 +322,47 @@ object TextAnalysis {
       .select("domain", "n_docs", "avg_quality", "q_rank", "tier")
   }
 
+  /** Per-doc lexical-diversity panel over ANY frame with (doc_id,
+    * text) — shared by d107 (batch) and s43 (the live gate), so both
+    * sides score identically. ZERO shuffles: each row sorts its own
+    * word array and folds one O(n) run-length scan (aggregate HOF)
+    * carrying (types, hapax, Σc²) directly — the per-doc word
+    * histogram never materializes, which is what makes the panel
+    * streamable per-row in the first place. All ratios are rational
+    * arithmetic over exact integers — IEEE-identical cross-engine
+    * (§4: Simpson replaces entropy for exactly this reason). */
+  private[graft] def diversityPanel(df: DataFrame): DataFrame = {
+    val runFold =
+      """aggregate(
+        |  array_sort(ws),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+        |               'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT),
+        |               'sumsq', CAST(0 AS BIGINT)),
+        |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
+        |    named_struct('prev', w, 'run', acc.run + CAST(1 AS BIGINT),
+        |                 'types', acc.types, 'hapax', acc.hapax, 'sumsq', acc.sumsq),
+        |    named_struct('prev', w, 'run', CAST(1 AS BIGINT),
+        |                 'types', acc.types + CAST(1 AS BIGINT),
+        |                 'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |                 'sumsq', acc.sumsq + acc.run * acc.run)),
+        |  acc -> named_struct(
+        |    'types', acc.types,
+        |    'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |    'sumsq', acc.sumsq + acc.run * acc.run))""".stripMargin
+    Corpus.normalized(df)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        expr(runFold).as("d"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("d.types").as("n_types"), col("d.hapax").as("n_hapax"),
+        (col("d.types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("d.hapax").cast("double") / col("d.types").cast("double"))
+          .as("hapax_frac"),
+        (col("d.sumsq").cast("double") / col("n_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("simpson"))
+      .withColumn("low_diversity", col("ttr") < 0.35)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ZIPF HEAD CURVE — rank-frequency over the top-100 terms by
@@ -596,36 +637,53 @@ object TextAnalysis {
     // (explode → GROUP BY), so the hash compare also proves the
     // sorted-run fold ≡ the group-by histogram. Pin documents=1.
     "d107_lexical_diversity" -> { (s, dir) =>
-      val runFold =
-        """aggregate(
-          |  array_sort(ws),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
-          |               'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT),
-          |               'sumsq', CAST(0 AS BIGINT)),
-          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
-          |    named_struct('prev', w, 'run', acc.run + CAST(1 AS BIGINT),
-          |                 'types', acc.types, 'hapax', acc.hapax, 'sumsq', acc.sumsq),
-          |    named_struct('prev', w, 'run', CAST(1 AS BIGINT),
-          |                 'types', acc.types + CAST(1 AS BIGINT),
-          |                 'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-          |                 'sumsq', acc.sumsq + acc.run * acc.run)),
-          |  acc -> named_struct(
-          |    'types', acc.types,
-          |    'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-          |    'sumsq', acc.sumsq + acc.run * acc.run))""".stripMargin
-      Corpus.docs(s, dir)
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-          expr(runFold).as("d"))
-        .select(col("doc_id"), col("n_tokens"),
-          col("d.types").as("n_types"), col("d.hapax").as("n_hapax"),
-          (col("d.types").cast("double") / col("n_tokens").cast("double"))
-            .as("ttr"),
-          (col("d.hapax").cast("double") / col("d.types").cast("double"))
-            .as("hapax_frac"),
-          (col("d.sumsq").cast("double") / col("n_tokens").cast("double")
-            / col("n_tokens").cast("double")).as("simpson"))
-        .withColumn("low_diversity", col("ttr") < 0.35)
-        .orderBy("doc_id")
+      diversityPanel(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // VOCABULARY-GROWTH curve (Heaps' law, measured not fitted) — how
+    // fast does the corpus vocabulary grow as ingestion proceeds? Docs
+    // in ingestion order (doc_id — dense by the fixture contract, the
+    // crawl-order prefix) are cut into 4 equal prefixes; each word is
+    // charged to the quarter where it FIRST appears (one min(doc_id)
+    // aggregate over the word stream — map-side partial on the word
+    // key, the d16 shuffle), and the running type/token totals give
+    // the prefix TTR whose DECAY is the Heaps signal a tokenizer-
+    // sizing / dedup-health check reads (a corpus whose vocabulary
+    // grows LINEARLY is id-stuffed or unnormalized; sublinear is
+    // healthy prose). Two corpus passes (pin documents=2, the d19
+    // tf+df convention): the word stream for first-occurrence, the
+    // doc stream for per-quarter token mass — persisting the exploded
+    // word stream to fuse them would cache corpus-sized state for a
+    // one-row-per-quarter output. The cumulation window runs over 4
+    // rows (declared in PlanSpec's bounded-window set). Quarter cut
+    // is integer arithmetic (doc_id·4 div N) — engine-exact; ratios
+    // divide exact integers (§4).
+    "d109_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = graft.sources.Stats.parquetRowCount(s, s"$dir/documents.parquet")
+      val docs = Corpus.docs(s, dir)
+      val firstSeen = docs
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+        .select(expr(s"least(CAST(3 AS BIGINT), first_doc * 4 div $n) + 1")
+          .as("quarter"))
+        .groupBy("quarter").agg(count(lit(1)).as("new_types"))
+      val toks = docs
+        .select(expr(s"least(CAST(3 AS BIGINT), doc_id * 4 div $n) + 1")
+          .as("quarter"), size(col("ws")).cast("long").as("nt"))
+        .groupBy("quarter").agg(sum(col("nt")).as("n_tokens"))
+      val w = Window.orderBy("quarter")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.join(firstSeen, Seq("quarter"), "left")
+        .na.fill(0L, Seq("new_types"))
+        .withColumn("n_docs_prefix", expr(s"CAST($n AS BIGINT) * quarter div 4"))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("prefix_ttr",
+          col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+        .select("quarter", "n_docs_prefix", "new_types", "cum_types",
+          "n_tokens", "cum_tokens", "prefix_ttr")
+        .orderBy("quarter")
     },
 
     // Corpus length statistics — the quality-dashboard numbers every
@@ -1326,6 +1384,30 @@ object TextAnalysis {
         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.35
         |    AS low_diversity
         |FROM div ORDER BY doc_id""".stripMargin),
+
+    "d109_vocab_growth" -> (Corpus.docsCte +
+      """, n AS (SELECT count(1) AS n FROM documents),
+        |words AS (
+        |  SELECT doc_id, ws[i] AS w
+        |  FROM docs, UNNEST(range(1, len(ws) + 1)) t(i)),
+        |fs AS (SELECT w, min(doc_id) AS first_doc FROM words GROUP BY 1),
+        |nt AS (
+        |  SELECT least(CAST(3 AS BIGINT), first_doc * 4 // (SELECT n FROM n)) + 1 AS quarter,
+        |    count(1) AS new_types
+        |  FROM fs GROUP BY 1),
+        |tk AS (
+        |  SELECT least(CAST(3 AS BIGINT), doc_id * 4 // (SELECT n FROM n)) + 1 AS quarter,
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+        |  FROM docs GROUP BY 1)
+        |SELECT quarter,
+        |  CAST((SELECT n FROM n) AS BIGINT) * quarter // 4 AS n_docs_prefix,
+        |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY quarter) AS BIGINT) AS cum_types,
+        |  tk.n_tokens,
+        |  CAST(sum(tk.n_tokens) OVER (ORDER BY quarter) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY quarter) AS DOUBLE)
+        |    / CAST(sum(tk.n_tokens) OVER (ORDER BY quarter) AS DOUBLE) AS prefix_ttr
+        |FROM tk LEFT JOIN nt USING (quarter) ORDER BY quarter""".stripMargin),
 
     "d70_profile" ->
       """WITH a AS (

@@ -136,6 +136,22 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_.getBoolean(6)) && batch.exists(!_.getBoolean(6)))
   }
 
+  test("streaming diversity gate equals the batch d107 panel") {
+    // per-row panel (each row folds its own sorted word array):
+    // stateless append mode, no watermark, no state at all
+    import graft.streaming.DocStream
+    val q = DocStream.runToMemory(spark, sf, "graft_s43_test",
+      graft.operators.TextAnalysis.diversityPanel, mode = "append")
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("graft_s43_test").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("s43_stream_diversity")(spark, sf).collect()
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+    // ... and the shared-transform guarantee: s43 ≡ d107 row-for-row
+    val d107 = SparkEntry.queries("d107_lexical_diversity")(spark, sf).collect()
+    assert(batch.sameElements(d107))
+  }
+
   test("streaming retry monitor equals the batch budget and contains b46's") {
     val q = EventStream.runToMemory(spark, sf, "graft_s42_test",
       EventStream.retryMonitor, mode = "complete")

@@ -1615,6 +1615,42 @@ class OperatorSpec extends SparkSpec {
       "all budgets yield the same candidates — fixture does not exercise the curve")
   }
 
+  test("d109 vocab growth: quarters partition types and tokens, cumulation exact, Heaps decay present") {
+    val rows = SparkEntry.queries("d109_vocab_growth")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val docs = graft.model.Corpus.docs(spark, sf).select("doc_id", "ws").collect()
+    val n = docs.length.toLong
+    // independent driver-side recount of the whole curve
+    val quarter = (d: Long) => math.min(3L, d * 4 / n) + 1
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_.getLong(0)).foreach { r =>
+      val d = r.getLong(0)
+      r.getSeq[String](1).foreach(w =>
+        if (!firstSeen.contains(w)) firstSeen(w) = quarter(d))
+    }
+    val expNew = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTok = docs.groupBy(r => quarter(r.getLong(0))).view
+      .mapValues(_.map(_.getSeq[String](1).size.toLong).sum).toMap
+    var (cumT, cumK) = (0L, 0L)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == n * q / 4, s"prefix size law: $r")
+      assert(r.getLong(2) == expNew.getOrElse(q, 0L), s"new_types recount: $r")
+      assert(r.getLong(4) == expTok(q), s"n_tokens recount: $r")
+      cumT += r.getLong(2); cumK += r.getLong(4)
+      assert(r.getLong(3) == cumT && r.getLong(5) == cumK, s"cumulation law: $r")
+      assert(r.getDouble(6) == cumT.toDouble / cumK.toDouble, s"prefix_ttr law: $r")
+    }
+    // totals tie to the corpus: all types, all tokens accounted for
+    assert(cumT == firstSeen.size.toLong, "cum_types != corpus vocabulary")
+    assert(cumK == docs.map(_.getSeq[String](1).size.toLong).sum,
+      "cum_tokens != corpus token count")
+    // the Heaps signal: vocabulary grows SUBLINEARLY, so the prefix
+    // TTR must decay across the curve at this fixture
+    assert(rows.head.getDouble(6) > rows.last.getDouble(6),
+      "no TTR decay — fixture does not exercise the curve")
+  }
+
   test("d108 semdedup threshold curve: monotone in ε, members partitioned, 0.25 row ≡ d35 exactly") {
     val rows = SparkEntry.queries("d108_semdedup_curve")(spark, sf).collect()
     assert(rows.map(_.getDouble(0)).toSeq == Seq(0.10, 0.20, 0.25, 0.30))

@@ -308,7 +308,11 @@ class PlanAuditSpec extends SparkSpec {
       // d108: d35's one-persisted-assignment shape — the 4-threshold
       // sweep is conditional counts over the same scored frame, ZERO
       // extra passes
-      "d108_semdedup_curve" -> (0, 1))
+      "d108_semdedup_curve" -> (0, 1),
+      // d109: the word stream (first-occurrence agg) + the doc stream
+      // (per-quarter token mass) — the d19 tf+df two-pass convention;
+      // the cumulation window runs over 4 rows, never the corpus
+      "d109_vocab_growth" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
@@ -519,6 +523,8 @@ class PlanAuditSpec extends SparkSpec {
       // aggs inside the same (node, day) groupBy, b46's shape over the
       // raw arrivals
       "s42_stream_retry" -> Map("events" -> 1),
+      // s43: the d107 panel verbatim — pure per-row, one corpus pass
+      "s43_stream_diversity" -> Map("documents" -> 1),
       // s37: the d92 panel verbatim — pure per-row, one corpus pass
       "s37_stream_gopher" -> Map("documents" -> 1),
       // s40: the d100 profile verbatim — one corpus pass into the

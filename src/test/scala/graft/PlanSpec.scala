@@ -701,7 +701,9 @@ class PlanSpec extends SparkSpec {
     //   q31  — decile offsets over ≤ ~35 price bins (price range / 16384)
     //   q33  — bin densification over ≤ 64 histogram bins
     //   s31  — watermark prefix over the per-DAY bucket aggregate
-    val declared = Seq("b30_topology_remap", "d54_corpus_drift",
+    //   d109 — type/token cumulation over the 4 quarter rows
+    val declared = Seq("b30_topology_remap", "d109_vocab_growth",
+      "d54_corpus_drift",
       "d65_shard_plan", "d72_domain_reputation", "d86_zipf_curve",
       "d89_embed_spectrum", "q31_ntile", "q33_histogram",
       "s28_stream_reputation", "s31_stream_lateness")
