@@ -322,46 +322,54 @@ object TextAnalysis {
       .select("domain", "n_docs", "avg_quality", "q_rank", "tier")
   }
 
+  /** The sorted-run `aggregate` HOF fold computing [types, hapax, Σc²]
+    * per word array — the PORTABLE formulation of x09's
+    * [[graft.functions.DiversityStats]] kernel, kept as the
+    * spec-pinned equivalence baseline (FunctionsSpec proves kernel ≡
+    * fold on the corpus plus edge rows; the oracle closes the triangle
+    * through the relational GROUP BY histogram). */
+  private[graft] val diversityFoldSql: String =
+    """transform(array(aggregate(
+      |  array_sort(ws),
+      |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+      |               'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT),
+      |               'sumsq', CAST(0 AS BIGINT)),
+      |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
+      |    named_struct('prev', w, 'run', acc.run + CAST(1 AS BIGINT),
+      |                 'types', acc.types, 'hapax', acc.hapax, 'sumsq', acc.sumsq),
+      |    named_struct('prev', w, 'run', CAST(1 AS BIGINT),
+      |                 'types', acc.types + CAST(1 AS BIGINT),
+      |                 'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |                 'sumsq', acc.sumsq + acc.run * acc.run)),
+      |  acc -> named_struct(
+      |    'types', acc.types,
+      |    'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |    'sumsq', acc.sumsq + acc.run * acc.run))),
+      |  s -> array(s.types, s.hapax, s.sumsq))[0]""".stripMargin
+
   /** Per-doc lexical-diversity panel over ANY frame with (doc_id,
     * text) — shared by d107 (batch) and s43 (the live gate), so both
-    * sides score identically. ZERO shuffles: each row sorts its own
-    * word array and folds one O(n) run-length scan (aggregate HOF)
-    * carrying (types, hapax, Σc²) directly — the per-doc word
+    * sides score identically. ZERO shuffles: each row's word array
+    * goes through ONE x09 [[graft.functions.DiversityStats]] kernel
+    * call (sort + run-length scan, primitive loop inside whole-stage
+    * codegen) carrying (types, hapax, Σc²) directly — the per-doc word
     * histogram never materializes, which is what makes the panel
     * streamable per-row in the first place. All ratios are rational
     * arithmetic over exact integers — IEEE-identical cross-engine
     * (§4: Simpson replaces entropy for exactly this reason). */
-  private[graft] def diversityPanel(df: DataFrame): DataFrame = {
-    val runFold =
-      """aggregate(
-        |  array_sort(ws),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
-        |               'types', CAST(0 AS BIGINT), 'hapax', CAST(0 AS BIGINT),
-        |               'sumsq', CAST(0 AS BIGINT)),
-        |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
-        |    named_struct('prev', w, 'run', acc.run + CAST(1 AS BIGINT),
-        |                 'types', acc.types, 'hapax', acc.hapax, 'sumsq', acc.sumsq),
-        |    named_struct('prev', w, 'run', CAST(1 AS BIGINT),
-        |                 'types', acc.types + CAST(1 AS BIGINT),
-        |                 'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-        |                 'sumsq', acc.sumsq + acc.run * acc.run)),
-        |  acc -> named_struct(
-        |    'types', acc.types,
-        |    'hapax', acc.hapax + IF(acc.run = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-        |    'sumsq', acc.sumsq + acc.run * acc.run))""".stripMargin
+  private[graft] def diversityPanel(df: DataFrame): DataFrame =
     Corpus.normalized(df)
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-        expr(runFold).as("d"))
+        graft.functions.DiversityStats(col("ws")).as("d"))
       .select(col("doc_id"), col("n_tokens"),
-        col("d.types").as("n_types"), col("d.hapax").as("n_hapax"),
-        (col("d.types").cast("double") / col("n_tokens").cast("double"))
+        col("d")(0).as("n_types"), col("d")(1).as("n_hapax"),
+        (col("d")(0).cast("double") / col("n_tokens").cast("double"))
           .as("ttr"),
-        (col("d.hapax").cast("double") / col("d.types").cast("double"))
+        (col("d")(1).cast("double") / col("d")(0).cast("double"))
           .as("hapax_frac"),
-        (col("d.sumsq").cast("double") / col("n_tokens").cast("double")
+        (col("d")(2).cast("double") / col("n_tokens").cast("double")
           / col("n_tokens").cast("double")).as("simpson"))
       .withColumn("low_diversity", col("ttr") < 0.35)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

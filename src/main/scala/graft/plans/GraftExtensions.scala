@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -73,6 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "graft_char_counts"),
       checked("graft_char_counts", 1)(c => CharCounts(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_diversity_stats"),
+      new ExpressionInfo(classOf[DiversityStats].getName, "graft_diversity_stats"),
+      checked("graft_diversity_stats", 1)(c => DiversityStats(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_hash32"),

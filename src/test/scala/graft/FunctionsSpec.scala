@@ -119,6 +119,42 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("x09: DiversityStats kernel equals the sorted-run HOF fold on corpus and edge rows") {
+    // the corpus: every doc's [types, hapax, sumsq] must agree between
+    // the primitive kernel and the portable aggregate-HOF formulation
+    val corpus = graft.model.Corpus.docs(spark, sf)
+      .select(col("doc_id"), col("ws"))
+    // adversarial edge rows: single word, all-same, all-distinct,
+    // empty-string word, unicode, interleaved runs
+    val edges = spark.createDataFrame(Seq(
+      (-1L, Seq("x")),
+      (-2L, Seq("a", "a", "a", "a")),
+      (-3L, Seq("d", "c", "b", "a")),
+      (-4L, Seq("")),
+      (-5L, Seq("café", "café", "©", "naïve")),
+      (-6L, Seq("b", "a", "b", "a", "c", "b")))).toDF("doc_id", "ws")
+    Seq(corpus, edges).foreach { df =>
+      df.withColumn("k", graft.functions.DiversityStats(col("ws")))
+        .withColumn("h", expr(graft.operators.TextAnalysis.diversityFoldSql))
+        .collect().foreach { r =>
+          assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+            s"kernel/fold drift on doc ${r.getLong(0)}: " +
+              s"${r.getSeq[Long](2)} vs ${r.getSeq[Long](3)}")
+        }
+    }
+    // hand-checked edge values: interleaved runs (-6): b×3, a×2, c×1
+    val m6 = edges.filter(col("doc_id") === -6L)
+      .select(graft.functions.DiversityStats(col("ws"))).collect().head.getSeq[Long](0)
+    assert(m6 == Seq(3L, 1L, 9L + 4L + 1L), s"interleaved runs: $m6")
+  }
+
+  test("x09: graft_diversity_stats registered as a SQL function via extensions") {
+    val r = spark.sql(
+      "SELECT graft_diversity_stats(array('a', 'b', 'a')) AS d")
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(2L, 1L, 4L + 1L), s"SQL registration: $r")
+  }
+
   test("PrefixDotsLong equals per-cut slice dots, interpreted and codegen") {
     val cuts = Seq(8, 16, 32, 64)
     val q = graft.model.Corpus.qvecs(spark, sf).limit(40)
