@@ -529,6 +529,56 @@ object Dedup {
         .orderBy("n_bands")
     },
 
+    // SAMPLE-MEASUREMENT BIAS curve — the methodology check behind
+    // "just measure duplication on a 10% sample": a pair survives
+    // uniform doc sampling only when BOTH endpoints survive, so the
+    // observed pair count scales ~r² while the doc count scales ~r —
+    // a sampled dup-rate UNDERSTATES the corpus's by ~r, and anyone
+    // sizing a dedup pass from a sample must divide by this curve.
+    // Per rate r ∈ {25%, 50%, 75%, 100%} (md5 bucket < 256·r, the
+    // d38/d57 content-keyed sampling family — deterministic, so the
+    // "sample" is reproducible): sampled docs, surviving d04 LSH
+    // pairs, the measured dup rate, and its bias vs the full-corpus
+    // rate (bias(1.0) ≡ 1 by construction). ONE pair rollup prices
+    // all four rates (a pair's fate is its max endpoint bucket — the
+    // d105 monotone-gate collapse); the bucket lookup is one pruned
+    // corpus scan PERSISTED for its two join sides (d103's
+    // convention; pin documents=2 with the cached signatures).
+    "d110_sample_dedup_bias" -> { (s, dir) =>
+      val bkExpr =
+        "CAST(conv(substr(md5(concat('smp2', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS INT)"
+      val bk = graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), expr(bkExpr).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pb = lshPairs(s, dir).select("a_id", "b_id")
+        .join(bk.toDF("a_id", "ba"), Seq("a_id"))
+        .join(bk.toDF("b_id", "bb"), Seq("b_id"))
+        .select(greatest(col("ba"), col("bb")).as("bmax"))
+      val p = pb.agg(
+        count(when(col("bmax") < 64, 1)).as("p64"),
+        count(when(col("bmax") < 128, 1)).as("p128"),
+        count(when(col("bmax") < 192, 1)).as("p192"),
+        count(lit(1)).as("p256"))
+      val d = bk.agg(
+        count(when(col("b") < 64, 1)).as("d64"),
+        count(when(col("b") < 128, 1)).as("d128"),
+        count(when(col("b") < 192, 1)).as("d192"),
+        count(lit(1)).as("d256"))
+      p.crossJoin(broadcast(d))
+        .selectExpr(
+          "stack(4, 0.25D, d64, p64, 0.5D, d128, p128, 0.75D, d192, p192, 1.0D, d256, p256) AS (rate, n_docs, n_pairs)",
+          "d256", "p256")
+        .select(col("rate"), col("n_docs"), col("n_pairs"),
+          (col("n_docs").cast("double") / col("d256").cast("double"))
+            .as("doc_frac"),
+          (col("n_pairs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          ((col("n_pairs").cast("double") / col("n_docs").cast("double"))
+            / (col("p256").cast("double") / col("d256").cast("double")))
+            .as("bias_vs_full"))
+        .orderBy("rate")
+    },
+
     // Duplicated-SPAN detection (the tile analogue of suffix-array
     // substring dedup, Lee et al. 2022 "Deduplicating Training Data
     // Makes Language Models Better"): non-overlapping 8-word tiles per
@@ -791,6 +841,39 @@ object Dedup {
         |    / greatest((SELECT count(1) FROM exact), 1) AS recall
         |FROM (SELECT unnest(range(1, 5)) AS nb) t
         |ORDER BY n_bands""".stripMargin),
+
+    "d110_sample_dedup_bias" -> (lshPairsCte +
+      """, bk AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('smp2', CAST(doc_id AS VARCHAR))), 1, 2)) AS INT) AS b
+        |  FROM documents),
+        |pb AS (
+        |  SELECT greatest(ba.b, bb.b) AS bmax
+        |  FROM pairs p JOIN bk ba ON ba.doc_id = p.a_id
+        |               JOIN bk bb ON bb.doc_id = p.b_id),
+        |pa AS (
+        |  SELECT count(CASE WHEN bmax < 64 THEN 1 END) AS p64,
+        |    count(CASE WHEN bmax < 128 THEN 1 END) AS p128,
+        |    count(CASE WHEN bmax < 192 THEN 1 END) AS p192,
+        |    count(1) AS p256
+        |  FROM pb),
+        |da AS (
+        |  SELECT count(CASE WHEN b < 64 THEN 1 END) AS d64,
+        |    count(CASE WHEN b < 128 THEN 1 END) AS d128,
+        |    count(CASE WHEN b < 192 THEN 1 END) AS d192,
+        |    count(1) AS d256
+        |  FROM bk),
+        |rows4 AS (
+        |  SELECT CAST(0.25 AS DOUBLE) AS rate, d64 AS n_docs, p64 AS n_pairs, d256, p256 FROM pa, da
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE), d128, p128, d256, p256 FROM pa, da
+        |  UNION ALL SELECT CAST(0.75 AS DOUBLE), d192, p192, d256, p256 FROM pa, da
+        |  UNION ALL SELECT CAST(1.0 AS DOUBLE), d256, p256, d256, p256 FROM pa, da)
+        |SELECT rate, n_docs, n_pairs,
+        |  CAST(n_docs AS DOUBLE) / CAST(d256 AS DOUBLE) AS doc_frac,
+        |  CAST(n_pairs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+        |  (CAST(n_pairs AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    / (CAST(p256 AS DOUBLE) / CAST(d256 AS DOUBLE)) AS bias_vs_full
+        |FROM rows4 ORDER BY rate""".stripMargin),
 
     "d36_tile_dedup" -> (Corpus.docsCte + Corpus.tilesCte +
       """, dfreq AS (SELECT tile, count(1) AS df FROM tiles GROUP BY tile)

@@ -1615,6 +1615,40 @@ class OperatorSpec extends SparkSpec {
       "all budgets yield the same candidates — fixture does not exercise the curve")
   }
 
+  test("d110 sample-dedup bias: monotone counts, r=1 ties to d04, sampled rate understates") {
+    val rows = SparkEntry.queries("d110_sample_dedup_bias")(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+    // sampling more can only ADD docs and surviving pairs
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) <= hi.getLong(1) && lo.getLong(2) <= hi.getLong(2),
+        s"curve not monotone: $lo -> $hi")
+    }
+    val full = rows.last
+    // the r=1 row IS the corpus: all docs, all d04 LSH pairs
+    assert(full.getLong(1) ==
+      graft.sources.Tables.documents(spark, sf).count(), "r=1 docs != corpus")
+    assert(full.getLong(2) ==
+      SparkEntry.queries("d04_minhash_lsh")(spark, sf).count(), "r=1 pairs != d04")
+    assert(full.getDouble(5) == 1.0, s"bias(1.0) law: $full")
+    val fullRate = full.getLong(2).toDouble / full.getLong(1)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(1).toDouble / full.getLong(1),
+        s"doc_frac law: $r")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1),
+        s"dup_rate law: $r")
+      assert(r.getDouble(5) == r.getDouble(4) / fullRate, s"bias law: $r")
+    }
+    // THE methodology finding: a pair survives only when BOTH endpoints
+    // do (~r² vs ~r), so every sampled rate must UNDERSTATE the corpus
+    // rate (verified to hold on every fixture SF)
+    rows.init.foreach { r =>
+      assert(r.getDouble(5) < 1.0, s"sampled rate does not understate: $r")
+    }
+    // the sweep must discriminate at this SF
+    assert(rows.head.getLong(1) < full.getLong(1),
+      "flat curve — fixture does not exercise the sweep")
+  }
+
   test("d109 vocab growth: quarters partition types and tokens, cumulation exact, Heaps decay present") {
     val rows = SparkEntry.queries("d109_vocab_growth")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))

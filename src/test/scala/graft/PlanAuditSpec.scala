@@ -312,7 +312,11 @@ class PlanAuditSpec extends SparkSpec {
       // d109: the word stream (first-occurrence agg) + the doc stream
       // (per-quarter token mass) — the d19 tf+df two-pass convention;
       // the cumulation window runs over 4 rows, never the corpus
-      "d109_vocab_growth" -> (2, 0))
+      "d109_vocab_growth" -> (2, 0),
+      // d110: the cached signature pass + the pruned bucket lookup
+      // persisted for its two pair-join sides (d103's convention);
+      // all four rates ride ONE pair rollup
+      "d110_sample_dedup_bias" -> (2, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
