@@ -33,6 +33,17 @@ class CcConvergenceSpec extends SparkSpec {
     assert(r2 >= 1 && r2 <= 5, s"d24 sf0.1 rounds drifted: $r2")
   }
 
+  test("d106 histogram rides the same CC loop at the same round count as d24") {
+    // d106 re-runs d24's clustering before rolling it up — if its copy
+    // of the loop ever diverged (different pair source, different
+    // contraction), the round counts would split before the histogram
+    // values would
+    val r24 = roundsAfter(SparkEntry.queries("d24_dup_clusters")(spark, sf))
+    val r106 = roundsAfter(SparkEntry.queries("d106_cluster_size_hist")(spark, sf))
+    info(s"CC rounds: d24=$r24 d106=$r106")
+    assert(r106 == r24, s"d106's CC loop diverged from d24's: $r106 vs $r24")
+  }
+
   test("d95 community CC rounds stay diameter-independent at sf0.1") {
     // the mutual-kNN giant component is the adversarial input: long
     // path-shaped chains (diameter 85) that label propagation needed

@@ -14,6 +14,27 @@ class PropertySpec extends AnyFunSuite {
   private def bands(fp: Long): Seq[Long] =
     Seq(fp & 2047L, (fp >> 11) & 2047L, (fp >> 22) & 1023L)
 
+  test("x09 DiversityStats kernel equals the brute-force histogram on random word arrays") {
+    // 2000 random arrays: skewed small alphabets (forcing runs),
+    // duplicates, empty strings, multi-byte code points, singletons —
+    // [types, hapax, Σc²] must match a histogram computed the dumb way
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = Vector("a", "b", "ab", "", "café", "©", "wordword", "x9")
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val words = Vector.fill(n)(alphabet(rnd.nextInt(
+        1 + rnd.nextInt(alphabet.size)))) // skew: small prefixes more likely
+      val got = graft.functions.DiversityStatsKernel.compute(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray[Any]))
+      val hist = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exp = Array(hist.size.toLong,
+        hist.values.count(_ == 1L).toLong,
+        hist.values.map(c => c * c).sum)
+      assert(got.toSeq == exp.toSeq, s"words=$words got=${got.toSeq} exp=${exp.toSeq}")
+    }
+  }
+
   test("pigeonhole: hamming <= 2 implies at least one identical band") {
     // the exact-recall guarantee d05's equi-join banding rests on:
     // flipping at most 2 of 32 bits can touch at most 2 of 3 bands
