@@ -22,9 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (closure dispatch + boxed struct state per word), while this kernel
   * is one `Arrays.sort` over the row's UTF8String pointers and a tight
   * primitive loop, invoked once per row from inside whole-stage
-  * codegen. Word arrays must carry no null elements (the `split`
-  * output both callers feed it — enforced by the type check staying
-  * permissive only on element nullability the callers never exercise).
+  * codegen. Null ELEMENTS are skipped deterministically (a null word
+  * is not a type, not a hapax, and contributes no repeat mass) — the
+  * `split` output both callers feed it never produces one, but the
+  * registered SQL function is callable on any array<string>, so the
+  * kernel must not NPE on `array('a', NULL)`.
   *
   * Binary UTF8String ordering groups equal words exactly like the
   * HOF's `array_sort` + `=` (only equality-grouping matters for the
@@ -60,13 +62,21 @@ object DiversityStats {
 }
 
 object DiversityStatsKernel {
-  /** [n_types, n_hapax, Σc²] in one sort + one run-length pass. */
+  /** [n_types, n_hapax, Σc²] in one sort + one run-length pass.
+    * Null elements are dropped before the sort (they would NPE
+    * UTF8String.compareTo) — an all-null or empty array yields
+    * [0, 0, 0]. */
   def compute(arr: ArrayData): Array[Long] = {
-    val n = arr.numElements()
-    val a = new Array[UTF8String](n)
+    val total = arr.numElements()
+    val a = new Array[UTF8String](total)
+    var n = 0
+    var j = 0
+    while (j < total) {
+      if (!arr.isNullAt(j)) { a(n) = arr.getUTF8String(j); n += 1 }
+      j += 1
+    }
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]], 0, n)
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
     var types = 0L
     var hapax = 0L
     var sumsq = 0L

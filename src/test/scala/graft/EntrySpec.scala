@@ -24,9 +24,16 @@ class EntrySpec extends SparkSpec {
     // finding. Both directions: a query without a row is half-shipped;
     // a row without a query is a stale inventory claim.
     val survey = {
-      val f = new java.io.File("SURVEY.md")
-      val src = scala.io.Source.fromFile(
-        if (f.exists) f else new java.io.File("/root/repo/SURVEY.md"), "UTF-8")
+      // resolve SURVEY.md by walking up from the working directory
+      // (sbt forks tests with user.dir at the repo root, but the
+      // checkout can live anywhere — no absolute paths)
+      val f = Iterator.iterate(new java.io.File(
+          System.getProperty("user.dir")).getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null).take(6)
+        .map(d => new java.io.File(d, "SURVEY.md"))
+        .find(_.exists)
+        .getOrElse(fail("SURVEY.md not found walking up from user.dir"))
+      val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().toVector finally src.close()
     }
     val rowIds = survey.collect {

@@ -155,6 +155,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r == Seq(2L, 1L, 4L + 1L), s"SQL registration: $r")
   }
 
+  test("x09: graft_diversity_stats skips null elements instead of NPEing (the r17 advice)") {
+    // the registered SQL function is callable on ANY array<string>
+    // (containsNull=true), so a null element must degrade
+    // deterministically (ignored), never crash inside codegen
+    val r = spark.sql(
+      "SELECT graft_diversity_stats(array('a', NULL, 'a')) AS d")
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(1L, 0L, 4L), s"null-element handling: $r")
+    val allNull = spark.sql(
+      "SELECT graft_diversity_stats(array(CAST(NULL AS STRING))) AS d")
+      .collect().head.getSeq[Long](0)
+    assert(allNull == Seq(0L, 0L, 0L), s"all-null array: $allNull")
+  }
+
   test("PrefixDotsLong equals per-cut slice dots, interpreted and codegen") {
     val cuts = Seq(8, 16, 32, 64)
     val q = graft.model.Corpus.qvecs(spark, sf).limit(40)

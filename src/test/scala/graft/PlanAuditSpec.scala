@@ -323,8 +323,10 @@ class PlanAuditSpec extends SparkSpec {
       SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted,
       Seq("documents", "embeddings"),
       name =>
-        if (Set("d24_dup_clusters", "d67_cluster_keep_best",
-            "d95_knn_communities", "d106_cluster_size_hist")(name))
+        // ONE mode list shared with the SCANCOUNT artifact probe, so
+        // the artifact can never record a loop query from the wrong
+        // mode again (the r17 d106 drift)
+        if (ScanCount.loopQueries(name))
           ScanCount.countsDuring(spark, name, sf)
         else ScanCount.counts(spark, name, sf))
   }

@@ -17,6 +17,20 @@ object ScanCount {
   val bigTables: Seq[String] = Seq("customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Queries whose corpus work happens inside checkpoint-loop
+    * materializations the FINAL plan no longer references (the CC
+    * loop family) — static [[counts]] understates or blanks them, so
+    * both the PlanAuditSpec ratchet and the SCANCOUNT artifact probe
+    * must measure them with [[countsDuring]]. One list, two
+    * consumers: the r17 artifact drift (d106 recorded from the wrong
+    * mode while its PIN was measured with the listener) cannot recur.
+    * d96/d97 are loop CONSUMERS (artifact read-backs, pinned 0 under
+    * static counting) and deliberately stay out — counting their
+    * construction-time artifact build would mislead the other way. */
+  val loopQueries: Set[String] = Set(
+    "d24_dup_clusters", "d67_cluster_keep_best",
+    "d95_knn_communities", "d106_cluster_size_hist")
+
   private def walk(p: SparkPlan, tables: Seq[String],
       seenCaches: scala.collection.mutable.Set[Int],
       acc: scala.collection.mutable.Map[String, Int]): Unit = {
@@ -116,7 +130,8 @@ object ScanCountProbe {
       else SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted
     names.foreach { n =>
       val c =
-        if (during) ScanCount.countsDuring(spark, n, sf, ScanCount.bigTables)
+        if (during || ScanCount.loopQueries(n))
+          ScanCount.countsDuring(spark, n, sf, ScanCount.bigTables)
         else ScanCount.counts(spark, n, sf, ScanCount.bigTables)
       val shown = ScanCount.bigTables.filter(t => c.getOrElse(t, 0) > 0)
         .map(t => s"$t=${c(t)}").mkString(" ")
