@@ -90,6 +90,77 @@ object Corpus {
       |  WHERE len(ws) >= 8
       |)""".stripMargin
 
+  /** WINNOWING-selected rolling 8-word tile fingerprints per doc
+    * (docs with ≥8 words): (doc_id, pos, tile) where pos is the
+    * fingerprint's word offset. Unlike [[tiles]]/[[posTiles]]
+    * (non-overlapping stride-8 tiles — zero shared tiles for a
+    * verbatim cross-doc passage whose start offsets differ by
+    * k ∉ 8ℤ), the selection is POSITION-ROBUST: stride-1 rolling
+    * 8-word hashes, and each window of 8 consecutive hash positions
+    * keeps its minimum (leftmost on ties — the tie-break compares
+    * (hash, offset) and equal hashes inside one window resolve to the
+    * same RELATIVE position in any doc carrying the passage, so the
+    * selection is content-determined). The winnowing guarantee
+    * (Schleimer et al. 2003, the MOSS fingerprinting algorithm): any
+    * shared passage of ≥ w + k − 1 = 15 words yields at least one
+    * shared selected fingerprint AT ANY OFFSET ALIGNMENT. Docs with
+    * fewer than w full windows keep the whole-doc minimum (the i = 0
+    * partial window), so every ≥8-word doc is represented.
+    *
+    * Scale: the stride-1 explode is |words|−7 rows per doc (the word
+    * stream), but the per-doc selection window runs BEFORE anything
+    * shuffles by fingerprint — expected selected density is
+    * 2/(w+1) ≈ 22% of hash positions, so the cross-doc exchange
+    * carries ~|words|/4.5 rows per doc, the same order as d36's
+    * stride-8 tile stream at 8× the positional coverage. The
+    * selection key is one string min over a per-doc ROWS frame — one
+    * doc_id exchange shared with any downstream per-doc window. */
+  def winnowTiles(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wsel = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 7)
+    normalized(df)
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))"
+      )).as(Seq("i", "h")))
+      // zero-padded offset rides the key so the string min IS the
+      // (hash, offset) lexicographic min — leftmost-on-ties for free
+      .withColumn("k",
+        concat(col("h"), lit("#"), lpad(col("i").cast("string"), 8, "0")))
+      .withColumn("selk", min(col("k")).over(wsel))
+      .withColumn("cnt", count(lit(1)).over(wsel))
+      // full windows only, plus the i = 0 partial window for docs
+      // shorter than w + k − 1 words (whole-doc minimum)
+      .filter(col("cnt") === 8 || col("i") === 0)
+      .select(col("doc_id"),
+        expr("CAST(substring(selk, 34, 8) AS INT)").as("pos"),
+        substring(col("selk"), 1, 32).as("tile"))
+      .distinct()
+  }
+
+  /** CTE suffix after [[docsCte]]: wtiles(doc_id, pos, tile) — the
+    * DuckDB twin of [[winnowTiles]]. */
+  val winnowTilesCte: String =
+    """, rolls AS (
+      |  SELECT doc_id, i,
+      |    md5(array_to_string(ws[(i + 1):(i + 8)], ' '))
+      |      || '#' || lpad(CAST(i AS VARCHAR), 8, '0') AS k
+      |  FROM docs, UNNEST(range(0, len(ws) - 7)) t(i)
+      |  WHERE len(ws) >= 8
+      |), winsel AS (
+      |  SELECT doc_id, i,
+      |    min(k) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS selk,
+      |    count(1) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+      |  FROM rolls
+      |), wtiles AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(substr(selk, 34, 8) AS INTEGER) AS pos,
+      |    substr(selk, 1, 32) AS tile
+      |  FROM winsel WHERE cnt = 8 OR i = 0
+      |)""".stripMargin
+
   /** Quantized embeddings: vec_id, q (array<long>, round(x*1000)),
     * norm2 (exact Σq², long). The lambda result is coalesced so `q` is
     * typed ArrayType(..., containsNull=false) — the parquet embedding

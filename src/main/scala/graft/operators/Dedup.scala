@@ -644,6 +644,51 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // OFFSET-ROBUST duplicated-span detection — closes the one gap in
+    // the d36/d90 span family: their non-overlapping stride-8 tiles
+    // give ZERO shared tiles for a verbatim cross-doc passage whose
+    // start offsets differ by k ∉ 8ℤ, so the Lee et al. 2022 analogue
+    // held only for aligned passages. Here the span unit is the
+    // WINNOWING selection over stride-1 rolling 8-word hashes
+    // ([[graft.model.Corpus.winnowTiles]], Schleimer et al. 2003):
+    // per-window minima are content-determined, so any shared passage
+    // of ≥ 15 words shares at least one selected fingerprint at ANY
+    // alignment — the spec pins a passage d90 provably misses (offsets
+    // shifted by 3) that this operator catches. Downstream is d90's
+    // shape verbatim: a fingerprint is dup when ≥2 DISTINCT docs
+    // selected it (min≠max over the fingerprint partition), runs come
+    // from gaps-and-islands over each doc's selected SEQUENCE (the
+    // selected stream replaces the tile grid, so run length counts
+    // consecutive selected dup fingerprints). Scale: ONE corpus scan;
+    // the stride-1 explode reduces to ~22% density inside the per-doc
+    // selection window BEFORE the fingerprint exchange; the flagged
+    // stream persists once and feeds the rollup AND the island windows
+    // (both keyed on doc_id, co-partitioned).
+    "d111_winnow_spans" -> { (s, dir) =>
+      val byTile = org.apache.spark.sql.expressions.Window.partitionBy("tile")
+      val bySeq = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val flagged = graft.model.Corpus
+        .winnowTiles(graft.sources.Tables.documents(s, dir))
+        .withColumn("is_dup",
+          min(col("doc_id")).over(byTile) =!= max(col("doc_id")).over(byTile))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sel"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_sel"))
+      val runs = flagged
+        .withColumn("seq", row_number().over(bySeq))
+        .filter(col("is_dup"))
+        .withColumn("grp", col("seq") - row_number().over(bySeq))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id").agg(max(col("run_len")).as("max_dup_run"))
+      agg.join(runs, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("max_dup_run"))
+        .select(col("doc_id"), col("n_sel"), col("n_dup_sel"),
+          col("max_dup_run"), (col("max_dup_run") >= 2).as("has_dup_span"))
+        .orderBy("doc_id")
+    },
+
     // Text↔embedding dedup CONSENSUS — do the two independent near-dup
     // signals (d04's MinHash-LSH over shingles, d17's cosine-LSH over
     // embeddings) agree? A production pipeline runs this before
@@ -903,6 +948,33 @@ object Dedup {
         |  GROUP BY doc_id, grp),
         |best AS (SELECT doc_id, max(run_len) AS max_dup_run FROM druns GROUP BY doc_id)
         |SELECT a.doc_id, a.n_tiles, a.n_dup_tiles,
+        |  COALESCE(b.max_dup_run, 0) AS max_dup_run,
+        |  COALESCE(b.max_dup_run, 0) >= 2 AS has_dup_span
+        |FROM agg a LEFT JOIN best b USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin),
+
+    "d111_winnow_spans" -> (Corpus.docsCte + Corpus.winnowTilesCte +
+      """, flag AS (
+        |  SELECT doc_id, pos,
+        |    min(doc_id) OVER (PARTITION BY tile)
+        |      <> max(doc_id) OVER (PARTITION BY tile) AS is_dup
+        |  FROM wtiles),
+        |seqd AS (
+        |  SELECT doc_id, pos, is_dup,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+        |  FROM flag),
+        |agg AS (
+        |  SELECT doc_id, count(1) AS n_sel,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sel
+        |  FROM flag GROUP BY doc_id),
+        |druns AS (
+        |  SELECT doc_id, count(1) AS run_len
+        |  FROM (SELECT doc_id,
+        |          seq - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM seqd WHERE is_dup) r
+        |  GROUP BY doc_id, grp),
+        |best AS (SELECT doc_id, max(run_len) AS max_dup_run FROM druns GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_sel, a.n_dup_sel,
         |  COALESCE(b.max_dup_run, 0) AS max_dup_run,
         |  COALESCE(b.max_dup_run, 0) >= 2 AS has_dup_span
         |FROM agg a LEFT JOIN best b USING (doc_id)

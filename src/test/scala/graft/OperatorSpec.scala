@@ -2408,6 +2408,91 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(2) == 0), "no clean doc in fixture")
   }
 
+  /** Driver-side brute-force winnowing over normalized word arrays —
+    * shares NOTHING with the query's window machinery. Returns per doc
+    * the selected (pos, md5hex) fingerprints in pos order. */
+  private def bruteWinnow(docs: Seq[(Long, Array[String])]): Map[Long, Seq[(Int, String)]] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    docs.collect { case (id, ws) if ws.length >= 8 =>
+      val hs = (0 to ws.length - 8).map(i => md5hex(ws.slice(i, i + 8).mkString(" ")))
+      val starts = if (hs.length < 8) Seq(0) else 0 to hs.length - 8
+      val sel = starts.map { st =>
+        val win = hs.slice(st, math.min(st + 8, hs.length)).zipWithIndex
+          .map { case (h, off) => (h, st + off) }
+        win.min // (hash, pos) lexicographic — leftmost min, the query's tie-break
+      }.distinct.map { case (h, p) => (p, h) }.sortBy(_._1)
+      id -> sel
+    }.toMap
+  }
+
+  test("d111 winnow spans: brute-force winnowing recount on the corpus, both outcomes") {
+    // (doc_id, n_sel, n_dup_sel, max_dup_run, has_dup_span)
+    val rows = SparkEntry.queries("d111_winnow_spans")(spark, sf).collect()
+    val docs = graft.model.Corpus.docs(spark, sf)
+      .select("doc_id", "ws").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray)).toSeq
+    val selected = bruteWinnow(docs)
+    val docsOf = selected.toSeq
+      .flatMap { case (id, sel) => sel.map(t => (t._2, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(rows.length == selected.size, "one row per ≥8-word doc")
+    rows.foreach { r =>
+      val (doc, ns, nd, mr, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val sel = selected(doc)
+      val dups = sel.map(t => docsOf(t._2) >= 2)
+      assert(ns == sel.length, s"n_sel($doc): $ns != ${sel.length}")
+      assert(nd == dups.count(identity), s"n_dup_sel($doc)")
+      var best = 0L; var cur = 0L
+      dups.foreach { d => if (d) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+      assert(mr == best, s"max_dup_run($doc): $mr != $best")
+      assert(flag == (best >= 2), s"has_dup_span($doc)")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "fixture must exercise both span outcomes")
+  }
+
+  test("d111 catches the offset-shifted verbatim passage d90 provably misses") {
+    // THE reason d111 exists (the r17 verdict's top task): d36/d90's
+    // non-overlapping stride-8 tiles share ZERO tiles when the same
+    // passage starts at offsets differing by k ∉ 8ℤ, so the span-dedup
+    // family claim held only for aligned passages. Fixture: one
+    // 60-word verbatim passage, doc 1 carries it at word offset 3,
+    // doc 2 at offset 0 (δ = 3 ∉ 8ℤ), all filler words disjoint.
+    val passage = (0 until 60).map(i => s"p$i")
+    val doc1 = (Seq("ax0", "ax1", "ax2") ++ passage ++ Seq("ay0", "ay1")).mkString(" ")
+    val doc2 = (passage ++ (0 until 5).map(i => s"bz$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-fx").toString
+    spark.createDataFrame(Seq(
+        (1L, doc1, "en", "fix", doc1.length.toLong),
+        (2L, doc2, "en", "fix", doc2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // d90 (stride-8 tiles): the shift makes every tile hash differ —
+    // zero dup tiles, no span flagged, on BOTH docs
+    val old = SparkEntry.queries("d90_dup_spans")(spark, dir).collect()
+    assert(old.length == 2)
+    old.foreach { r =>
+      assert(r.getLong(2) == 0L, s"d90 must miss the shifted passage (doc ${r.getLong(0)})")
+      assert(!r.getBoolean(4))
+    }
+    // d111 (winnowing): the passage interior selects identical
+    // fingerprints in both docs (content-determined selection), so
+    // both docs report a contiguous dup run — span caught
+    val nw = SparkEntry.queries("d111_winnow_spans")(spark, dir).collect()
+    assert(nw.length == 2)
+    nw.foreach { r =>
+      assert(r.getLong(2) >= 2L,
+        s"d111 must share ≥2 selected fingerprints (doc ${r.getLong(0)}: ${r.getLong(2)})")
+      assert(r.getBoolean(4),
+        s"d111 must flag the shifted passage as a dup span (doc ${r.getLong(0)})")
+    }
+  }
+
   test("b43 snapshot completeness: per-type recount, verdict law, both outcomes") {
     // (node_id, snapshot_day, n_files, n_manifest, n_schema, n_commitlog, complete)
     val rows = SparkEntry.queries("b43_snapshot_completeness")(spark, sf).collect()

@@ -316,7 +316,12 @@ class PlanAuditSpec extends SparkSpec {
       // d110: the cached signature pass + the pruned bucket lookup
       // persisted for its two pair-join sides (d103's convention);
       // all four rates ride ONE pair rollup
-      "d110_sample_dedup_bias" -> (2, 0))
+      "d110_sample_dedup_bias" -> (2, 0),
+      // d111: ONE corpus scan into the stride-1 rolling explode; the
+      // winnowing selection reduces inside the per-doc window BEFORE
+      // the fingerprint exchange, and the persisted flagged stream
+      // feeds the rollup AND the island windows (d90's shape)
+      "d111_winnow_spans" -> (1, 0))
     assertScanPins("§2.C",
       expected.map { case (k, (d, e)) =>
         k -> Map("documents" -> d, "embeddings" -> e) },
