@@ -1947,6 +1947,21 @@ class OperatorSpec extends SparkSpec {
       s"only $recovered/${rows.length} typos recovered to their original")
   }
 
+  test("q39 blocked fuzzy match equals q38 row for row (deletion-gram blocking is exact at dist ≤ 1)") {
+    // the scale variant's correctness claim IS equality with the
+    // broadcast sweep: every dist ≤ 1 candidate shares a deletion key
+    // with the dirty name, and the fixture's best is always ≤ 1, so
+    // the struct-min over blocked candidates = the min over the full
+    // catalog. Compare the full rows, not counts.
+    val full = SparkEntry.queries("q38_fuzzy_match")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val blocked = SparkEntry.queries("q39_fuzzy_blocked")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == full,
+      s"blocked variant diverged: ${blocked.size} vs ${full.size} rows, " +
+        s"first diff = ${blocked.zip(full).find(p => p._1 != p._2)}")
+  }
+
   test("s31 lateness audit: per-node brute recount, watermark question answerable") {
     // (node_id, n_events, n_late_1h, max_lag_us, late_frac)
     val rows = SparkEntry.queries("s31_stream_lateness")(spark, sf).collect()

@@ -473,7 +473,10 @@ class PlanAuditSpec extends SparkSpec {
       // (same distinct lineage; broadcast-semi clamp)
       "q37_sliding_distinct" -> Map("events" -> 2),
       // q38: the dirty feed + the bounded catalog distinct
-      "q38_fuzzy_match" -> Map("part" -> 2))
+      "q38_fuzzy_match" -> Map("part" -> 2),
+      // q39: the same two roles (dirty feed + catalog), each exploded
+      // to its deletion keys at the scan — blocking adds no pass
+      "q39_fuzzy_blocked" -> Map("part" -> 2))
     assertScanPins("§2.A/§2.B", expected,
       SparkEntry.queries.keys
         .filter(n => n.startsWith("q") || n.startsWith("b")).toSeq.sorted,

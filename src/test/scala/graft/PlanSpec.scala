@@ -525,6 +525,19 @@ class PlanSpec extends SparkSpec {
       s"dirty feed shuffled for the catalog cross:\n$p")
   }
 
+  test("q39 blocked fuzzy match pairs candidates by an EQUI join — no nested-loop, no cartesian") {
+    // the point of the variant: at huge-catalog scale the candidate
+    // pairing must be a plain key join on the bounded deletion-gram
+    // key (shuffle or broadcast HASH — both are fine, both are
+    // per-key), never a per-row sweep of the whole catalog
+    val p = SparkEntry.queries("q39_fuzzy_blocked")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked variant degenerated to a full catalog sweep:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi join on the deletion key found:\n$p")
+  }
+
   test("d73 sketch frame is persisted: both pair sides read the cache, one corpus scan") {
     // the one-corpus-scan pin is STRUCTURAL (persist), not AQE
     // best-effort reuse — the lshPairs lesson applied to the overlap
