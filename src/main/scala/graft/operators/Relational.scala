@@ -27,6 +27,53 @@ object Relational {
 
   private val one = lit(1).cast(DecimalType(18, 2))
 
+  /** x10 — q29's declared ±ε scale path AS CODE (the d34
+    * measure-don't-guess convention applied to Spark's own sketch):
+    * the same per-priority quartile panel via `percentile_approx`'s
+    * mergeable Greenwald–Khanna-style sketch — a true AGGREGATE with
+    * map-side partial merge, so nothing is ever sorted per group and
+    * the exchange carries one bounded sketch per (group, input
+    * partition) instead of every row into a per-group sort. The
+    * `accuracy` knob bounds the RANK error: the returned element (an
+    * ACTUAL input value, like q29's percentile_disc convention) sits
+    * within n/accuracy ranks of q·n. That guarantee is MEASURED, not
+    * trusted: the x10 spec recomputes every returned element's true
+    * rank interval against the exact sorted group at BOTH fixture SFs
+    * and asserts the bound. Exact q29 stays the declared baseline;
+    * this is what a 100 TB deployment actually runs. */
+  def quartilesApprox(s: SparkSession, dir: String, accuracy: Int = 100): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("ps"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+
+  /** x11 — q32's declared ±ε scale path AS CODE: the same per-status
+    * cardinality panel via `approx_count_distinct` (HyperLogLog++) —
+    * a mergeable sketch per distinct column, so the plan needs NO
+    * Expand fan-out (q32's exact plan multiplies every row by N+1
+    * grouping projections) and no distinct shuffle: one scan, one
+    * ordinary partial-merge aggregate. `rsd` is the sketch's relative
+    * standard deviation (a σ, not a bound) — so the x11 spec MEASURES
+    * the realized error against q32's exact counts at BOTH fixture
+    * SFs and pins it within a 3σ envelope (the ~5-value priority
+    * panel rides HLL++'s exact small-cardinality regime and is
+    * pinned EXACT; ~80 distinct months already shows the sketch's
+    * off-by-one). Exact q32 stays the declared baseline; this is the
+    * 100 TB shape. */
+  def multiDistinctApprox(s: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("n_customers"),
+        approx_count_distinct(col("o_orderpriority"), rsd).as("n_priorities"),
+        approx_count_distinct(date_trunc("month", col("o_orderdate")), rsd).as("n_months"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)

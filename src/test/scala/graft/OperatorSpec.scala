@@ -297,6 +297,69 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x10: approx quartiles honor the measured rank-error bound at both SFs") {
+    // q29's declared ±ε scale path, landed and MEASURED (the d34
+    // convention): percentile_approx(accuracy=A) guarantees the
+    // returned element's rank sits within n/A of q·n. Recompute every
+    // returned element's TRUE rank interval against the exact sorted
+    // group and assert the bound — at sf0.001 and sf0.01.
+    val accuracy = 100
+    for (dir <- Seq(sf, sf.replace("0.001", "0.01"))) {
+      val rows = graft.operators.Relational
+        .quartilesApprox(spark, dir, accuracy).collect()
+      assert(rows.nonEmpty)
+      val data = graft.sources.Tables.orders(spark, dir)
+        .selectExpr("o_orderpriority", "o_totalprice").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      rows.foreach { r =>
+        val v = data(r.getString(0)); val n = v.length
+        assert(r.getLong(1) == n, "group count must stay exact")
+        Seq((0.25, r.getDouble(2)), (0.50, r.getDouble(3)), (0.75, r.getDouble(4)))
+          .foreach { case (q, approx) =>
+            // the sketch must return an ACTUAL element of the group
+            assert(java.util.Arrays.binarySearch(v.toArray, approx) >= 0,
+              s"approx p$q=$approx is not an input element ($dir)")
+            // rank interval of the returned value: [#(<v)+1, #(<=v)]
+            val lo = v.count(_ < approx) + 1
+            val hi = v.count(_ <= approx)
+            val target = q * n
+            val slack = n.toDouble / accuracy + 1 // +1: discrete pick convention
+            assert(lo - slack <= target && target <= hi + slack,
+              s"rank error beyond n/accuracy at $dir ${r.getString(0)} p$q: " +
+                s"rank∈[$lo,$hi], target $target, slack $slack")
+          }
+      }
+    }
+  }
+
+  test("x11: approx distinct panel stays inside the 3σ HLL envelope at both SFs") {
+    // q32's declared ±ε scale path, landed and MEASURED: rsd is a σ,
+    // not a bound — so pin the realized |approx − exact| against
+    // 3·rsd·exact (+1 for integer rounding) per column per group;
+    // the tiny panel (priorities ~5) rides HLL++'s exact small-
+    // cardinality regime and must come back EXACT (months ~80 is
+    // already past it — measured off-by-one at sf0.001).
+    val rsd = 0.02
+    for (dir <- Seq(sf, sf.replace("0.001", "0.01"))) {
+      val approx = graft.operators.Relational
+        .multiDistinctApprox(spark, dir, rsd).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val exact = SparkEntry.queries("q32_multi_distinct")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (g, (cust, prio, mon, n)) =>
+        val (ac, ap, am, an) = approx(g)
+        assert(an == n, s"plain count must stay exact ($dir $g)")
+        assert(math.abs(ac - cust) <= 3 * rsd * cust + 1,
+          s"customers beyond 3σ at $dir $g: $ac vs $cust")
+        assert(ap == prio, s"small-cardinality panel must be exact ($dir $g): $ap vs $prio")
+        assert(math.abs(am - mon) <= 3 * rsd * mon + 1,
+          s"months beyond 3σ at $dir $g: $am vs $mon")
+      }
+    }
+  }
+
   test("d60 canonicalization collapses all four URL variants to the bare page") {
     val rows = SparkEntry.queries("d60_url_dedup")(spark, sf).collect()
     assert(rows.nonEmpty)
