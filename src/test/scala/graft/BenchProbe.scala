@@ -14,6 +14,12 @@ object BenchProbe {
       // warmup dir would leave the fixture write inside it)
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // Bench parity: Bench clears the cache before every timed pass,
+      // so operator-internal persists (bandSigs memo, d35's scored
+      // frame) must NOT carry over from the warm run — without this
+      // the probe under-reports any query whose cost hides in a
+      // persisted subtree.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
