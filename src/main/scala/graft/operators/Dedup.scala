@@ -101,14 +101,105 @@ object Dedup {
     df
   }
 
+  /** SQL fragment: all ordered pairs (i < j) from a SORTED array
+    * column `c`, one struct per pair built by `mk(a, b)` — the
+    * combination explode that replaces a key-equality SELF-join. The
+    * per-key member list arrives sorted off ONE aggregate exchange, so
+    * a < b falls out of the sort order instead of a post-join filter,
+    * and the whole candidate generation costs one Exchange instead of
+    * the join's build/probe pair plus its upstream exchanges. Memory:
+    * one key's combo array is m(m−1)/2 structs — the same m² pair
+    * fan-out the self-join streams, materialized per key; the m² term
+    * is the declared exact-baseline ceiling either way (the sketch
+    * paths are the production twins), and the join form equally
+    * buffers one key's m-row match set in its merge buffer. */
+  private def combosSql(c: String, mk: (String, String) => String): String =
+    s"flatten(transform($c, (a, i) -> " +
+      s"transform(slice($c, i + 2, size($c)), b -> ${mk("a", "b")})))"
+
+  /** Exact gram-sharing pair stats (a_id < b_id, inter, na, nb) from
+    * ONE corpus scan and TWO exchanges — the shared core of the
+    * declared-exact n-gram baselines (d02/d30/d71/d103/d104/d34/d105).
+    *
+    * Shape (guide §2.3/§2.4 — fewer exchanges, fewer bytes): the
+    * per-doc DISTINCT gram array and its size are per-row projections
+    * on the scan, so both endpoint sizes ride the gram rows INTO the
+    * self-join and the old post-aggregation sizes joins (two
+    * exchanges + a doc-keyed aggregate) vanish — min(na)/min(nb) in
+    * the pair aggregate recover the constant-per-doc sizes for free.
+    * The df = 1 pruning pass (df-count aggregate + pruning join) is
+    * dropped too: the full gram stream is materialized ONCE either
+    * way, an unshared gram joins to only itself and dies on
+    * a_id < b_id, so pruning bought a smaller join input at the price
+    * of two extra operators. The previous shape planned 6 exchanges
+    * and 3 corpus scans; this plans 2 exchanges over one cached
+    * stream and 1 scan, with identical output (same distinct-gram
+    * multiset per doc, same pairs, same exact integers).
+    *
+    * The (doc_id, n, gram) stream is PERSISTED per (session, dir) —
+    * same pattern and lifecycle as [[bandSigsPersisted]] — for two
+    * measured reasons, not convenience: (1) both join sides and any
+    * co-running consumer (d34/d104 pair exact + probe) read one
+    * materialization; (2) WITHOUT the cache barrier, Catalyst inlines
+    * the `ga` projection into every pushed-down filter — the
+    * normText→split→transform→array_distinct chain re-evaluates ~6×
+    * per row (no cross-operator subexpression elimination) and d02
+    * measured 150 s at sf0.1 vs ~6 s baseline. The cache bounds that
+    * chain to exactly once per row, structurally.
+    *
+    * NOT the collect_list + combination-explode form: measured 12×
+    * SLOWER at sf0.1 (75.9 s vs 6.2 s for d02) — a boilerplate gram
+    * shared by m docs builds its m²/2 pair structs inside ONE
+    * interpreted higher-order expression on one core, while the
+    * codegen'd self-join streams the same pairs through the merge. */
+  private val gramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def gramStreamPersisted(s: SparkSession, dir: String): DataFrame = {
+    gramMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // The explode child MUST stay a non-attribute EXPRESSION: exploding
+    // a projected array attribute lets InferFiltersFromGenerate add
+    // size(ga) > 0 / isnotnull(ga) filters whose pushdown substitutes
+    // ga's DEFINITION — the normText→split→transform chain then
+    // re-evaluates per array element inside the filter (measured 70 s
+    // vs 1.5 s for this stream alone at sf0.1). The transform-to-struct
+    // below keeps ga referenced ≥2× (CollapseProject leaves its
+    // projection intact, computed once per doc) and the generator child
+    // an expression (no filter inference), while carrying the per-doc
+    // distinct-gram count on every element.
+    val df = gramMemo.computeIfAbsent((s, dir), _ =>
+      Corpus.docs(s, dir).filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), Corpus.gramsArr.as("ga"))
+        .select(col("doc_id"), explode(expr(
+          "transform(ga, g -> named_struct('gram', g, 'n', CAST(size(ga) AS BIGINT)))")).as("z"))
+        .select(col("doc_id"), col("z.n").as("n"), col("z.gram").as("gram")))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+  private def gramPairStats(s: SparkSession, dir: String): DataFrame = {
+    val dg = gramStreamPersisted(s, dir)
+    val a = dg.select(col("gram"), col("doc_id").as("a_id"), col("n").as("na"))
+    val b = dg.select(col("gram"), col("doc_id").as("b_id"), col("n").as("nb"))
+    a.join(b, Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"))
+  }
+
   /** LSH candidate pairs (a_id < b_id, n_shared_bands) — d04's output
-    * without the presentation sort, shared with d24's clustering. */
+    * without the presentation sort, shared with d24's clustering.
+    * Same combination-explode shape as [[gramPairStats]]: one
+    * groupBy(band, sig) over the persisted signatures replaces the
+    * signature self-join (one exchange fewer, no join build). */
   private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = bandSigsPersisted(s, dir)
-    val a = sig.toDF("a_id", "band", "sig")
-    val b = sig.toDF("b_id", "band", "sig")
-    a.join(b, Seq("band", "sig"))
-      .filter(col("a_id") < col("b_id"))
+    sig.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(combosSql("ds", (a, b) =>
+        s"named_struct('a_id', $a, 'b_id', $b)"))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -138,40 +229,19 @@ object Dedup {
     * d02's output without the presentation sort, shared with the d34
     * recall evaluation.
     *
-    * Exact pruning: a gram held by ONE doc can never be shared, so it
-    * contributes nothing to |∩| — and |∪| comes from the full per-doc
-    * sizes, so dropping df=1 grams before the quadratic self-join
-    * changes nothing in the output while shrinking the join input to
-    * the shareable minority. The df count is a hash AGGREGATE (map-side
-    * partial combine, shuffle carries one row per distinct gram),
-    * deliberately NOT a full-frame window over the gram rows — the
-    * window variant is sort-based with no partial aggregation and
-    * measured 7× slower at sf0.1. A full SSJoin-style prefix-filter
-    * variant (rank grams by df within each doc, join on rare-gram
-    * prefixes, score candidates via array_intersect) was also measured:
-    * 3× SLOWER here (9.4s vs 3.2s) — the rank window + per-doc gram
-    * arrays cost more than the candidate reduction saves at this
-    * corpus's sharing profile; d04's MinHash banding remains the scale
-    * path. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val g = Corpus.grams(s, dir)
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shareable = g.groupBy("gram")
-      .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
-      .select("gram")
-    val gf = g.join(shareable, Seq("gram"))
-    val a = gf.toDF("gram", "a_id")
-    val b = gf.toDF("gram", "b_id")
-    a.join(b, Seq("gram"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("a_id", "na"), Seq("a_id"))
-      .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+    * Pair generation rides [[gramPairStats]] (one scan, two
+    * exchanges); the Jaccard is the one-shot divide of its exact
+    * integers. Rejected alternatives, measured in earlier rounds on
+    * the pre-r18 self-join shape: df-count as a full-frame window (7×
+    * slower than the hash agg — sort-based, no partials), SSJoin-style
+    * prefix filtering (3× slower — the rank window + per-doc arrays
+    * cost more than the candidate reduction saves here); d04's MinHash
+    * banding remains the scale path. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    gramPairStats(s, dir)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-  }
 
   /** DuckDB CTE `exact(a_id, b_id)` — the oracle twin of
     * [[jaccardPairs]] (projected to the pair keys), appended after a
@@ -343,21 +413,27 @@ object Dedup {
       // Pairing via pigeonhole banding: split the 32-bit fp into 3
       // bands (11+11+10 bits). hamming ≤ 2 means at most 2 bands can
       // differ, so every qualifying pair is bit-identical in ≥1 band —
-      // the candidate join is an EQUI-join on (band_idx, band_bits)
-      // (shuffle-partitioned, scales like LSH), never an all-pairs
-      // nested loop. Recall is exact, so the all-pairs oracle matches.
+      // candidates group by (band_idx, band_bits) (shuffle-partitioned,
+      // scales like LSH), never an all-pairs nested loop. Recall is
+      // exact, so the all-pairs oracle matches.
       val bands = fp.select(col("doc_id"), col("fp"), expr(
         """explode(array(
           |  struct(0 AS bi, fp & 2047 AS bv),
           |  struct(1 AS bi, shiftright(fp, 11) & 2047 AS bv),
           |  struct(2 AS bi, shiftright(fp, 22) & 1023 AS bv))) AS b""".stripMargin))
         .select(col("doc_id"), col("fp"), col("b.bi"), col("b.bv"))
-      val a = bands.toDF("a_id", "fp_a", "bi", "bv")
-      val b2 = bands.toDF("b_id", "fp_b", "bi", "bv")
-      a.join(b2, Seq("bi", "bv"))
-        .filter(col("a_id") < col("b_id"))
+      // candidate pairs via the combination explode over each band
+      // bucket (the gramPairStats shape) — one exchange replaces the
+      // band self-join; hamming filters BEFORE the dedup shuffle
+      bands.groupBy("bi", "bv")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(combosSql("ds", (a, b) =>
+          s"named_struct('a_id', $a.doc_id, 'fp_a', $a.fp, 'b_id', $b.doc_id, 'fp_b', $b.fp)"))).as("p"))
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+          col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
         .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
-        .filter(col("hamming") <= 2) // filter BEFORE the dedup shuffle
+        .filter(col("hamming") <= 2)
         .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
         .distinct() // a pair may collide in 2-3 bands
         .orderBy("a_id", "b_id")
@@ -394,13 +470,14 @@ object Dedup {
       val nMatch = (0 until 16)
         .map(i => when(col(s"ma$i") === col(s"mb$i"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val g = Corpus.grams(s, dir)
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = g.select(col("gram"), col("doc_id").as("a_id"))
-        .join(g.select(col("gram"), col("doc_id").as("b_id")), Seq("gram"))
-        .filter(col("a_id") < col("b_id"))
-        .join(cand, Seq("a_id", "b_id"), "left_semi")
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      // sizes is one tiny aggregate over the CACHED gram stream (n is
+      // constant per doc) — no extra corpus scan; the exact |∩| rides
+      // the shared pair core (candidates that share NO gram stay
+      // inter=0 via the left join below, so the old per-pair semi-join
+      // restriction is subsumed)
+      val sizes = gramStreamPersisted(s, dir)
+        .groupBy("doc_id").agg(min(col("n")).as("n"))
+      val inter = gramPairStats(s, dir).select("a_id", "b_id", "inter")
       cand
         .join(a, Seq("a_id")).join(b, Seq("b_id"))
         .withColumn("n_match", nMatch)
@@ -446,20 +523,9 @@ object Dedup {
     },
 
     "d30_containment" -> { (s, dir) =>
-      val g = Corpus.grams(s, dir)
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shareable = g.groupBy("gram")
-        .agg(count(lit(1)).as("gc")).filter(col("gc") > 1)
-        .select("gram")
-      val gf = g.join(shareable, Seq("gram"))
-      val a = gf.toDF("gram", "a_id")
-      val b = gf.toDF("gram", "b_id")
-      a.join(b, Seq("gram"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
-        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+      // same one-scan/two-exchange pair core as d02 ([[gramPairStats]]);
+      // only the metric differs (min-denominator instead of union)
+      gramPairStats(s, dir)
         .withColumn("containment",
           col("inter").cast("double") / least(col("na"), col("nb")))
         .filter(col("containment") >= 0.8)
@@ -504,11 +570,14 @@ object Dedup {
     // join and the cost aggregate both consume it (d72's convention).
     "d105_lsh_band_curve" -> { (s, dir) =>
       val sig = bandSigsPersisted(s, dir)
-      val a = sig.toDF("a_id", "band", "sig")
-      val b = sig.toDF("b_id", "band", "sig")
-      val firstBand = a.join(b, Seq("band", "sig"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
+      // lshPairs' combination-explode shape, keeping min(band) instead
+      // of the shared-band count — one exchange instead of a self-join
+      val firstBand = sig.groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(col("band"), explode(expr(combosSql("ds", (a, b) =>
+          s"named_struct('a_id', $a, 'b_id', $b)"))).as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .agg(min(col("band")).as("first_band"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = jaccardPairs(s, dir).select("a_id", "b_id")

@@ -77,8 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     //   2  = a second legitimate pass (self-join payload probe, d15's
     //        two k-means passes, tf×df joins, d43's ≤100-doc bench
     //        slice);
-    //   3+ = the declared exact baselines' gram-join sides (d02/d30),
-    //        d22's three input roles, d34's exact+sketch QA pair.
+    //   3+ = d22's three input roles, d104's eval chain.
+    //   (r18: the exact gram baselines d02/d30/d71 collapsed to ONE
+    //   scan — pair stats now ride a single groupBy(gram) + combo
+    //   explode instead of the 3-scan self-join pipeline.)
     // A count BELOW the pin is progress: tighten the pin.
     // d24's corpus work happens inside localCheckpoint materialization,
     // opaque to the final plan — it is counted with the listener-based
@@ -86,9 +88,9 @@ class PlanAuditSpec extends SparkSpec {
     // caller AND loop session), which sees the real materialization:
     // ONE documents scan for the whole iterative clustering.
     val expected: Map[String, (Int, Int)] = Map( // name -> (documents, embeddings)
-      "d01_dedup_exact" -> (1, 0), "d02_dedup_ngram" -> (3, 0),
+      "d01_dedup_exact" -> (1, 0), "d02_dedup_ngram" -> (1, 0),
       "d03_minhash" -> (1, 0), "d04_minhash_lsh" -> (1, 0),
-      "d05_simhash" -> (2, 0), "d06_cosine_topk" -> (0, 2),
+      "d05_simhash" -> (1, 0), "d06_cosine_topk" -> (0, 2),
       "d07_ann_lsh" -> (0, 2), "d08_langid" -> (1, 0),
       "d09_quality" -> (1, 0), "d10_tokens" -> (1, 0),
       "d11_fingerprint" -> (1, 0), "d12_embed_norm" -> (0, 1),
@@ -100,9 +102,9 @@ class PlanAuditSpec extends SparkSpec {
       "d23_corpus_mix" -> (1, 0), "d24_dup_clusters" -> (1, 0),
       "d25_pii_scrub" -> (1, 0), "d26_kmv_by_source" -> (1, 0),
       "d27_clip_dedup" -> (2, 0), "d28_corpus_stats" -> (1, 0),
-      "d29_repetition" -> (2, 0), "d30_containment" -> (3, 0),
+      "d29_repetition" -> (2, 0), "d30_containment" -> (1, 0),
       "d31_url_extract" -> (1, 0), "d32_embed_quant" -> (0, 1),
-      "d33_zorder" -> (1, 0), "d34_lsh_recall" -> (4, 0),
+      "d33_zorder" -> (1, 0), "d34_lsh_recall" -> (2, 0),
       "d35_semdedup" -> (0, 1), "d36_tile_dedup" -> (2, 0),
       "d37_lm_novelty" -> (2, 0), "d38_corpus_sample" -> (1, 0),
       "d39_seq_pack" -> (1, 0), "d40_cell_balance" -> (0, 1),
@@ -191,10 +193,9 @@ class PlanAuditSpec extends SparkSpec {
       // d70: all five column panels ride ONE scan's Expand; the melt
       // explodes the 1-row aggregate
       "d70_profile" -> (1, 0),
-      // d71: the exact-pair pipeline's three gram passes (pair sides
-      // + sizes, the d34 baseline); the threshold sweep reads the
-      // persisted pair frame, never the corpus
-      "d71_dedup_curve" -> (3, 0),
+      // d71: ONE gram pass (the r18 pair core); the threshold sweep
+      // reads the persisted pair frame, never the corpus
+      "d71_dedup_curve" -> (1, 0),
       // d72: one corpus scan builds the quality-scored link stream;
       // the tier window runs over the bounded domain table
       "d72_domain_reputation" -> (1, 0),
@@ -284,19 +285,18 @@ class PlanAuditSpec extends SparkSpec {
       // d102: two per-row passes joined on doc_id (d77's two-pass
       // shape: quality scalar + gopher panel), 20-bin bounded agg
       "d102_quality_calibration" -> (2, 0),
-      // d103: d02's three-pass gram pipeline + ONE pruned
+      // d103: d02's one-pass gram pair core + ONE pruned
       // (doc_id, source) scan persisted for its two join sides
-      "d103_dup_provenance" -> (4, 0),
+      "d103_dup_provenance" -> (2, 0),
       // d104: the cached signature pass + minhashWide's gram scan +
-      // three gram passes (sizes + both sides of the candidate-
-      // restricted exact-intersection join) = 5; the exact join's
-      // passes only feed the EVALUATION — the production path being
-      // judged is the 2-scan sketch side
-      "d104_containment_est" -> (5, 0),
-      // d105: the d34 shape (exact gram baseline 3 + the cached band
+      // the cached one-pass exact-intersection core = 3 (sizes rides
+      // the cached gram stream); the exact passes only feed the
+      // EVALUATION — the production path judged is the sketch side
+      "d104_containment_est" -> (3, 0),
+      // d105: the d34 shape (exact gram baseline 1 + the cached band
       // signatures 1); the b=1..4 sweep adds ZERO passes — one
       // first-band pair rollup feeds all four budgets
-      "d105_lsh_band_curve" -> (4, 0),
+      "d105_lsh_band_curve" -> (2, 0),
       // d106: d24's ONE clustering pass (cached signatures, counted
       // with the listener like d24) + the column-pruned corpus count;
       // the singleton row derives from the histogram, never a second
