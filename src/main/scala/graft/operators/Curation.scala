@@ -334,12 +334,19 @@ object Curation {
     * would grow geometrically and the driver would re-analyze
     * exponentially many copies of the upstream pipeline. Checkpointing
     * pins each round to its materialized blocks, so every loop plan
-    * stays O(1) size. Trade-off (same as GraphX's iterative cut):
-    * checkpoint blocks are executor-local, so an executor loss
-    * mid-loop fails the query instead of recomputing — acceptable for
-    * a seconds-long loop; a long-lived cluster deployment would set a
-    * reliable checkpoint dir and use Dataset.checkpoint on the same
-    * cadence. */
+    * stays O(1) size. The checkpoints are LAZY (r18): a lazy
+    * localCheckpoint truncates the logical plan identically (the
+    * Dataset wraps a LogicalRDD either way) while the round's one
+    * convergence-signature action materializes the blocks — the eager
+    * form spent a separate job per round on materialization alone,
+    * and on a KB-scale edge set each loop job is pure scheduling
+    * overhead (measured ~3.9 s of the d24 query was this loop's 8
+    * jobs; halving the job count halves that). Trade-off (same as
+    * GraphX's iterative cut): checkpoint blocks are executor-local,
+    * so an executor loss mid-loop fails the query instead of
+    * recomputing — acceptable for a seconds-long loop; a long-lived
+    * cluster deployment would set a reliable checkpoint dir and use
+    * Dataset.checkpoint on the same cadence. */
   private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val p2 = pairs.toDF("a_id", "b_id")
     // canonical undirected edges (lo < hi), deduplicated — materialized
@@ -351,7 +358,7 @@ object Curation {
       .select(least(col("a_id"), col("b_id")).as("lo"),
         greatest(col("a_id"), col("b_id")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the initial sig() below
     // loop-local tuning: the contraction rounds run over the clustered
     // minority (KBs–MBs even when the corpus is 100 TB — the edge set
     // is the candidate-pair output, not the corpus), so each round's
@@ -366,10 +373,27 @@ object Curation {
     // even on a 100 TB corpus, and 8-partition exchanges over KBs are
     // pure scheduling overhead — tiered so a genuinely large minority
     // still fans out (≈16 B/edge: tier 2 ≈ ≤1 GB, ≈128 MB/task)
-    val m0 = e0.count()
+    // EXACT fixpoint detection from one tiny agg per round: every edge
+    // a star pass actually rewrites strictly lowers its partner to the
+    // neighborhood minimum, so Σ(lo+hi) over the canonical set is
+    // MONOTONE-DECREASING and (count, Σ) unchanged ⟺ no edge changed
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("lo") + col("hi")).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    // the initial convergence signature doubles as the edge count —
+    // ONE action materializes e0's checkpoint, sizes the loop tier,
+    // and seeds the fixpoint check (previously three separate jobs:
+    // eager checkpoint, count, initial sig)
+    val prev0 = sig(e0)
+    val m0 = prev0._1
     val loop = loopSession(s,
       if (m0 <= 200000L) 1 else if (m0 <= 64000000L) 8 else 64)
-    var edges = loop.createDataFrame(e0.rdd, e0.schema).localCheckpoint()
+    // no second checkpoint: e0's blocks are already pinned; the bridge
+    // frame is a LogicalRDD wrapper (O(1) plan) over them
+    var edges = loop.createDataFrame(e0.rdd, e0.schema)
 
     // LARGE-STAR: every strictly-larger neighbor of u hooks to
     // m = min(N(u) ∪ {u}) — long chains fold toward minima
@@ -399,27 +423,19 @@ object Curation {
       rewired.union(hooked).filter(col("lo") =!= col("hi")).distinct()
     }
 
-    // EXACT fixpoint detection from one tiny agg per round: every edge
-    // a star pass actually rewrites strictly lowers its partner to the
-    // neighborhood minimum, so Σ(lo+hi) over the canonical set is
-    // MONOTONE-DECREASING and (count, Σ) unchanged ⟺ no edge changed
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum((col("lo") + col("hi")).cast("decimal(38,0)"))).first()
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
     // ONE materialization per LS/SS round — a longer un-checkpointed
     // stride is a measured loser: each star pass references its input
     // ~3× (sym/canon feed both the min-agg and the join), so chaining
     // k passes lazily grows the logical plan 3^k-fold and the
     // analyzer/optimizer swamps the actual µs of data work (stride-2
-    // measured 6× slower than per-round checkpoints on the same graph)
-    var prev = sig(edges)
+    // measured 6× slower than per-round checkpoints on the same graph).
+    // The checkpoint is lazy: the round's sig() action materializes it,
+    // so each round costs exactly ONE job.
+    var prev = prev0
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = sig(edges)
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
@@ -444,7 +460,7 @@ object Curation {
     val labels = edges.select(col("hi").as("id"), col("lo").as("lbl"))
       .unionAll(edges.select(col("lo")).distinct()
         .select(col("lo").as("id"), col("lo").as("lbl")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the caller's first action materializes
     // bridge the result BACK to the caller's session: a frame left
     // bound to the loop session would silently plan every downstream
     // consumer with AQE off and 8 partitions
