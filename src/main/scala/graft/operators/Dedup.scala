@@ -464,7 +464,15 @@ object Dedup {
     // cross-engine.
     "d104_containment_est" -> { (s, dir) =>
       val cand = lshPairs(s, dir).select("a_id", "b_id")
-      val aw = minhashWide(s, dir)
+      // signatures recomputed from the CACHED gram stream (shared with
+      // the exact-intersection core below) instead of minhashWide's own
+      // corpus scan — same distinct gram set per doc, same md5 hash
+      // family, so bit-identical signatures at one fewer documents pass
+      val aw = gramStreamPersisted(s, dir)
+        .withColumn("hs", graft.functions.MinHash16(col("gram")))
+        .groupBy("doc_id")
+        .agg(min(element_at(col("hs"), 1)).as("m0"),
+          (1 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
       val a = aw.toDF(("a_id" +: (0 until 16).map(i => s"ma$i")): _*)
       val b = aw.toDF(("b_id" +: (0 until 16).map(i => s"mb$i")): _*)
       val nMatch = (0 until 16)

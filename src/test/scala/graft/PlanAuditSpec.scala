@@ -288,11 +288,11 @@ class PlanAuditSpec extends SparkSpec {
       // d103: d02's one-pass gram pair core + ONE pruned
       // (doc_id, source) scan persisted for its two join sides
       "d103_dup_provenance" -> (2, 0),
-      // d104: the cached signature pass + minhashWide's gram scan +
-      // the cached one-pass exact-intersection core = 3 (sizes rides
-      // the cached gram stream); the exact passes only feed the
+      // d104: the cached signature pass + the cached gram stream = 2
+      // (wide signatures, exact intersections AND sizes all ride the
+      // one cached gram pass); the exact passes only feed the
       // EVALUATION — the production path judged is the sketch side
-      "d104_containment_est" -> (3, 0),
+      "d104_containment_est" -> (2, 0),
       // d105: the d34 shape (exact gram baseline 1 + the cached band
       // signatures 1); the b=1..4 sweep adds ZERO passes — one
       // first-band pair rollup feeds all four budgets
