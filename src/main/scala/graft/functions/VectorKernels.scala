@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Codegen kernels over quantized (long) vectors — the hot inner loops
   * of the similarity operators. `zip_with + aggregate` builds an
@@ -190,4 +190,89 @@ object PrefixDotsLong {
 object SqDistLong {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(SqDistLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** ADC table-lookup sum: Σ_j lut[j·stride + codes[j]] (0-based) — the
+  * asymmetric-distance inner loop of PQ serving (d80/d81). The
+  * `aggregate(sequence(0, m-1), …)` higher-order formulation this
+  * replaces is CodegenFallback: every candidate row paid an
+  * interpreted 8-step fold with two boxed `element_at` calls per step
+  * INSIDE the whole-stage-codegen pipeline's hottest stream (one row
+  * per (query, cell-mate)). This emits the same sum as one primitive
+  * loop. Contract: codes[j] ∈ [0, stride); a null or out-of-range
+  * element contributes 0 (the family's skip-null convention — never
+  * exercised by graft's own plans, whose codes are coalesced and
+  * bounded by construction). */
+case class LutSumLong(left: Expression, right: Expression, stride: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_lut_sum_long"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _))
+          if stride > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint> lut, array<int> codes, stride > 0), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, $stride)")
+    }
+
+  /** Same lazily-computed guard-elision as [[LongVecKernel]]: graft's
+    * own plans build both sides containsNull=false, so the hot loop is
+    * branch-free; SQL callers with nullable elements keep the defined
+    * skip behavior. */
+  @transient private[graft] lazy val mayContainNullElems: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0L; var j = 0
+    while (j < m) {
+      if (!mayContainNullElems || !codes.isNullAt(j)) {
+        val idx = j * stride + codes.getInt(j)
+        if (idx >= 0 && idx < n && (!mayContainNullElems || !lut.isNullAt(idx)))
+          acc += lut.getLong(idx)
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      val codeGuard =
+        if (mayContainNullElems) s"if ($b.isNullAt($j)) continue;" else ""
+      val lutGuard = if (mayContainNullElems) s" && !$a.isNullAt($idx)" else ""
+      s"""
+        |final int $m = $b.numElements();
+        |final int $n = $a.numElements();
+        |long $acc = 0L;
+        |for (int $j = 0; $j < $m; $j++) {
+        |  $codeGuard
+        |  final int $idx = $j * $stride + $b.getInt($j);
+        |  if ($idx >= 0 && $idx < $n$lutGuard) $acc += $a.getLong($idx);
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LutSumLong =
+    copy(left = l, right = r)
+}
+
+object LutSumLong {
+  def apply(lut: Column, codes: Column, stride: Int): Column =
+    GraftBridge.column(
+      LutSumLong(GraftBridge.expression(lut), GraftBridge.expression(codes), stride))
 }

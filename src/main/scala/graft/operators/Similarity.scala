@@ -616,9 +616,12 @@ object Similarity {
       .filter(col("cell") >= 0)
     a.join(pq, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS LONG),
-           |  (acc, j) -> acc + element_at(lut, j * $PqC + element_at(codes, j + 1) + 1))""".stripMargin))
+      // one primitive codegen loop per candidate (LutSumLong) — the
+      // aggregate(sequence(…)) HOF it replaces is CodegenFallback and
+      // paid an interpreted 8-step fold per (query, cell-mate) row;
+      // identical sum: Σ_j lut[j·PqC + codes[j]] in the same j order
+      .withColumn("adc",
+        graft.functions.LutSumLong(col("lut"), col("codes"), PqC))
       .withColumn("cos_pq", col("adc").cast("double")
         / (sqrt(col("na").cast("double")) * sqrt(col("rnb").cast("double"))))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -42,6 +42,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist_long"),
       new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
       checked("graft_sqdist_long", 2)(c => SqDistLong(c(0), c(1)))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lut_sum_long"),
+      new ExpressionInfo(classOf[LutSumLong].getName, "graft_lut_sum_long"),
+      checked("graft_lut_sum_long", 3) { c =>
+        // stride parameterizes the generated loop, so it must be a
+        // literal — a column-valued stride would mean a different
+        // kernel per row (the graft_kmv k-literal convention)
+        val stride = c(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lut_sum_long(lut, codes, stride): stride must be an integer literal, got $other")
+        }
+        LutSumLong(c(0), c(1), stride)
+      }
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash16"),

@@ -200,6 +200,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("LutSumLong equals the aggregate-HOF ADC fold, interpreted and codegen") {
+    val stride = 16
+    // random-ish deterministic fixture: 40 rows of (128-entry lut,
+    // 8 codes in [0, 16)) — the d80/d81 ADC shape
+    val df = spark.range(0, 40)
+      .selectExpr(
+        "id",
+        "transform(sequence(0, 127), i -> CAST(hash(id, i) AS LONG)) AS lut",
+        "transform(sequence(0, 7), j -> CAST(pmod(hash(id, j, 7), 16) AS INT)) AS codes")
+      .withColumn("k", graft.functions.LutSumLong(col("lut"), col("codes"), stride))
+      .withColumn("h", expr(
+        s"""aggregate(sequence(0, 7), CAST(0 AS LONG),
+           |  (acc, j) -> acc + element_at(lut, j * $stride + element_at(codes, j + 1) + 1))""".stripMargin))
+    df.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("k")) == r.getLong(r.fieldIndex("h")),
+        s"kernel != HOF fold at id=${r.getLong(0)}")
+    }
+    // SQL registration (x02) reaches the same kernel
+    df.createOrReplaceTempView("lut_fixture")
+    val viaSql = spark.sql(
+      s"SELECT graft_lut_sum_long(lut, codes, $stride) AS k2, h FROM lut_fixture")
+    viaSql.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // defined edge behavior: null code elements and out-of-range
+    // indices contribute 0 (the family skip-null convention)
+    val edge = spark.sql(
+      """SELECT graft_lut_sum_long(
+        |  array(CAST(10 AS LONG), CAST(20 AS LONG), CAST(30 AS LONG), CAST(40 AS LONG)),
+        |  array(CAST(1 AS INT), CAST(NULL AS INT), CAST(99 AS INT)), 1) AS v""".stripMargin)
+      .collect().head.getLong(0)
+    assert(edge == 20L, s"null/out-of-range elements must contribute 0, got $edge")
+  }
+
   test("null-element guard is emitted only for nullable-element arrays") {
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
