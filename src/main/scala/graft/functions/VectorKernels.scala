@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructType}
 
 /** Codegen kernels over quantized (long) vectors — the hot inner loops
   * of the similarity operators. `zip_with + aggregate` builds an
@@ -275,4 +275,105 @@ object LutSumLong {
   def apply(lut: Column, codes: Column, stride: Int): Column =
     GraftBridge.column(
       LutSumLong(GraftBridge.expression(lut), GraftBridge.expression(codes), stride))
+}
+
+/** Two-nearest-centroid fold: given a vector and the broadcast sorted
+  * centroid array (struct<c:int, cv:array<bigint>>, ascending c), emit
+  * [d1, c1, d2, c2] as array<bigint> — the top-2 (squared distance,
+  * cell) accumulator pair under strict `<` (ties resolve to the
+  * earlier = lower cell, mirroring ORDER BY d ASC, c ASC).
+  *
+  * This is [[graft.operators.Similarity.assignTop2]]'s inner loop,
+  * which every IVF-family probe runs once per corpus row. The
+  * `aggregate(transform(cents, …))` higher-order formulation it
+  * replaces is CodegenFallback: per row it allocated one struct per
+  * centroid, then folded interpreted with a boxed 4-field struct per
+  * step, the sqdist kernel inside evaluated via nullSafeEval — the
+  * d80 ADC lesson applied to the assignment side. Null struct
+  * elements / fields / vector elements are skipped (the family
+  * convention; graft's own plans are containsNull=false throughout).
+  * Fewer than two (or zero) centroids leave c2 (c1) at -1 with the
+  * distance at Long.MaxValue — the HOF fold's init values. */
+case class ArgminTop2Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_argmin_top2_long"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+          ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == IntegerType &&
+            f1.dataType.isInstanceOf[ArrayType] &&
+            f1.dataType.asInstanceOf[ArrayType].elementType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint> q, array<struct<c:int, cv:array<bigint>>> cents), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  @transient private[graft] lazy val guarded: Boolean =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, qn), ArrayType(StructType(fs), cn)) =>
+        qn || cn || fs.exists(_.nullable) ||
+          fs(1).dataType.asInstanceOf[ArrayType].containsNull
+      case _ => true
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArgminTop2Kernel.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], guarded)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArgminTop2Kernel.compute($a, $b, $guarded);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminTop2Long =
+    copy(left = l, right = r)
+}
+
+object ArgminTop2Long {
+  def apply(q: Column, cents: Column): Column =
+    GraftBridge.column(
+      ArgminTop2Long(GraftBridge.expression(q), GraftBridge.expression(cents)))
+}
+
+object ArgminTop2Kernel {
+  def compute(q: ArrayData, cents: ArrayData, guarded: Boolean): ArrayData = {
+    val k = cents.numElements()
+    val qn = q.numElements()
+    var d1 = Long.MaxValue; var c1 = -1L
+    var d2 = Long.MaxValue; var c2 = -1L
+    var i = 0
+    while (i < k) {
+      if (!guarded || !cents.isNullAt(i)) {
+        val e = cents.getStruct(i, 2)
+        if (!guarded || (!e.isNullAt(0) && !e.isNullAt(1))) {
+          val c = e.getInt(0)
+          val cv = e.getArray(1)
+          val n = math.min(qn, cv.numElements())
+          var d = 0L; var t = 0
+          if (guarded) {
+            while (t < n) {
+              if (!q.isNullAt(t) && !cv.isNullAt(t)) {
+                val dx = q.getLong(t) - cv.getLong(t); d += dx * dx
+              }
+              t += 1
+            }
+          } else {
+            while (t < n) {
+              val dx = q.getLong(t) - cv.getLong(t); d += dx * dx
+              t += 1
+            }
+          }
+          if (d < d1) { d2 = d1; c2 = c1; d1 = d; c1 = c }
+          else if (d < d2) { d2 = d; c2 = c }
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(d1, c1, d2, c2))
+  }
 }

@@ -88,18 +88,17 @@ object Similarity {
     val centsArr = cents
       .agg(expr("array_sort(collect_list(struct(c, cv)))").as("cents"))
     q.crossJoin(broadcast(centsArr))
-      .withColumn("top2", expr(
-        s"""aggregate(
-           |  transform(cents, ce -> named_struct('d', graft_sqdist_long(q, ce.cv), 'c', ce.c)),
-           |  named_struct('d1', CAST(${Long.MaxValue} AS LONG), 'c1', CAST(-1 AS INT),
-           |               'd2', CAST(${Long.MaxValue} AS LONG), 'c2', CAST(-1 AS INT)),
-           |  (acc, e) -> CASE
-           |    WHEN e.d < acc.d1 THEN named_struct('d1', e.d, 'c1', e.c, 'd2', acc.d1, 'c2', acc.c1)
-           |    WHEN e.d < acc.d2 THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'd2', e.d, 'c2', e.c)
-           |    ELSE acc END)""".stripMargin))
-      .withColumn("cell1", col("top2.c1"))
-      .withColumn("cell2", col("top2.c2"))
-      .withColumn("dist1", col("top2.d1"))
+      // one primitive codegen loop per row (ArgminTop2Long) — the
+      // aggregate(transform(cents, …)) HOF it replaces was
+      // CodegenFallback: per vector it allocated √n (d, c) structs and
+      // folded them interpreted (the d80 ADC lesson). Same fold: same
+      // ascending-c order, strict `<`, MaxValue/-1 init → identical
+      // (cell1, cell2, dist1) bit-for-bit.
+      .withColumn("top2",
+        graft.functions.ArgminTop2Long(col("q"), col("cents")))
+      .withColumn("cell1", expr("CAST(top2[1] AS INT)"))
+      .withColumn("cell2", expr("CAST(top2[3] AS INT)"))
+      .withColumn("dist1", col("top2").getItem(0))
       // passthrough: every input column survives (d75 rides `label`
       // through the assignment); (vec_id, q, norm2) callers see the
       // exact pre-refactor schema

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{ArgminTop2Long, CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -42,6 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist_long"),
       new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
       checked("graft_sqdist_long", 2)(c => SqDistLong(c(0), c(1)))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmin_top2_long"),
+      new ExpressionInfo(classOf[ArgminTop2Long].getName, null,
+        "graft_argmin_top2_long",
+        "_FUNC_(q, cents) - Two-nearest-centroid fold over array<struct<c:int, " +
+          "cv:array<bigint>>> `cents` (pass it ascending-sorted by c so distance " +
+          "ties resolve to the lower cell): returns [d1, c1, d2, c2] as " +
+          "array<bigint>, with MaxValue/-1 when fewer than 1/2 centroids exist.", ""),
+      checked("graft_argmin_top2_long", 2)(c => ArgminTop2Long(c(0), c(1)))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_lut_sum_long"),

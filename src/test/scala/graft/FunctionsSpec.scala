@@ -232,6 +232,46 @@ class FunctionsSpec extends SparkSpec {
     assert(edge == 20L, s"null/out-of-range elements must contribute 0, got $edge")
   }
 
+  test("ArgminTop2Long equals the aggregate-HOF top-2 fold, with tie-break and <2-centroid edges") {
+    // the assignTop2 shape: corpus vectors × one broadcast sorted
+    // centroid-array row; the kernel must match the HOF fold on every
+    // row, including distance ties (earlier = lower cell wins)
+    val q = graft.model.Corpus.qvecs(spark, sf).limit(60).select("vec_id", "q")
+    val cents = graft.operators.Similarity.centroids(spark, 7L)
+    // duplicate centroid 3's vector as cell 6 → guaranteed tie rows
+    val tied = cents.where(col("c") =!= 6)
+      .unionByName(cents.where(col("c") === 3).select(lit(6).cast("int").as("c"), col("cv")))
+    val centsArr = tied.agg(expr("array_sort(collect_list(struct(c, cv)))").as("cents"))
+    val both = q.crossJoin(broadcast(centsArr))
+      .withColumn("k", graft.functions.ArgminTop2Long(col("q"), col("cents")))
+      .withColumn("h", expr(
+        s"""aggregate(
+           |  transform(cents, ce -> named_struct('d', graft_sqdist_long(q, ce.cv), 'c', ce.c)),
+           |  named_struct('d1', CAST(${Long.MaxValue} AS LONG), 'c1', CAST(-1 AS INT),
+           |               'd2', CAST(${Long.MaxValue} AS LONG), 'c2', CAST(-1 AS INT)),
+           |  (acc, e) -> CASE
+           |    WHEN e.d < acc.d1 THEN named_struct('d1', e.d, 'c1', e.c, 'd2', acc.d1, 'c2', acc.c1)
+           |    WHEN e.d < acc.d2 THEN named_struct('d1', acc.d1, 'c1', acc.c1, 'd2', e.d, 'c2', e.c)
+           |    ELSE acc END)""".stripMargin))
+    both.collect().foreach { r =>
+      val k = r.getSeq[Long](r.fieldIndex("k"))
+      val h = r.getStruct(r.fieldIndex("h"))
+      assert(k == Seq(h.getLong(0), h.getInt(1).toLong, h.getLong(2), h.getInt(3).toLong),
+        s"kernel != HOF fold at vec ${r.getLong(0)}: $k vs $h")
+    }
+    // <2 and 0 centroids: the fold's init values survive
+    val one = cents.where(col("c") === 0)
+      .agg(expr("array_sort(collect_list(struct(c, cv)))").as("cents"))
+    val r1 = q.limit(1).crossJoin(broadcast(one))
+      .select(graft.functions.ArgminTop2Long(col("q"), col("cents"))).collect().head.getSeq[Long](0)
+    assert(r1(1) >= 0 && r1(2) == Long.MaxValue && r1(3) == -1L, s"1-centroid edge: $r1")
+    val zero = spark.sql(
+      "SELECT CAST(array() AS ARRAY<STRUCT<c: INT, cv: ARRAY<BIGINT>>>) AS cents")
+    val r0 = q.limit(1).crossJoin(broadcast(zero))
+      .select(graft.functions.ArgminTop2Long(col("q"), col("cents"))).collect().head.getSeq[Long](0)
+    assert(r0 == Seq(Long.MaxValue, -1L, Long.MaxValue, -1L), s"0-centroid edge: $r0")
+  }
+
   test("null-element guard is emitted only for nullable-element arrays") {
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
