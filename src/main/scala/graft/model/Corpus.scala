@@ -39,22 +39,25 @@ object Corpus {
   def docs(s: SparkSession, dir: String): DataFrame =
     normalized(Tables.documents(s, dir))
 
-  private val gram3Sql =
-    "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-
-  /** Distinct word-3-gram shingles per doc (docs with ≥3 words). */
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 words).
+    * The shingle build is the [[graft.functions.GramShingles]] codegen
+    * kernel — the transform+array_distinct HOF it replaces was
+    * CodegenFallback, |words| interpreted lambda steps per doc
+    * (element order and values are pinned identical in
+    * FunctionsSpec). */
   def grams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(gram3Sql))).as("gram"))
+      .select(col("doc_id"), explode(GramShingles(col("ws"), 3, distinct = true)).as("gram"))
 
   /** Per-row distinct word-3-gram ARRAY — the row-local form of
     * [[grams]] (same shingle family, same distinct) for single-pass
     * fused consumers (d43): one scan can feed the MinHash signature
     * AND the contamination probe without ever exploding the gram
-    * stream. Empty (never null) below 3 words. */
-  def gramsArr: org.apache.spark.sql.Column = expr(
-    s"IF(size(ws) >= 3, array_distinct($gram3Sql), CAST(array() AS ARRAY<STRING>))")
+    * stream. Empty (never null) below 3 words — the kernel's own
+    * short-input behavior, so no IF wrapper is needed. */
+  def gramsArr: org.apache.spark.sql.Column =
+    GramShingles(col("ws"), 3, distinct = true)
 
   /** Distinct non-overlapping 8-word tile hashes per doc (docs with
     * ≥8 words), keyed with (lang, source) — the duplicated-SPAN unit
@@ -65,9 +68,10 @@ object Corpus {
     normalized(df)
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
-        ))).as("tile"))
+        // tile hashing on the TileMd5 codegen kernel — the transform
+        // HOF it replaces sliced + concatenated + hashed interpreted
+        // per tile (values and order pinned identical in FunctionsSpec)
+        explode(array_distinct(TileMd5(col("ws"), 8, 8))).as("tile"))
 
   /** POSITIONAL non-overlapping 8-word tile hashes per doc (docs with
     * ≥8 words): (doc_id, i, tile) with i the tile's offset in the doc —
@@ -77,9 +81,8 @@ object Corpus {
   def posTiles(df: DataFrame): DataFrame =
     normalized(df)
       .filter(size(col("ws")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
-      )).as(Seq("i", "tile")))
+      .select(col("doc_id"),
+        posexplode(TileMd5(col("ws"), 8, 8)).as(Seq("i", "tile")))
 
   /** CTE suffix after [[docsCte]]: ptiles(doc_id, i, tile) — the
     * DuckDB twin of [[posTiles]]. */
@@ -120,9 +123,11 @@ object Corpus {
     val wsel = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 7)
     normalized(df)
       .filter(size(col("ws")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))"
-      )).as(Seq("i", "h")))
+      // stride-1 rolling hashes on the TileMd5 kernel — this is one
+      // md5 per WORD position, the hottest interpreted loop the HOF
+      // form paid
+      .select(col("doc_id"),
+        posexplode(TileMd5(col("ws"), 8, 1)).as(Seq("i", "h")))
       // zero-padded offset rides the key so the string min IS the
       // (hash, offset) lexicographic min — leftmost-on-ties for free
       .withColumn("k",

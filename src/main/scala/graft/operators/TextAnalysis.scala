@@ -612,9 +612,10 @@ object TextAnalysis {
     // full bigram frequency table a row_number window would sort.
     "d29_repetition" -> { (s, dir) =>
       val docs = Corpus.docs(s, dir).filter(size(col("ws")) >= 2)
+      // bigram build on the GramShingles codegen kernel — the
+      // transform HOF it replaces folded interpreted per word
       val bg = docs.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
+        explode(graft.functions.GramShingles(col("ws"), 2, distinct = false)).as("bg"))
       val counts = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       val top = graft.plans.TopK.perGroup(counts,
         Seq("doc_id"), Seq(("c", true), ("bg", false)), k = 1)
@@ -1060,18 +1061,22 @@ object TextAnalysis {
     // the stream), so the model enrich join never touches the corpus.
     "d37_lm_novelty" -> { (s, dir) =>
       val docs = Corpus.docs(s, dir).filter(size(col("ws")) >= 2)
-      val bg = docs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(ws)-2),
-          |  i -> named_struct('w1', ws[i], 'bg', concat_ws(' ', ws[i], ws[i+1])))""".stripMargin
-      )).as("b")).select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
-      // bg determines w1, so the model keys on bg alone (max(w1) is
-      // that single value). materialize-once: c2 feeds BOTH the model
+      // bigram build on the GramShingles codegen kernel (the struct
+      // transform it replaces folded interpreted per word); the stream
+      // no longer carries w1 per row — words are space-free (split
+      // output), so w1 ≡ the bigram's prefix before the space and is
+      // recovered on the |model|-row aggregate instead: one narrower
+      // exchange (doc_id, bg), same exact model.
+      val bg = docs.select(col("doc_id"),
+        explode(graft.functions.GramShingles(col("ws"), 2, distinct = false)).as("bg"))
+      // bg determines w1. materialize-once: c2 feeds BOTH the model
       // join and c1's aggregation — without the persist each consumer
       // re-runs the full bigram-stream aggregate (measured: 3 corpus
       // scans). The cached frame is the MODEL (distinct bigrams), not
       // the corpus; persist keeps lineage for executor-loss recompute.
       val c2 = bg.groupBy("bg")
-        .agg(count(lit(1)).as("c2"), max(col("w1")).as("w1"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
       val model = c2.join(c1, Seq("w1"))

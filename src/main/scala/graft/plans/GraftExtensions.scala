@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{ArgminTop2Long, CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, ZOrder2}
+import graft.functions.{ArgminTop2Long, CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, GramShingles, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, TileMd5, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -113,6 +113,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       checked("graft_simhash32", 1)(c => SimHash32(c.head))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[GramShingles].getName, null,
+        "graft_grams",
+        "_FUNC_(ws, k, distinct) - Word-k-gram shingles of array<string> `ws` " +
+          "joined with single spaces, in position order (first-occurrence order " +
+          "when `distinct`), empty below k words. k and distinct must be literals " +
+          "(they parameterize the generated loop).", ""),
+      checked("graft_grams", 3) { c =>
+        val k = c(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_grams(ws, k, distinct): k must be an integer literal, got $other")
+        }
+        val distinct = c(2) match {
+          case Literal(v: Boolean, BooleanType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_grams(ws, k, distinct): distinct must be a boolean literal, got $other")
+        }
+        GramShingles(c(0), k, distinct)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tile_md5"),
+      new ExpressionInfo(classOf[TileMd5].getName, null,
+        "graft_tile_md5",
+        "_FUNC_(ws, w, stride) - md5 hex of every w-word tile of array<string> " +
+          "`ws` at the given stride (tile t covers words [t*stride, t*stride+w)), " +
+          "in position order, empty below w words. w and stride must be integer " +
+          "literals (they parameterize the generated loop).", ""),
+      checked("graft_tile_md5", 3) { c =>
+        val Seq(w, stride) = Seq(1, 2).map(i => c(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_tile_md5(ws, w, stride): w/stride must be integer literals, got $other")
+        })
+        TileMd5(c(0), w, stride)
+      }
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

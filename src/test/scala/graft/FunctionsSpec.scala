@@ -272,6 +272,95 @@ class FunctionsSpec extends SparkSpec {
     assert(r0 == Seq(Long.MaxValue, -1L, Long.MaxValue, -1L), s"0-centroid edge: $r0")
   }
 
+  test("GramShingles equals the transform(+array_distinct) HOF, element order included") {
+    // the corpus: every doc's shingle ARRAY (values AND order) must
+    // match the HOF formulations the kernel replaced, for the 3-gram
+    // distinct form (the d02/d03 shingle family) AND the raw bigram
+    // form (d29/d37's stream)
+    val hof3 =
+      """array_distinct(transform(sequence(0, size(ws)-3),
+        |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))""".stripMargin
+    val hof2 =
+      "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"
+    val corpus = graft.model.Corpus.docs(spark, sf)
+      .filter(size(col("ws")) >= 3).select(col("doc_id"), col("ws"))
+    // edges: <k words (empty result), exactly 3, repeated shingles
+    // (distinct keeps first occurrence), empty-string words, unicode
+    val edges = {
+      import spark.implicits._
+      Seq(
+        (-1L, Seq("a", "b")),
+        (-2L, Seq("a", "b", "c")),
+        (-3L, Seq("x", "y", "x", "y", "x", "y", "x")),
+        (-4L, Seq("", "a", "", "a", "")),
+        (-5L, Seq("café", "©", "naïve", "café", "©"))).toDF("doc_id", "ws")
+    }
+    Seq(corpus, edges).foreach { df =>
+      df.withColumn("k3", graft.functions.GramShingles(col("ws"), 3, distinct = true))
+        .withColumn("h3", expr(s"IF(size(ws) >= 3, $hof3, CAST(array() AS ARRAY<STRING>))"))
+        .withColumn("k2", graft.functions.GramShingles(col("ws"), 2, distinct = false))
+        .withColumn("h2", expr(s"IF(size(ws) >= 2, $hof2, CAST(array() AS ARRAY<STRING>))"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](r.fieldIndex("k3")) == r.getSeq[String](r.fieldIndex("h3")),
+            s"3-gram kernel/HOF drift on doc ${r.getLong(0)}")
+          assert(r.getSeq[String](r.fieldIndex("k2")) == r.getSeq[String](r.fieldIndex("h2")),
+            s"bigram kernel/HOF drift on doc ${r.getLong(0)}")
+        }
+    }
+    // SQL registration (x02) reaches the same kernel
+    val viaSql = spark.sql(
+      "SELECT graft_grams(array('a', 'b', 'c', 'd'), 3, true) AS g")
+      .collect().head.getSeq[String](0)
+    assert(viaSql == Seq("a b c", "b c d"), s"SQL registration: $viaSql")
+    // d37's w1 recovery contract: a word never contains the separator,
+    // so substring_index(bigram, ' ', 1) is exactly the first word —
+    // including the empty-word edge
+    val w1 = spark.sql(
+      "SELECT transform(graft_grams(array('', 'a', 'b'), 2, false), g -> substring_index(g, ' ', 1)) AS w1s")
+      .collect().head.getSeq[String](0)
+    assert(w1 == Seq("", "a"), s"w1 recovery: $w1")
+  }
+
+  test("TileMd5 equals the transform+md5+slice HOF at stride 8 and stride 1") {
+    // the d36/d90 non-overlapping tile unit and d111's stride-1
+    // rolling hashes — values AND order must match the HOF forms
+    val hofTiles =
+      "transform(sequence(0, size(ws) div 8 - 1), i -> md5(concat_ws(' ', slice(ws, i * 8 + 1, 8))))"
+    val hofRolls =
+      "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))"
+    val corpus = graft.model.Corpus.docs(spark, sf)
+      .filter(size(col("ws")) >= 8).select(col("doc_id"), col("ws"))
+    // edges: exactly 8 words, 9 (one full tile + roll pair), <8 (empty),
+    // empty-string words, unicode
+    val edges = {
+      import spark.implicits._
+      Seq(
+        (-1L, (1 to 8).map(i => s"w$i")),
+        (-2L, (1 to 9).map(i => s"w$i")),
+        (-3L, (1 to 7).map(i => s"w$i")),
+        (-4L, Seq("", "a", "", "b", "", "c", "", "d", "")),
+        (-5L, Seq("café", "©", "naïve", "x", "y", "z", "é", "ü", "ß"))).toDF("doc_id", "ws")
+    }
+    Seq(corpus, edges).foreach { df =>
+      df.withColumn("k8", graft.functions.TileMd5(col("ws"), 8, 8))
+        .withColumn("h8", expr(s"IF(size(ws) >= 8, $hofTiles, CAST(array() AS ARRAY<STRING>))"))
+        .withColumn("k1", graft.functions.TileMd5(col("ws"), 8, 1))
+        .withColumn("h1", expr(s"IF(size(ws) >= 8, $hofRolls, CAST(array() AS ARRAY<STRING>))"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](r.fieldIndex("k8")) == r.getSeq[String](r.fieldIndex("h8")),
+            s"stride-8 kernel/HOF drift on doc ${r.getLong(0)}")
+          assert(r.getSeq[String](r.fieldIndex("k1")) == r.getSeq[String](r.fieldIndex("h1")),
+            s"stride-1 kernel/HOF drift on doc ${r.getLong(0)}")
+        }
+    }
+    // SQL registration (x02) reaches the same kernel
+    val viaSql = spark.sql(
+      "SELECT graft_tile_md5(array('a','b','c','d','e','f','g','h'), 8, 8) AS t")
+      .collect().head.getSeq[String](0)
+    val expect = spark.sql("SELECT md5('a b c d e f g h') AS m").collect().head.getString(0)
+    assert(viaSql == Seq(expect), s"SQL registration: $viaSql vs $expect")
+  }
+
   test("null-element guard is emitted only for nullable-element arrays") {
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
