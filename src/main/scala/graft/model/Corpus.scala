@@ -181,13 +181,16 @@ object Corpus {
     qvecsAll(df).select("vec_id", "q", "norm2")
 
   /** Quantization PRESERVING every other input column (d74/d75 keep
-    * `label` riding the same scan instead of joining it back). */
+    * `label` riding the same scan instead of joining it back). norm2
+    * rides the DotLong kernel (Σq² ≡ dot(q, q), same exact longs in
+    * the same order) — the aggregate HOF it replaces was
+    * CodegenFallback, an interpreted 64-step fold per vector row in
+    * EVERY query that reads qvecs. */
   def qvecsAll(df: DataFrame): DataFrame =
     df
       .withColumn("q", expr(
         "transform(embedding, e -> coalesce(CAST(round(CAST(e AS DOUBLE) * 1000) AS LONG), CAST(0 AS LONG)))"))
-      .withColumn("norm2", expr(
-        "aggregate(q, CAST(0 AS LONG), (acc, x) -> acc + x * x)"))
+      .withColumn("norm2", DotLong(col("q"), col("q")))
       .drop("embedding")
 
   // ---- DuckDB twins -------------------------------------------------
