@@ -76,10 +76,29 @@ object Bench {
     }
     calibrate() // pay the probe's own JIT outside the recorded values
 
+    // Per-query EXECUTOR TASK TIME (sum of task executorRunTime, ms),
+    // captured alongside wall time: at a fixed-cost-dominated SF every
+    // per-query wall time sits on the same ~0.3 s floor and the
+    // 8c/32c wall ratio is ≈1, so wall time cannot demonstrate
+    // parallel scaling — the summed task runtime is the signal that
+    // DOES scale with work (r18 verdict #4). Recorded to the detail
+    // file only; the stdout contract line is unchanged.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+    })
+    def taskMsNow(): Long = {
+      // listener delivery is async — drain the bus so the counter has
+      // seen every task of the job that just finished
+      org.apache.spark.sql.graftbridge.GraftBridge.drainListenerBus(spark)
+      taskMs.get()
+    }
     val failed = scala.collection.mutable.Set[String]()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      if (failed(name)) return -1.0
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      if (failed(name)) return (-1.0, -1L)
       spark.catalog.clearCache()
+      val tm0 = taskMsNow()
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -87,7 +106,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name; false
       }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val wall = (System.nanoTime() - t0) / 1e9 // wall stops BEFORE the bus drain
+      if (ok) (wall, taskMsNow() - tm0) else (-1.0, -1L)
     }
     // (min, relative spread (max-min)/min) per query — the spread is the
     // co-tenant-noise signal: unchanged code with a big spread is a noisy
@@ -97,7 +117,7 @@ object Bench {
     // spike survives the min; spreading a query's passes ~minutes apart
     // makes a spike land in the spread instead.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runPass(): (Double, Seq[Double]) =
+    def runPass(): (Double, Seq[(Double, Long)]) =
       (calibrate(), named.map { case (name, fn) => timeOnce(name, fn) })
     // Contaminated-pass retry: the calibration probe's work never
     // changes, so a pass whose probe lands >3× the run's median probe
@@ -109,7 +129,7 @@ object Bench {
     // never measured. If two retries can't find a quiet window, accept
     // and say so ("calib_note") — an annotated noisy artifact beats an
     // unbounded bench.
-    val passes = scala.collection.mutable.ArrayBuffer[(Double, Seq[Double])]()
+    val passes = scala.collection.mutable.ArrayBuffer[(Double, Seq[(Double, Long)])]()
     (1 to 3).foreach(_ => passes += runPass())
     def calibMed = passes.map(_._1).sorted.apply(passes.size / 2)
     val droppedCalib = scala.collection.mutable.ArrayBuffer[Double]()
@@ -123,7 +143,8 @@ object Bench {
     }
     val stillUneven = passes.map(_._1).max > 3 * calibMed
     val calib = passes.map(_._1)
-    val passMatrix: Seq[Seq[Double]] = passes.toSeq.map(_._2)
+    val passMatrix: Seq[Seq[Double]] = passes.toSeq.map(_._2.map(_._1))
+    val taskMatrix: Seq[Seq[Long]] = passes.toSeq.map(_._2.map(_._2))
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val passes = passMatrix.map(_(i))
       if (passes.exists(_ < 0)) name -> (-1.0, -1.0)
@@ -229,6 +250,30 @@ object Bench {
       .getOrElse(sys.error(
         s"bench JSON line ${render(0).length} chars even without per-query spreads — would overflow the 2000-char tail capture"))
     println(line)
+    // FULL per-query detail file (r19): the stdout line's compact qv36
+    // form is driver-contract-bound to the ~2000-char tail window and
+    // the driver's loader does not decode it (PERF_r18.per_query was
+    // empty) — so ALSO write the uncompressed per-query map, plus the
+    // per-pass wall seconds and executor task-time ms (the quantity
+    // that scales with work where wall time sits on the fixed floor),
+    // to a side file. Path from SPARK_GRAFT_BENCH_OUT, default
+    // BENCH_DETAIL.json in the cwd. stdout stays byte-compatible.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    try {
+      val qjson = named.zipWithIndex.map { case ((name, _), i) =>
+        val walls = passMatrix.map(_(i)).map(v => f"$v%.3f").mkString("[", ",", "]")
+        val tms = taskMatrix.map(_(i)).mkString("[", ",", "]")
+        val (mn, spread) = results(i)._2
+        "\"" + name + "\":{" +
+          f""""sec":$mn%.3f,"spread":$spread%.3f,"wall_s":$walls,"task_ms":$tms}"""
+      }.mkString("{", ",", "}")
+      val detail =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfShort","cpus":$cpus,"calib":$calibJson,"queries":$qjson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail file $detailPath write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

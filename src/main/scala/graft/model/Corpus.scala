@@ -244,8 +244,17 @@ object Corpus {
   /** Count-Min cell coordinates of token column `w`: the 4 (row, cell)
     * pairs — shared by d61 (batch) and s23 (streaming) so both sides
     * hash into the SAME sketch geometry. DuckDB twin composes
-    * [[hash32Sql]] the same way (see d61's oracle). */
+    * [[hash32Sql]] the same way (see d61's oracle).
+    *
+    * UNROLLED array literal, not `transform(sequence(0, 3), …)` (r19):
+    * the transform lambda is CodegenFallback, so the 4-cell build ran
+    * INTERPRETED once per token occurrence — the hottest row stream
+    * d61/s23 own. The unrolled CreateArray/CreateNamedStruct/concat
+    * chain is whole-stage-codegen end to end and computes the same 4
+    * structs ('cms<i>#' || w is exactly concat('cms', CAST(i AS
+    * STRING), '#', w) for literal i). */
   val cmsCellsSql: String =
-    "transform(sequence(0, 3), i -> named_struct(" +
-      "'i', i, 'cell', graft_hash32(concat('cms', CAST(i AS STRING), '#', w)) % 1024))"
+    (0 until 4).map(i =>
+      s"named_struct('i', $i, 'cell', graft_hash32(concat('cms$i#', w)) % 1024)")
+      .mkString("array(", ", ", ")")
 }

@@ -34,13 +34,15 @@ object Dedup {
     * sketch cost, so 4 calls/gram instead of 16. The 16 mins are
     * aggregate COLUMNS over the gram rows, so the shuffle carries
     * |grams| rows (a seeds cross-join would carry 16×). */
-  private def minhashWide(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Corpus.grams(s, dir)
+  private def minhashWideOver(grams: DataFrame): DataFrame = {
+    val hashed = grams
       .withColumn("hs", graft.functions.MinHash16(col("gram")))
     hashed.groupBy("doc_id")
       .agg(min(element_at(col("hs"), 1)).as("m0"),
         (1 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
   }
+  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+    minhashWideOver(Corpus.grams(s, dir))
 
   /** Long form (doc_id, seed, minh) — d03's declared output shape. */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
@@ -63,16 +65,19 @@ object Dedup {
 
   private val minhashSql: String = minhashSqlOver("grams")
 
+  /** stack() projecting a wide signature row to 4 (band, sig) rows. */
+  private val bandStackExpr: String = (0 until 4).map { b =>
+    val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
+    s"$b, concat_ws(',', $ms)"
+  }.mkString("stack(4, ", ", ", ") AS (band, sig)")
+
   /** Per-doc LSH band signatures (doc_id, band, sig) — 4 bands × 4
     * members each; shared by the d04 self-join and d76's two-sided
     * index/probe split. */
-  private[operators] def bandSigs(s: SparkSession, dir: String): DataFrame = {
-    val bandStack = (0 until 4).map { b =>
-      val ms = (0 until 4).map(i => s"m${b * 4 + i}").mkString(", ")
-      s"$b, concat_ws(',', $ms)"
-    }.mkString("stack(4, ", ", ", ") AS (band, sig)")
-    minhashWide(s, dir).selectExpr("doc_id", bandStack)
-  }
+  private def bandSigsOf(wide: DataFrame): DataFrame =
+    wide.selectExpr("doc_id", bandStackExpr)
+  private[operators] def bandSigs(s: SparkSession, dir: String): DataFrame =
+    bandSigsOf(minhashWide(s, dir))
 
   /** ONE persisted copy of [[bandSigs]] per (session, dir) — the frame
     * every LSH consumer (d04/d24/d67 via [[lshPairs]], d76's two-sided
@@ -101,8 +106,7 @@ object Dedup {
     df
   }
 
-  /** SQL fragment: all ordered pairs (i < j) from a SORTED array
-    * column `c`, one struct per pair built by `mk(a, b)` — the
+  /** All ordered pairs (i < j) from a SORTED array column — the
     * combination explode that replaces a key-equality SELF-join. The
     * per-key member list arrives sorted off ONE aggregate exchange, so
     * a < b falls out of the sort order instead of a post-join filter,
@@ -112,10 +116,18 @@ object Dedup {
     * fan-out the self-join streams, materialized per key; the m² term
     * is the declared exact-baseline ceiling either way (the sketch
     * paths are the production twins), and the join form equally
-    * buffers one key's m-row match set in its merge buffer. */
-  private def combosSql(c: String, mk: (String, String) => String): String =
-    s"flatten(transform($c, (a, i) -> " +
-      s"transform(slice($c, i + 2, size($c)), b -> ${mk("a", "b")})))"
+    * buffers one key's m-row match set in its merge buffer.
+    *
+    * Runs on the [[graft.functions.PairCombos]] codegen kernel (r19):
+    * the r18 `flatten(transform(c, (a, i) -> transform(slice(c, i+2,
+    * size(c)), b -> …)))` HOF was CodegenFallback — every band group
+    * paid m interpreted slice() tail-copies (O(m²) element copies)
+    * plus interpreted per-pair lambda evaluation, which is exactly
+    * where the r18 driver bench read d05 0.80× and the lshPairs
+    * consumers 0.93–0.95×. Same pairs, same (i, j) order, one
+    * primitive loop. */
+  private def combos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PairCombos(c)
 
   /** Exact gram-sharing pair stats (a_id < b_id, inter, na, nb) from
     * ONE corpus scan and TWO exchanges — the shared core of the
@@ -192,17 +204,27 @@ object Dedup {
     * Same combination-explode shape as [[gramPairStats]]: one
     * groupBy(band, sig) over the persisted signatures replaces the
     * signature self-join (one exchange fewer, no join build). */
-  private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = bandSigsPersisted(s, dir)
+  private def lshPairsOver(sig: DataFrame): DataFrame =
     sig.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(combosSql("ds", (a, b) =>
-        s"named_struct('a_id', $a, 'b_id', $b)"))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(explode(combos(col("ds"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
+  private[operators] def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsOver(bandSigsPersisted(s, dir))
+
+  /** Band signatures derived from the PERSISTED gram stream — for the
+    * queries that ALSO consume [[gramStreamPersisted]] (d34/d104/d105:
+    * exact baseline + sketch comparison in one plan). Bit-identical
+    * signatures (same distinct gram multiset per doc, same MinHash16
+    * family) at ZERO extra corpus scans — [[bandSigsPersisted]] keeps
+    * its own scan for the sketch-only consumers (d04/d24/d76/…), where
+    * materializing the full gram stream just to stream it once into
+    * the 16-column min-agg would be pure write amplification at scale. */
+  private def bandSigsFromGrams(s: SparkSession, dir: String): DataFrame =
+    bandSigsOf(minhashWideOver(gramStreamPersisted(s, dir)))
 
   /** DuckDB CTE chain ending in `sig(doc_id, band, sig)` — the oracle
     * twin of [[bandSigs]], shared by the d04/d24 pair chain and d76's
@@ -428,10 +450,9 @@ object Dedup {
       bands.groupBy("bi", "bv")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
         .filter(size(col("ds")) > 1)
-        .select(explode(expr(combosSql("ds", (a, b) =>
-          s"named_struct('a_id', $a.doc_id, 'fp_a', $a.fp, 'b_id', $b.doc_id, 'fp_b', $b.fp)"))).as("p"))
-        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
-          col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
+        .select(explode(combos(col("ds"))).as("p"))
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          col("p.a.fp").as("fp_a"), col("p.b.fp").as("fp_b"))
         .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
         .filter(col("hamming") <= 2)
         .select("a_id", "b_id", "fp_a", "fp_b", "hamming")
@@ -463,29 +484,48 @@ object Dedup {
     // exact in binary, so every float here is bit-identical
     // cross-engine.
     "d104_containment_est" -> { (s, dir) =>
-      val cand = lshPairs(s, dir).select("a_id", "b_id")
-      // signatures recomputed from the CACHED gram stream (shared with
-      // the exact-intersection core below) instead of minhashWide's own
-      // corpus scan — same distinct gram set per doc, same md5 hash
-      // family, so bit-identical signatures at one fewer documents pass
-      val aw = gramStreamPersisted(s, dir)
-        .withColumn("hs", graft.functions.MinHash16(col("gram")))
-        .groupBy("doc_id")
-        .agg(min(element_at(col("hs"), 1)).as("m0"),
-          (1 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
+      // ONE wide-signature build off the CACHED gram stream (shared
+      // with the exact-intersection core below), persisted because it
+      // feeds the band-sig candidate generation AND both endpoint
+      // lookup sides — same distinct gram set per doc, same md5 hash
+      // family, so bit-identical signatures to minhashWide's at zero
+      // extra corpus scans (r18 built them TWICE: once in
+      // bandSigsPersisted's own scan for the candidates, once from the
+      // cached stream for the lookups)
+      val aw = minhashWideOver(gramStreamPersisted(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = lshPairsOver(bandSigsOf(aw)).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = aw.toDF(("a_id" +: (0 until 16).map(i => s"ma$i")): _*)
       val b = aw.toDF(("b_id" +: (0 until 16).map(i => s"mb$i")): _*)
       val nMatch = (0 until 16)
         .map(i => when(col(s"ma$i") === col(s"mb$i"), 1L).otherwise(0L))
         .reduce(_ + _)
       // sizes is one tiny aggregate over the CACHED gram stream (n is
-      // constant per doc) — no extra corpus scan; the exact |∩| rides
-      // the shared pair core (candidates that share NO gram stay
-      // inter=0 via the left join below, so the old per-pair semi-join
-      // restriction is subsumed)
+      // constant per doc) — no extra corpus scan
       val sizes = gramStreamPersisted(s, dir)
         .groupBy("doc_id").agg(min(col("n")).as("n"))
-      val inter = gramPairStats(s, dir).select("a_id", "b_id", "inter")
+      // exact |∩| restricted to the CANDIDATE DOC MINORITY before the
+      // quadratic gram self-join (guide §3.2 — pre-filter the big side
+      // with a semi-join): inter is consumed ONLY for cand pairs, and
+      // both endpoints of a cand pair are in cand's doc set, so
+      // restricting the stream cannot change any kept pair's count —
+      // while the m² pair fan-out prunes from the full corpus to the
+      // near-dup minority (r18 ran the FULL d02-grade pair aggregate
+      // here and left-joined it; that full m² pass was d104's dominant
+      // residual). The doc-id set is broadcast (the near-dup minority
+      // by construction); at a scale where it outgrows the broadcast
+      // cap, the same shape runs on a §3.2 Bloom filter.
+      val candDocs = cand
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+      val dgc = gramStreamPersisted(s, dir).select("doc_id", "gram")
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val inter = dgc.toDF("a_id", "gram")
+        .join(dgc.toDF("b_id", "gram").select(col("gram"), col("b_id")), Seq("gram"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
       cand
         .join(a, Seq("a_id")).join(b, Seq("b_id"))
         .withColumn("n_match", nMatch)
@@ -551,7 +591,10 @@ object Dedup {
     // the comparison itself is one tiny pair-key join.
     "d34_lsh_recall" -> { (s, dir) =>
       val exact = jaccardPairs(s, dir).select("a_id", "b_id")
-      val cand = lshPairs(s, dir).select("a_id", "b_id")
+      // candidates from the gram stream the exact side already
+      // persists (bit-identical signatures, one corpus scan for the
+      // whole query instead of two)
+      val cand = lshPairsOver(bandSigsFromGrams(s, dir)).select("a_id", "b_id")
       val hits = exact.join(cand.withColumn("hit", lit(1)),
         Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
@@ -577,15 +620,16 @@ object Dedup {
     // production d04 config. persist on the pair rollup: the hits
     // join and the cost aggregate both consume it (d72's convention).
     "d105_lsh_band_curve" -> { (s, dir) =>
-      val sig = bandSigsPersisted(s, dir)
+      // signatures from the gram stream the exact side already
+      // persists (bit-identical, one corpus scan for the whole query)
+      val sig = bandSigsFromGrams(s, dir)
       // lshPairs' combination-explode shape, keeping min(band) instead
       // of the shared-band count — one exchange instead of a self-join
       val firstBand = sig.groupBy("band", "sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) > 1)
-        .select(col("band"), explode(expr(combosSql("ds", (a, b) =>
-          s"named_struct('a_id', $a, 'b_id', $b)"))).as("p"))
-        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .select(col("band"), explode(combos(col("ds"))).as("p"))
+        .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .agg(min(col("band")).as("first_band"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = jaccardPairs(s, dir).select("a_id", "b_id")

@@ -924,11 +924,11 @@ object Similarity {
          |""".stripMargin
 
   /** LIVE directed 3-NN edge stream (`a_id`, `b_id`) over the
-    * persisted index — d50's probe shape, materialized because d95's
-    * mutual filter reads it from both sides. ONE corpus scan; the
-    * ≤3n-row edge list is the working set from here on. The PERSISTED
-    * twin is [[annKnnEdges]] (the artifact d96 and the community/
-    * medoid builds consume). */
+    * persisted index — d50's probe shape. ONE corpus scan; the ≤3n-row
+    * edge list is the working set from here on — materialized because
+    * d95's mutual filter reads it from both sides. The PERSISTED twin
+    * is [[annKnnEdges]] (the artifact d96 and the community/medoid
+    * builds consume). */
   private def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val cents = denull(
       graft.sources.IO.readParquet(s, annIndexCents(s, dir)), "cv")
@@ -946,6 +946,12 @@ object Similarity {
     * any mutual edge are absent — callers that need singletons
     * coalesce the label to the node's own id. */
   private def mutualLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    // Shape note (r19, measured): a canonical-pair count-2 aggregate
+    // computes the same mutual set with ONE exchange and no broadcast,
+    // but paired probes read it 0.5 s SLOWER here — the persisted edge
+    // frame's stats let this semi-join auto-broadcast, so the local
+    // plan is exchange-free. At an edge volume past the broadcast cap
+    // the aggregate form is the swap-in.
     val mutual = edges
       .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
         Seq("a_id", "b_id"), "left_semi")

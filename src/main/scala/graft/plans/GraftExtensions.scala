@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{ArgminTop2Long, CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, GramShingles, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, SimHash32, SortedHitCount, SqDistLong, TileMd5, ZOrder2}
+import graft.functions.{ArgminTop2Long, CharCounts, CosineSim, DiversityStats, DotLong, Fingerprint, GramShingles, Hash32, KmvSketchAgg, KmvValuesAgg, LutSumLong, MinHash16, MinHashFold, PairCombos, SimHash32, SortedHitCount, SqDistLong, TileMd5, ZOrder2}
 
 /** SparkSessionExtensions entry point (SURVEY §2.D x02).
   *
@@ -152,6 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
         TileMd5(c(0), w, stride)
       }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pair_combos"),
+      new ExpressionInfo(classOf[PairCombos].getName, null,
+        "graft_pair_combos",
+        "_FUNC_(arr) - All ordered index pairs (i < j) of `arr` as " +
+          "array<struct<a, b>>, in (i, j) lexicographic order — pass a sorted " +
+          "array so a < b falls out of element order.", ""),
+      checked("graft_pair_combos", 1)(c => PairCombos(c.head))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_fingerprint"),

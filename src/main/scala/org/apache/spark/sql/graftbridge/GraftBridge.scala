@@ -28,4 +28,11 @@ object GraftBridge {
   /** DataFrame over a (resolved) custom logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drain the listener bus — `LiveListenerBus.waitUntilEmpty` is
+    * `private[spark]`; Bench needs it so a per-query task-time counter
+    * (fed by an async SparkListener) is read only after every task-end
+    * event for the just-finished query has been delivered. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

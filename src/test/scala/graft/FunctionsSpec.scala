@@ -232,6 +232,42 @@ class FunctionsSpec extends SparkSpec {
     assert(edge == 20L, s"null/out-of-range elements must contribute 0, got $edge")
   }
 
+  test("PairCombos equals the slice-transform HOF combination explode, order included") {
+    // the band-pair shape: sorted member arrays of varied size,
+    // primitive (long) AND struct elements — pair VALUES and pair
+    // ORDER must both match the HOF the kernel replaced
+    val hof = "flatten(transform(ds, (a, i) -> " +
+      "transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"
+    val longs = spark.range(0, 30)
+      .selectExpr("id", "array_sort(transform(sequence(0, CAST(id % 7 AS INT)), " +
+        "i -> CAST(hash(id, i) AS LONG))) AS ds")
+      .withColumn("k", graft.functions.PairCombos(col("ds")))
+      .withColumn("h", expr(hof))
+    longs.collect().foreach { r =>
+      assert(r.getSeq[Any](r.fieldIndex("k")) == r.getSeq[Any](r.fieldIndex("h")),
+        s"kernel != HOF combos at id=${r.getLong(0)}")
+    }
+    val structs = spark.range(0, 30)
+      .selectExpr("id", "array_sort(transform(sequence(0, CAST(id % 5 AS INT)), " +
+        "i -> named_struct('doc_id', CAST(hash(id, i) AS LONG), 'fp', CAST(hash(i, id) AS LONG)))) AS ds")
+      .withColumn("k", graft.functions.PairCombos(col("ds")))
+      .withColumn("h", expr(hof))
+    structs.collect().foreach { r =>
+      assert(r.getSeq[Any](r.fieldIndex("k")) == r.getSeq[Any](r.fieldIndex("h")),
+        s"kernel != HOF combos at id=${r.getLong(0)} (struct elems)")
+    }
+    // edges: empty and singleton arrays yield no pairs; SQL
+    // registration (x02) reaches the same kernel
+    val edges = spark.sql(
+      """SELECT graft_pair_combos(CAST(array() AS ARRAY<BIGINT>)) AS e0,
+        |       graft_pair_combos(array(CAST(7 AS BIGINT))) AS e1,
+        |       graft_pair_combos(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS e2""".stripMargin)
+      .collect().head
+    assert(edges.getSeq[Any](0).isEmpty && edges.getSeq[Any](1).isEmpty)
+    assert(edges.getSeq[org.apache.spark.sql.Row](2) ==
+      Seq(org.apache.spark.sql.Row(1L, 2L)))
+  }
+
   test("ArgminTop2Long equals the aggregate-HOF top-2 fold, with tie-break and <2-centroid edges") {
     // the assignTop2 shape: corpus vectors × one broadcast sorted
     // centroid-array row; the kernel must match the HOF fold on every

@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSpec {
       "d27_clip_dedup" -> (2, 0), "d28_corpus_stats" -> (1, 0),
       "d29_repetition" -> (2, 0), "d30_containment" -> (1, 0),
       "d31_url_extract" -> (1, 0), "d32_embed_quant" -> (0, 1),
-      "d33_zorder" -> (1, 0), "d34_lsh_recall" -> (2, 0),
+      // d34 (r19): candidates derive their band signatures from the
+      // SAME cached gram stream the exact baseline reads — one corpus
+      // scan for the whole recall evaluation (was 2)
+      "d33_zorder" -> (1, 0), "d34_lsh_recall" -> (1, 0),
       "d35_semdedup" -> (0, 1), "d36_tile_dedup" -> (2, 0),
       "d37_lm_novelty" -> (2, 0), "d38_corpus_sample" -> (1, 0),
       "d39_seq_pack" -> (1, 0), "d40_cell_balance" -> (0, 1),
@@ -288,15 +291,15 @@ class PlanAuditSpec extends SparkSpec {
       // d103: d02's one-pass gram pair core + ONE pruned
       // (doc_id, source) scan persisted for its two join sides
       "d103_dup_provenance" -> (2, 0),
-      // d104: the cached signature pass + the cached gram stream = 2
-      // (wide signatures, exact intersections AND sizes all ride the
-      // one cached gram pass); the exact passes only feed the
-      // EVALUATION — the production path judged is the sketch side
-      "d104_containment_est" -> (2, 0),
-      // d105: the d34 shape (exact gram baseline 1 + the cached band
-      // signatures 1); the b=1..4 sweep adds ZERO passes — one
-      // first-band pair rollup feeds all four budgets
-      "d105_lsh_band_curve" -> (2, 0),
+      // d104 (r19): ONE cached gram pass — wide signatures, band-sig
+      // candidates, exact intersections AND sizes all derive from it
+      // (was 2: the candidate signatures paid their own scan)
+      "d104_containment_est" -> (1, 0),
+      // d105 (r19): the d34 shape — band signatures now ride the same
+      // cached gram stream as the exact baseline (was 2); the b=1..4
+      // sweep adds ZERO passes — one first-band pair rollup feeds all
+      // four budgets
+      "d105_lsh_band_curve" -> (1, 0),
       // d106: d24's ONE clustering pass (cached signatures, counted
       // with the listener like d24) + the column-pruned corpus count;
       // the singleton row derives from the histogram, never a second
