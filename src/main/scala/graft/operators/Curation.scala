@@ -961,7 +961,7 @@ object Curation {
       val shardTokens = 4096L
       val d = Corpus.docs(s, dir).select(
         col("doc_id"),
-        expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"),
+        TextAnalysis.nonEmptyCount(col("ws")).as("n_tokens"),
         hash32(concat(lit("shard"), col("doc_id").cast("string"))).as("ord"))
         .withColumn("bucket", col("ord") % 32)
       val wLocal = Window.partitionBy("bucket")
@@ -999,15 +999,12 @@ object Curation {
     "d66_quota_select" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val quota = 600L
-      val enArr = array(TextAnalysis.enStop.map(lit): _*)
       val w = Window.partitionBy("source")
         .orderBy(col("score").desc, col("doc_id"))
       val wCum = w.rowsBetween(Window.unboundedPreceding, -1)
       Corpus.docs(s, dir)
-        .withColumn("n_tokens",
-          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)"))
-        .withColumn("n_stop",
-          size(filter(col("ws"), wd => array_contains(enArr, wd))).cast("long"))
+        .withColumn("n_tokens", TextAnalysis.nonEmptyCount(col("ws")))
+        .withColumn("n_stop", TextAnalysis.wordHits(col("ws"), TextAnalysis.enStop))
         .withColumn("score", expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
@@ -1036,12 +1033,9 @@ object Curation {
       import org.apache.spark.sql.expressions.Window
       val labels =
         connectedComponents(s, Dedup.lshPairs(s, dir).select("a_id", "b_id"))
-      val enArr = array(TextAnalysis.enStop.map(lit): _*)
       val scored = Corpus.docs(s, dir)
-        .withColumn("n_tokens",
-          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)"))
-        .withColumn("n_stop",
-          size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+        .withColumn("n_tokens", TextAnalysis.nonEmptyCount(col("ws")))
+        .withColumn("n_stop", TextAnalysis.wordHits(col("ws"), TextAnalysis.enStop))
         .withColumn("score", expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
         .select(col("doc_id"), col("score"))
       val wOrd = Window.partitionBy("cluster_id")

@@ -503,7 +503,7 @@ object Streaming {
         .rowsBetween(Window.unboundedPreceding, -1)
       graft.model.Corpus.docs(s, dir)
         .select(col("doc_id"), col("source"),
-          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+          TextAnalysis.nonEmptyCount(col("ws")).as("n_tokens"))
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("admitted",
           col("cum_before") + col("n_tokens") <= graft.streaming.DocStream.budgetTokens)
@@ -528,7 +528,7 @@ object Streaming {
         .select(col("doc_id"),
           (graft.functions.hash32(concat(lit("shard"), col("doc_id").cast("string"))) % 32)
             .cast("int").as("bucket"),
-          expr("CAST(size(filter(ws, x -> x != '')) AS BIGINT)").as("n_tokens"))
+          TextAnalysis.nonEmptyCount(col("ws")).as("n_tokens"))
         .withColumn("cum_before_bucket",
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("shard_seq",

@@ -35,6 +35,25 @@ object TextAnalysis {
   private[operators] val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private[operators] val enStopSqlList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Occurrences of `ws` elements inside a CONSTANT word list, on the
+    * SortedHitCount codegen kernel (r19) — the drop-in for
+    * `size(filter(ws, w -> array_contains(<list>, w)))`, whose lambda
+    * is CodegenFallback and ran INTERPRETED once per corpus row in
+    * every quality/langid/curation scorer. Same count (per
+    * occurrence, binary string equality); the list is sorted ascending
+    * at build time (the kernel's contract — ASCII word lists sort
+    * identically under String and UTF8String orderings). */
+  private[operators] def wordHits(ws: org.apache.spark.sql.Column,
+      list: Seq[String]): org.apache.spark.sql.Column =
+    graft.functions.SortedHitCount(ws, array(list.sorted.map(lit): _*))
+
+  /** Non-empty token count — `size(filter(ws, x -> x != ''))` without
+    * the interpreted lambda: total size minus the ''-occurrence count
+    * (split() yields [''] only for an empty normalized text, so the
+    * subtraction is exact). */
+  private[graft] def nonEmptyCount(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(ws).cast("long") - graft.functions.SortedHitCount(ws, array(lit("")))
+
   /** d08's per-row language scorer over a docs-shaped frame: one
     * stop-word hit count per candidate language, `score` = the max,
     * `pred_lang` = the first language (in [[langWords]] order)
@@ -44,9 +63,7 @@ object TextAnalysis {
   private def langidScored(docs: DataFrame): DataFrame = {
     val scored = langWords.foldLeft(docs) {
       case (df, (lang, ws)) =>
-        val arr = array(ws.map(lit): _*)
-        df.withColumn(s"sc_$lang",
-          size(filter(col("ws"), w => array_contains(arr, w))).cast("long"))
+        df.withColumn(s"sc_$lang", wordHits(col("ws"), ws))
     }
     val scoreCols = langWords.map { case (lang, _) => col(s"sc_$lang") }
     val m = greatest(scoreCols: _*)
@@ -80,14 +97,13 @@ object TextAnalysis {
     * streaming curation gate (s08), so stream and batch provably score
     * identically. Stateless and per-row: safe on any streaming source. */
   private[graft] def qualityCols(docs: DataFrame): DataFrame = {
-    val enArr = array(enStop.map(lit): _*)
     docs
       .withColumn("cc", CharCounts(col("text")))
       .withColumn("n_chars_raw", length(col("text")).cast("long"))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_digits", element_at(col("cc"), 1))
       .withColumn("n_punct", element_at(col("cc"), 2))
-      .withColumn("n_stop", size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+      .withColumn("n_stop", wordHits(col("ws"), enStop))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
       .withColumn("punct_ratio",
@@ -779,12 +795,11 @@ object TextAnalysis {
     // the dedup keeper is a window over the same pass (no groupBy +
     // join-back, which would recompute the normalization lineage).
     "d21_corpus_select" -> { (s, dir) =>
-      val enArr = array(enStop.map(lit): _*)
       val keepW = Window.partitionBy("content_hash")
       Corpus.docs(s, dir)
         .withColumn("content_hash", md5(col("norm")))
         .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("n_stop", size(filter(col("ws"), w => array_contains(enArr, w))).cast("long"))
+        .withColumn("n_stop", wordHits(col("ws"), enStop))
         .withColumn("stop_ratio",
           col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)))
         .withColumn("keeper", min(col("doc_id")).over(keepW))
